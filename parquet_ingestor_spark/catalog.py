@@ -1,0 +1,53 @@
+"""Testdata catalog: the driver-generated TPC-H-ish star schema plus the
+``events`` stream table and the training-data tables (``documents``,
+``embeddings``).
+
+All loads are plain ``spark.read.parquet`` — column pruning and filter
+pushdown then happen inside the scan (verify with
+``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables that are always broadcast-join-sized relative to the facts —
+# at TPC-H geometry region/nation are constant-size and supplier grows
+# ~100× slower than lineitem.
+BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as raw int64 nanos (see
+    # spark.sql.legacy.parquet.nanosAsLong); rebuild a timestamp at µs
+    # precision. Queries format/bucket timestamps rather than emitting
+    # raw ns, so the truncation is not observable in results.
+    for col_name, dtype in df.dtypes:
+        if col_name == "ts" and dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

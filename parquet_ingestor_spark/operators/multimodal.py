@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store blobs as a
+``binary`` column (or a URI pointer column for objects > a few MB) next
+to a typed metadata struct, and run decode/feature-extraction as
+Arrow-batched ``mapInPandas`` stages, so each Python worker touches one
+columnar batch at a time and the shuffle/partition story stays pure
+Spark.
+
+Real codecs (PIL/ffmpeg/librosa) are not in this container, so decode
+is STUBBED: ``decode_image_batch`` raises ``NotImplementedError`` when
+asked for real decoding and otherwise produces a deterministic fake
+(first/last payload bytes as "dimensions"). The Spark-side contract —
+schema, batch iteration, UDF signature, partition behavior — is real
+and tested; swapping in a real decoder changes only the marked lines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..queries import register
+
+#: Output schema of the decode/feature-extract stage.
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+    ]
+)
+
+
+def decode_image_batch(
+    payloads: pd.Series, real_decode: bool = False
+) -> pd.DataFrame:
+    """Per-batch 'decode': bytes → (n_bytes, width, height).
+
+    STUB: real decoding needs an image codec library absent from this
+    environment. The deterministic fake keeps the pipeline testable —
+    width/height are the first/last payload byte values.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "image codecs (PIL/opencv) are not available in this "
+            "environment; run with real_decode=False for the "
+            "deterministic stub"
+        )
+    n_bytes = payloads.map(len)
+    return pd.DataFrame(
+        {
+            "n_bytes": n_bytes.astype("int64"),
+            "width": payloads.map(lambda b: b[0] if len(b) else None),
+            "height": payloads.map(lambda b: b[-1] if len(b) else None),
+        }
+    )
+
+
+def extract_media_metadata(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas decode stage: (id, binary payload) → typed metadata.
+
+    Arrow moves whole columnar batches across the Python boundary —
+    this is the only sanctioned Python hot path in the engine (10-100×
+    the throughput of a row-at-a-time UDF).
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = decode_image_batch(pdf[payload_col])
+            meta.insert(0, "doc_id", pdf[id_col].astype("int64").values)
+            yield meta
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _decode, schema=MEDIA_META_SCHEMA
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS width,
+               CAST(ascii(substring(text, length(text), 1)) AS BIGINT)
+                   AS height
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Binary-column decode plumbing: documents.text encoded to bytes "
+    "stands in for a media blob; mapInPandas extracts typed metadata.",
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_media_metadata(media).orderBy("doc_id")

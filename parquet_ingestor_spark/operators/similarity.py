@@ -1,0 +1,217 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute_force_topk: exact cosine top-k of every query against the full
+  corpus — the oracle-checkable baseline. The query set broadcasts, the
+  corpus streams: one scan, no shuffle of the big side, a window top-k
+  per query. Exact but O(|queries| × |corpus|): the verification path.
+- ivf_topk: the scale path — IVF-style inverted file: deterministic
+  centroid subset, vectors assigned to nearest centroid (broadcast),
+  queries probe only their nprobe nearest centroid buckets. Approximate
+  ⇒ rows-only check; tests measure recall against brute force.
+- neardup_pairs: all-pairs cosine ≥ τ (embedding near-dup dedup):
+  exact baseline via block cross join; oracle-checkable.
+
+The dot product is a zip_with/aggregate fold in *double* — both Spark
+and the DuckDB oracle fold left-to-right over float32 inputs widened to
+double, so the results agree bit-for-bit before the round(4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..queries import register
+
+TOPK = 5
+N_QUERIES = 10  # vec_id < 10 form the deterministic query set
+NEARDUP_TAU = 0.4
+IVF_CENTROID_MOD = 25  # vec_id % 25 == 0 → deterministic centroid subset
+IVF_NPROBE = 3
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+            f"CAST(x AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("nrm", _norm(vec_col))
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Exact cosine top-k. ``queries``: (q_id, qv, qn); broadcast side."""
+    sim = F.round(_dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        with_norm(emb)
+        .crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def _query_set(emb: DataFrame) -> DataFrame:
+    return (
+        with_norm(emb)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id < {N_QUERIES}
+        ), sims AS (
+            SELECT q.q_id, n.vec_id,
+                   round(list_sum(list_transform(generate_series(1, len(qv)),
+                         i -> qv[i] * v[i])) / (qn * nrm), 4) AS sim
+            FROM q CROSS JOIN n
+        ), ranked AS (
+            SELECT q_id, vec_id, sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                   ) AS INTEGER) AS rank
+            FROM sims
+        )
+        SELECT q_id, vec_id, sim, rank FROM ranked
+        WHERE rank <= {TOPK}
+        ORDER BY q_id, rank
+    """,
+    doc="Exact cosine top-5 for the 10-query probe set (ANN baseline).",
+    tags=("similarity",),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_set(emb))
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # approximate (probes 3 of ~n/25 buckets): rows-only;
+    # tests measure recall@5 vs. sim_bruteforce_topk.
+    doc="IVF-bucketed approximate top-5: nprobe=3 centroid buckets.",
+    tags=("similarity", "approx"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    # Deterministic "training-free" centroids — every 25th vector. A
+    # production build would KMeans-train these; the partition/probe
+    # plumbing (the Spark-side hard part) is identical.
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("c_id")
+    )
+    # Assign every vector to its nearest centroid: broadcast the
+    # centroid table, rank, keep rank 1. The corpus never shuffles by
+    # itself — only the small (vec_id → bucket) map does.
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "embedding", "nrm", "c_id", csim.alias("csim")
+        )
+        .withColumn("arank", F.row_number().over(w_assign))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "embedding", "nrm", F.col("c_id").alias("bucket"))
+    )
+    queries = _query_set(table(spark, sf_dir, "embeddings"))
+    qsim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("qsim"), F.asc("c_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "qn", "c_id", qsim.alias("qsim"))
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= IVF_NPROBE)
+        .select("q_id", "qv", "qn", F.col("c_id").alias("bucket"))
+    )
+    sim = F.round(_dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(probes), "bucket")
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOPK)
+        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= {NEARDUP_TAU}
+        ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline).",
+    tags=("similarity", "dedup"),
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    # Exact all-pairs: fine to ~10⁵ vectors per block; beyond that the
+    # LSH/IVF bucketing above is the candidate generator and this
+    # expression only scores candidates.
+    sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= NEARDUP_TAU)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

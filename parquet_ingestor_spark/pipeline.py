@@ -1,0 +1,186 @@
+"""The ingest pipeline — reference parity, Spark-first.
+
+The reference's single pipeline is
+``source → transform → batch → encode(Parquet) → sink(S3) → ack``
+with at-least-once delivery and ack-only-after-durable-write
+(reference: ingestor/ingestor.go:38-60). In Spark that whole shape is:
+
+    readStream → from_json/select/filter (+ corrupt-record split)
+    → writeStream.partitionBy(y, m, d, h).format('parquet')
+      .option('checkpointLocation', …).trigger(processingTime=…)
+
+- The checkpoint + file-sink commit protocol (``_spark_metadata``)
+  *is* the ack guarantee: offsets only commit after the sink commit,
+  so a crash replays the uncommitted batch — the same at-least-once /
+  exactly-once-to-files contract the reference implements by hand
+  (AckGroup.Commit after sink.Write, reference: ingestor/ingestor.go:569-609).
+- The trigger interval is the FlushInterval analog; count/byte
+  thresholds map to source rate limits (maxFilesPerTrigger) and
+  ``spark.sql.files.maxRecordsPerFile`` (reference: batcher/batcher.go:15-31).
+- Rows whose payload fails to parse are the reference's Fail() path
+  (reference: ingestor/ingestor.go:468-474): they are split out and
+  written to a ``_dlq/`` prefix instead of poisoning the batch.
+- Rows matching a drop predicate are the reference's "empty transform
+  result = deliberate drop" (reference: ingestor/ingestor.go:476-481).
+
+Scale notes: the sink layout year=/month=/day=/hour= gives partition
+pruning for free on downstream reads; maxRecordsPerFile bounds object
+size like the reference's byte-threshold flush; everything JVM-side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+#: Partition columns of the sink layout — the Spark equivalent of the
+#: reference's time-partitioned object keys YYYY/MM/DD/HH/<unique>
+#: (reference: ingestor/ingestor.go:789-796).
+PARTITION_COLS: tuple[str, ...] = ("year", "month", "day", "hour")
+
+#: The reference's Envelope wire shape (reference: source/source.go:15-18):
+#: a raw payload plus flattened source attributes.
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType(), False),
+        T.StructField(
+            "attributes", T.MapType(T.StringType(), T.StringType()), True
+        ),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Mirrors the reference's BatcherConfig / source config knobs
+    (reference: batcher/batcher.go:15-31, source/source_sqs.go:59-63),
+    translated to their Spark-native analogs."""
+
+    flush_interval: str = "10 seconds"  # trigger(processingTime=…)
+    max_files_per_trigger: int = 32  # count/byte threshold analog
+    max_records_per_file: int = 5_000_000  # output object sizing
+    timestamp_col: str = "ts"
+    drop_where: str | None = None  # SQL predicate for deliberate drops (O5)
+    dlq_suffix: str = "_dlq"  # corrupt-record prefix (O6)
+    extra_writer_options: dict[str, str] = field(default_factory=dict)
+
+
+def with_time_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Derive the year/month/day/hour partition columns (UTC — the
+    session timezone is pinned; reference computes keys with t.UTC())."""
+    return (
+        df.withColumn("year", F.year(ts_col))
+        .withColumn("month", F.month(ts_col))
+        .withColumn("day", F.dayofmonth(ts_col))
+        .withColumn("hour", F.hour(ts_col))
+    )
+
+
+def ingest_batch(
+    df: DataFrame,
+    out_dir: str,
+    ts_col: str = "ts",
+    drop_where: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Batch ingest: transform → partitioned parquet sink.
+
+    The batch twin of the streaming pipeline (Spark's batch/stream
+    duality makes them the same plan); used by tests and by backfills,
+    which at 100 TB are the common case.
+    """
+    if drop_where:
+        df = df.filter(f"NOT ({drop_where})")
+    (
+        with_time_partitions(df, ts_col)
+        .write.mode(mode)
+        .partitionBy(*PARTITION_COLS)
+        .parquet(out_dir)
+    )
+
+
+def parse_envelopes(
+    raw: DataFrame,
+    record_schema: T.StructType,
+    payload_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """O4 + O6: decode JSON payloads into typed records; split failures.
+
+    Returns ``(good, bad)``. ``bad`` carries the raw payload plus an
+    error tag — the reference's Fail()-and-never-batch path
+    (reference: ingestor/ingestor.go:468-474) re-expressed as a
+    DataFrame split instead of per-message callbacks.
+    """
+    parsed = raw.withColumn(
+        "_rec", F.from_json(F.col(payload_col), record_schema)
+    )
+    # from_json yields null on corrupt input (PERMISSIVE): that's the
+    # transform-error path.
+    good = parsed.filter(F.col("_rec").isNotNull()).select(
+        *[F.col(f"_rec.{f.name}").alias(f.name) for f in record_schema.fields],
+        *[c for c in raw.columns if c != payload_col],
+    )
+    bad = parsed.filter(F.col("_rec").isNull()).select(
+        F.col(payload_col).alias("value"),
+        F.lit("transform_error: malformed payload").alias("error"),
+    )
+    return good, bad
+
+
+def start_stream_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    record_schema: T.StructType,
+    config: PipelineConfig | None = None,
+) -> StreamingQuery:
+    """The full reference pipeline as one Structured Streaming query.
+
+    Source is a JSON-lines landing directory with the Envelope schema —
+    the SQS stand-in (OSS Spark has no SQS source; a queue feed lands
+    files here). foreachBatch gives us the two-way split (good →
+    partitioned parquet, bad → DLQ) while keeping the file-sink commit
+    semantics via the checkpoint.
+    """
+    cfg = config or PipelineConfig()
+    raw = (
+        spark.readStream.format("json")
+        .schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+        .load(landing_dir)
+    )
+
+    dlq_dir = f"{out_dir.rstrip('/')}/{cfg.dlq_suffix}"
+    data_dir = f"{out_dir.rstrip('/')}/data"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = parse_envelopes(batch_df, record_schema)
+        if cfg.drop_where:
+            good = good.filter(f"NOT ({cfg.drop_where})")
+        ts = cfg.timestamp_col
+        if ts in good.columns:
+            good = with_time_partitions(good, ts)
+            writer = good.write.partitionBy(*PARTITION_COLS)
+        else:
+            writer = good.write
+        (
+            writer.mode("append")
+            .option("maxRecordsPerFile", cfg.max_records_per_file)
+            .parquet(data_dir)
+        )
+        # DLQ write second: a replayed batch may duplicate DLQ rows
+        # (at-least-once there), but never data rows short of sink
+        # success — matching the reference's guarantee ordering.
+        bad.write.mode("append").json(dlq_dir)
+
+    return (
+        raw.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=cfg.flush_interval)
+        .start()
+    )
