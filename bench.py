@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q10_revenue_per_nation": sec, ...}, "sf": 0.1}
+
+Each query executes its full physical plan into the noop sink — results
+are produced and discarded JVM-side, so the timing measures scan +
+shuffle + compute, not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+from parquet_ingestor_spark.session import get_spark
+
+#: The headline set: every major operator family, weighted toward the
+#: plans whose shape matters at 100 TB (multi-join, full-scan agg,
+#: window, shuffle dedup, LSH, ANN, text pipeline).
+HEADLINE = (
+    "q04_flatmap_tokens",
+    "q10_revenue_per_nation",
+    "q11_left_join_counts",
+    "q14_broadcast_join",
+    "q15_pricing_summary",
+    "q16_distinct_agg",
+    "q18_topk_per_group",
+    "q19_running_sum",
+    "q21_global_topk",
+    "q24_tumbling_window",
+    "q25_session_window",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_token_counts",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    _ensure_loaded()
+    spark = get_spark(app_name="pqing-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up: run every headline plan once at the smallest SF so the
+    # measured numbers reflect steady-state data processing, not
+    # one-time JVM/codegen compilation (the 64-aggregate MinHash plan
+    # alone costs ~10 s of janino compile on first execution).
+    warm_dir = "/root/testdata/sf0.001"
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warm-up failures surface in the timed run
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,6 @@ hashing, signatures, and banding run inside whole-stage codegen.
 
 from __future__ import annotations
 
-import random
-
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
@@ -53,8 +51,17 @@ def shingle_col(text_col: str = "text", n: int = 3) -> Column:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").select(
-        "doc_id", shingle_col("text").alias("shingles")
+    # Spread docs across all cores *before* the shingle/signature
+    # compute: a handful of parquet files would otherwise serialize the
+    # CPU-heavy per-row work onto as many tasks as there are input
+    # splits. At 100 TB the scan naturally has thousands of splits and
+    # this repartition collapses into AQE noise; on small inputs it is
+    # the difference between 1 core and all of them.
+    par = spark.sparkContext.defaultParallelism
+    return (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select("doc_id", shingle_col("text").alias("shingles"))
     )
 
 
@@ -91,35 +98,47 @@ def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def _minhash_params(num_hashes: int, seed: int = 42) -> str:
-    """Deterministic (a, b) universal-hash parameters as a SQL array literal."""
-    rng = random.Random(seed)
-    pairs = [
-        f"array({rng.randrange(1, _MERSENNE)}L, {rng.randrange(0, _MERSENNE)}L)"
-        for _ in range(num_hashes)
-    ]
-    return f"array({', '.join(pairs)})"
+def _perm_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash parameters for permutation i (LCG)."""
+    a = (1103515245 * i + 12345) % (_MERSENNE - 1) + 1  # in [1, p-1]
+    b = (214013 * i + 2531011) % _MERSENNE
+    return a, b
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = _NUM_HASHES, seed: int = 42
+    sh: DataFrame, num_hashes: int = _NUM_HASHES
 ) -> DataFrame:
-    """64-permutation MinHash signature per doc, entirely in expressions.
+    """64-permutation MinHash signature per doc.
 
-    xxhash64 maps each shingle to an int64; each permutation is a
-    universal hash (a*h + b) mod p over the *non-negative residue* of
-    that value. Cost per doc is O(shingles × perms) of JVM arithmetic —
-    no shuffle at all in this stage.
+    Shape chosen for codegen, not elegance: explode the shingle set to
+    (doc_id, h) rows — hashing each shingle exactly once — then compute
+    all 64 permutations as independent ``min((a_i·h + b_i) mod p)``
+    aggregates in one hash aggregate. Every operator here is
+    whole-stage-codegen'd JVM arithmetic; the earlier nested
+    higher-order-function formulation ran interpreted per lambda call
+    (~10× slower) and a 64-entry literal parameter table blew up
+    Catalyst optimization time, so the parameters are per-aggregate
+    literals instead. The shuffle carries only partial-aggregated
+    (doc × 64) rows — shingles collapse map-side because docs are
+    already co-partitioned by doc_id.
     """
-    params = _minhash_params(num_hashes, seed)
-    return sh.filter(F.size("shingles") > 0).select(
+    hashed = sh.filter(F.size("shingles") > 0).select(
         "doc_id",
-        "shingles",
-        F.expr(
-            f"transform({params}, p -> "
-            f"array_min(transform(shingles, s -> "
-            f"(p[0] * pmod(xxhash64(s), {_MERSENNE}) + p[1]) % {_MERSENNE})))"
-        ).alias("sig"),
+        F.explode(
+            F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}))")
+        ).alias("h"),
+    )
+    mins = []
+    for i in range(1, num_hashes + 1):
+        a, b = _perm_params(i)
+        mins.append(
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
+        )
+    sig_cols = [F.col(f"m{i}") for i in range(1, num_hashes + 1)]
+    return (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*sig_cols).alias("sig"))
     )
 
 
@@ -143,7 +162,6 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(sh, bands * rows_per_band)
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
@@ -152,42 +170,56 @@ def minhash_lsh_pairs(
                 f"{rows_per_band}))) AS bkey))"
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bkey")
+    ).select("doc_id", "bb.band", "bb.bkey")
 
-    a, b = banded.alias("a"), banded.alias("b")
+    # Bucket once (groupBy — the signature pipeline runs a single time,
+    # unlike a self-join whose two branches each recompute it), then
+    # emit candidate pairs from every bucket with ≥2 docs. Bucket
+    # membership is small by construction — a bucket is a 4-row
+    # signature collision — so the pair expansion is local and bounded.
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ids) - 2), i -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "j -> struct(ids[i] AS doc_a, j AS doc_b))))"
+                )
+            ).alias("pr")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select("pr.doc_a", "pr.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Exact-Jaccard verification of candidates only: re-join the slim
+    # shingle sets (candidates are rare, so these are two small
+    # broadcast-ish joins, not a corpus-wide shuffle of arrays).
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return (
-        cand.filter(jac >= threshold)
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-def simhash_col(text_col: str = "text", bits: int = 63) -> Column:
+def simhash_col(hashes_col: str = "hs", bits: int = 63) -> Column:
     """SimHash fingerprint (bits 0..62 — bit 63 would overflow int64
-    under ANSI) from whitespace tokens: per-bit majority vote over
-    xxhash64 token hashes."""
-    toks = f"split({text_col}, ' ')"
+    under ANSI) over a precomputed token-hash array column: per-bit
+    majority vote. Hashing happens once per token, outside this
+    expression — the vote is pure integer arithmetic."""
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + "
-        f"CASE WHEN aggregate(transform({toks}, t -> xxhash64(t)), 0L, "
+        f"CASE WHEN aggregate({hashes_col}, 0L, "
         f"(v, h) -> v + CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
         f"THEN shiftleft(1L, i) ELSE 0L END)"
     )
@@ -200,10 +232,17 @@ def simhash_pairs(
 
     Pigeonhole banding: split the 64-bit space into 4 × 16-bit chunks;
     hamming ≤ 3 ⇒ at least one chunk matches exactly, so candidates
-    come from 4 equi-joins (each a plain shuffle-hash join on a 16-bit
-    key) instead of an O(n²) cross join.
+    come from chunk-key buckets (one groupBy — the fingerprint pipeline
+    runs once) instead of an O(n²) cross join.
     """
-    fp = docs.select("doc_id", simhash_col(text_col).alias("sh"))
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        docs.repartition(par, "doc_id")  # parallelize the CPU-bound vote
+        .withColumn(
+            "hs", F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
+        )
+        .select("doc_id", simhash_col("hs").alias("sh"))
+    )
     chunks = fp.select(
         "doc_id",
         "sh",
@@ -214,20 +253,28 @@ def simhash_pairs(
             )
         ).alias("cc"),
     ).select("doc_id", "sh", "cc.chunk", "cc.ckey")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    buckets = (
+        chunks.groupBy("chunk", "ckey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sh"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(members) - 2), i -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "m -> struct(members[i].doc_id AS doc_a, "
+                    "members[i].sh AS sh_a, "
+                    "m.doc_id AS doc_b, m.sh AS sh_b))))"
+                )
+            ).alias("pr")
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select("pr.doc_a", "pr.sh_a", "pr.doc_b", "pr.sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
