@@ -1,0 +1,154 @@
+"""Adaptive-runtime monitor (reference O19), monitor-only by design.
+
+The reference samples heap/CPU/queue pressure every tick and resizes
+its flush-worker pool and source pollers ±1 under a cooldown
+(reference: ingestor/adaptive.go:44-79 loop, 127-260 decision cascade).
+Spark cannot resize a *running* query's trigger or a local session's
+core count, so the faithful port is a monitor: the same decision
+cascade over a pressure snapshot, emitting *recommendations* that map
+onto Spark's actual scaling levers:
+
+  workers ±1  → spark.dynamicAllocation.{min,max}Executors (cluster),
+                or maxFilesPerTrigger / trigger interval (ingest rate)
+  pollers ±1  → source read parallelism (maxFilesPerTrigger,
+                Kafka minPartitions)
+
+The cascade preserves the reference's rule priorities and cooldown
+semantics; thresholds are the reference's defaults. Rules, in order
+(reference: ingestor/adaptive.go:174-257):
+
+  1. severe CPU/memory pressure  → scale workers down, else pollers
+  2. moderate pressure or source ≥ 90 % → scale pollers down, else workers
+  3. flush queue ≥ 70 % + headroom → workers up
+  4. source ≥ 60 % ∧ flush ≤ 50 % + headroom → pollers up
+  5. idle (flush < 20 % ∧ source < 10 %) → decay toward min
+  At most one ±1 step per cooldown tick.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PressureSnapshot:
+    """One sample of runtime pressure, all usages in [0, 1].
+
+    In streaming use, populate from QueryProgressEvent (see
+    ``snapshot_from_progress``); the reference fills the same fields
+    from runtime/metrics + channel occupancy (ingestor/adaptive.go:85-113).
+    """
+
+    cpu_util: float
+    mem_usage: float
+    flush_queue_usage: float
+    source_buffer_usage: float
+    workers: int
+    pollers: int
+
+
+@dataclass(frozen=True)
+class Recommendation:
+    component: str  # "workers" | "pollers" | "none"
+    delta: int  # -1, 0, +1
+    reason: str
+
+
+@dataclass
+class AdaptiveConfig:
+    min_workers: int = 1
+    max_workers: int = 8
+    min_pollers: int = 1
+    max_pollers: int = 4
+    severe_cpu: float = 0.90
+    severe_mem: float = 0.85
+    moderate_cpu: float = 0.75
+    moderate_mem: float = 0.70
+    cooldown_sec: float = 30.0
+
+
+def decide(s: PressureSnapshot, cfg: AdaptiveConfig) -> Recommendation:
+    """The pure decision cascade — one ±1 step max, reference priorities."""
+    severe = s.cpu_util >= cfg.severe_cpu or s.mem_usage >= cfg.severe_mem
+    moderate = s.cpu_util >= cfg.moderate_cpu or s.mem_usage >= cfg.moderate_mem
+    headroom = not moderate and not severe
+
+    if severe:
+        # Shed compute first: workers are the CPU/heap-heavy component.
+        if s.workers > cfg.min_workers:
+            return Recommendation("workers", -1, "severe cpu/mem pressure")
+        if s.pollers > cfg.min_pollers:
+            return Recommendation("pollers", -1, "severe cpu/mem pressure")
+        return Recommendation("none", 0, "severe pressure at minimum scale")
+
+    if moderate or s.source_buffer_usage >= 0.9:
+        # Moderate pressure sheds intake first (pollers) to let the
+        # pipeline drain, then compute.
+        if s.pollers > cfg.min_pollers:
+            return Recommendation("pollers", -1, "moderate pressure / source ≥ 90%")
+        if s.workers > cfg.min_workers:
+            return Recommendation("workers", -1, "moderate pressure / source ≥ 90%")
+        return Recommendation("none", 0, "moderate pressure at minimum scale")
+
+    if s.flush_queue_usage >= 0.7 and headroom and s.workers < cfg.max_workers:
+        return Recommendation("workers", +1, "flush queue ≥ 70% with headroom")
+
+    if (
+        s.source_buffer_usage >= 0.6
+        and s.flush_queue_usage <= 0.5
+        and headroom
+        and s.pollers < cfg.max_pollers
+    ):
+        return Recommendation("pollers", +1, "source ≥ 60%, flush ≤ 50%, headroom")
+
+    if s.flush_queue_usage < 0.2 and s.source_buffer_usage < 0.1:
+        # Idle decay toward minimum, one component per tick.
+        if s.workers > cfg.min_workers:
+            return Recommendation("workers", -1, "idle decay")
+        if s.pollers > cfg.min_pollers:
+            return Recommendation("pollers", -1, "idle decay")
+
+    return Recommendation("none", 0, "healthy")
+
+
+@dataclass
+class AdaptiveMonitor:
+    """Stateful wrapper adding the reference's cooldown semantics."""
+
+    cfg: AdaptiveConfig = field(default_factory=AdaptiveConfig)
+    _last_change: float = field(default=0.0, repr=False)
+
+    def observe(
+        self, s: PressureSnapshot, now: float | None = None
+    ) -> Recommendation:
+        now = time.monotonic() if now is None else now
+        rec = decide(s, self.cfg)
+        if rec.delta == 0:
+            return rec
+        if now - self._last_change < self.cfg.cooldown_sec:
+            return Recommendation("none", 0, f"cooldown ({rec.reason})")
+        self._last_change = now
+        return rec
+
+
+def snapshot_from_progress(
+    progress: object, workers: int, pollers: int
+) -> PressureSnapshot:
+    """Build a snapshot from a StreamingQueryProgress: batch saturation
+    stands in for CPU, input/processing rate ratio for source pressure."""
+    batch_ms = getattr(progress, "batchDuration", 0) or 0
+    trigger_ms = max(
+        1, getattr(progress, "triggerExecution", batch_ms) or batch_ms
+    )
+    in_rate = getattr(progress, "inputRowsPerSecond", 0.0) or 0.0
+    proc_rate = getattr(progress, "processedRowsPerSecond", 0.0) or 0.0
+    src = min(1.0, in_rate / proc_rate) if proc_rate > 0 else 0.0
+    return PressureSnapshot(
+        cpu_util=min(1.0, batch_ms / trigger_ms),
+        mem_usage=0.0,  # the JVM owns memory; dynamicAllocation reacts to it
+        flush_queue_usage=min(1.0, batch_ms / trigger_ms),
+        source_buffer_usage=src,
+        workers=workers,
+        pollers=pollers,
+    )

@@ -115,16 +115,25 @@ def parse_envelopes(
     (reference: ingestor/ingestor.go:468-474) re-expressed as a
     DataFrame split instead of per-message callbacks.
     """
-    parsed = raw.withColumn(
-        "_rec", F.from_json(F.col(payload_col), record_schema)
+    corrupt = "_corrupt_record"
+    schema_with_corrupt = T.StructType(
+        [*record_schema.fields, T.StructField(corrupt, T.StringType(), True)]
     )
-    # from_json yields null on corrupt input (PERMISSIVE): that's the
-    # transform-error path.
-    good = parsed.filter(F.col("_rec").isNotNull()).select(
+    # PERMISSIVE + corrupt-record column: malformed payloads surface as
+    # a non-null _corrupt_record instead of silently null-filled rows.
+    parsed = raw.withColumn(
+        "_rec",
+        F.from_json(
+            F.col(payload_col),
+            schema_with_corrupt,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    good = parsed.filter(F.col(f"_rec.{corrupt}").isNull()).select(
         *[F.col(f"_rec.{f.name}").alias(f.name) for f in record_schema.fields],
         *[c for c in raw.columns if c != payload_col],
     )
-    bad = parsed.filter(F.col("_rec").isNull()).select(
+    bad = parsed.filter(F.col(f"_rec.{corrupt}").isNotNull()).select(
         F.col(payload_col).alias("value"),
         F.lit("transform_error: malformed payload").alias("error"),
     )
@@ -159,6 +168,9 @@ def start_stream_ingest(
     data_dir = f"{out_dir.rstrip('/')}/data"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # The batch feeds two sinks (data + DLQ); without caching, each
+        # write would re-read and re-parse the source files.
+        batch_df.persist()
         good, bad = parse_envelopes(batch_df, record_schema)
         if cfg.drop_where:
             good = good.filter(f"NOT ({cfg.drop_where})")
@@ -177,6 +189,7 @@ def start_stream_ingest(
         # (at-least-once there), but never data rows short of sink
         # success — matching the reference's guarantee ordering.
         bad.write.mode("append").json(dlq_dir)
+        batch_df.unpersist()
 
     return (
         raw.writeStream.foreachBatch(_process)

@@ -1,0 +1,98 @@
+"""Quality invariants for the approximate (rows-only) operators —
+the checks the DuckDB oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    df = REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir)
+    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+
+
+def test_minhash_subset_and_recall(spark, sf_dir, exact_pairs):
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    # verified candidates can never exceed the exact result
+    assert set(lsh) <= set(exact_pairs)
+    # verified jaccard values are the exact ones
+    for k, v in lsh.items():
+        assert v == exact_pairs[k]
+    # at 16 bands × 4 rows, P(miss) ≈ (1-j⁴)¹⁶ < 0.2% for j ≥ 0.8;
+    # the planted near-dups (j ≈ 0.99) must all be found
+    planted = {k for k, v in exact_pairs.items() if v >= 0.95}
+    assert planted <= set(lsh)
+    if exact_pairs:
+        assert len(lsh) / len(exact_pairs) >= 0.9
+
+
+def test_simhash_matches_python_oracle(spark, sf_dir):
+    """Differential oracle in pure Python over the same xxhash64 token
+    hashes (pulled from Spark so the hash function is shared)."""
+    import pyspark.sql.functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "hs", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
+        )
+        .select("doc_id", "hs")
+        .collect()
+    )
+
+    def simhash(hashes: list[int], bits: int = 63) -> int:
+        out = 0
+        for i in range(bits):
+            vote = sum(1 if (h >> i) & 1 else -1 for h in hashes)
+            if vote > 0:
+                out |= 1 << i
+        return out
+
+    fps = {r.doc_id: simhash(r.hs) for r in docs}
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = fps[a] ^ fps[b]
+            if bin(x).count("1") <= 3:
+                want.add((a, b, bin(x).count("1")))
+
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["sim_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(ivf) == len(brute)  # same k × queries shape
+    recall = len(brute & ivf) / len(brute)
+    # nprobe=3 of ~20 buckets on unclustered synthetic data: recall is
+    # data-dependent; the structural guarantee worth pinning is that
+    # probing finds a meaningful fraction and every query answers.
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_multimodal_stub_raises_for_real_decode():
+    import pandas as pd
+
+    from parquet_ingestor_spark.operators.multimodal import decode_image_batch
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"png"]), real_decode=True)

@@ -1,0 +1,159 @@
+"""End-to-end drive of the ingest pipeline: landing dir → stream →
+partitioned parquet + DLQ, plus the reference's two key invariants —
+row conservation and no-loss-across-restart (the ack-after-durable-
+write guarantee re-expressed as checkpoint recovery)."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_ingestor_spark.pipeline import (
+    PipelineConfig,
+    ingest_batch,
+    parse_envelopes,
+    start_stream_ingest,
+    with_time_partitions,
+)
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _write_landing_file(
+    landing: str, name: str, n: int, bad_every: int = 0, offset: int = 0
+):
+    """JSON-lines envelopes: value holds an F1-style record; every
+    ``bad_every``-th line is corrupt (the Fail()/DLQ path)."""
+    good = 0
+    with open(os.path.join(landing, name), "w") as f:
+        for i in range(offset, offset + n):
+            if bad_every and i % bad_every == bad_every - 1:
+                payload = "{not json"
+            else:
+                payload = json.dumps(
+                    {
+                        "id": i,
+                        "name": f"item-{i}",
+                        "value": i * 1.337,
+                        "ts": f"2024-01-01T{i % 24:02d}:00:00",
+                    }
+                )
+                good += 1
+            f.write(
+                json.dumps(
+                    {"value": payload, "attributes": {"MessageId": str(i)}}
+                )
+                + "\n"
+            )
+    return good
+
+
+def _run_until_drained(q):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (
+        str(tmp_path / "landing"),
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+    )
+
+
+def test_stream_ingest_conservation_and_dlq(spark, dirs):
+    landing, out, chk = dirs
+    os.makedirs(landing)
+    good = _write_landing_file(landing, "batch0.json", 100, bad_every=10)
+
+    q = start_stream_ingest(
+        spark, landing, out, chk, RECORD_SCHEMA,
+        PipelineConfig(flush_interval="1 second"),
+    )
+    _run_until_drained(q)
+
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == good  # conservation: every good row, exactly once
+    # typed schema + partition layout
+    assert {"id", "name", "value", "ts", "year", "month", "day", "hour"} <= set(
+        data.columns
+    )
+    parts = [p for p in os.listdir(f"{out}/data") if p.startswith("year=")]
+    assert parts == ["year=2024"]
+    # DLQ holds exactly the corrupt envelopes
+    dlq = spark.read.json(f"{out}/_dlq")
+    assert dlq.count() == 100 - good
+    assert dlq.filter(F.col("error").contains("transform_error")).count() == 100 - good
+
+
+def test_stream_ingest_restart_no_loss_no_dupes(spark, dirs):
+    """The reference's delivery contract (no ack if sink fails → replay;
+    ack after write → no dupes on clean restart), via checkpoint
+    recovery across two query incarnations."""
+    landing, out, chk = dirs
+    os.makedirs(landing)
+    g1 = _write_landing_file(landing, "a.json", 50)
+
+    cfg = PipelineConfig(flush_interval="1 second")
+    q1 = start_stream_ingest(spark, landing, out, chk, RECORD_SCHEMA, cfg)
+    _run_until_drained(q1)
+    assert spark.read.parquet(f"{out}/data").count() == g1
+
+    # new data lands while "down"; restart from the same checkpoint
+    g2 = _write_landing_file(landing, "b.json", 30, offset=1000)
+    q2 = start_stream_ingest(spark, landing, out, chk, RECORD_SCHEMA, cfg)
+    _run_until_drained(q2)
+    df = spark.read.parquet(f"{out}/data")
+    assert df.count() == g1 + g2  # old rows not reprocessed, new not lost
+    assert df.select("id", "name").distinct().count() == g1 + g2
+
+    # idempotent restart with nothing new: still exactly once
+    q3 = start_stream_ingest(spark, landing, out, chk, RECORD_SCHEMA, cfg)
+    _run_until_drained(q3)
+    assert spark.read.parquet(f"{out}/data").count() == g1 + g2
+
+
+def test_parse_envelopes_split(spark):
+    raw = spark.createDataFrame(
+        [
+            ('{"id": 1, "name": "x", "value": 1.0, "ts": "2024-01-01T00:00:00"}', {"k": "v"}),
+            ("definitely not json", None),
+        ],
+        "value string, attributes map<string,string>",
+    )
+    good, bad = parse_envelopes(raw, RECORD_SCHEMA)
+    assert [r.id for r in good.collect()] == [1]
+    assert good.columns == ["id", "name", "value", "ts", "attributes"]
+    assert bad.count() == 1 and bad.columns == ["value", "error"]
+
+
+def test_batch_ingest_partition_pruning(spark, sf_dir):
+    """The sink layout must enable partition pruning on read — the
+    100 TB payoff of the reference's YYYY/MM/DD/HH key scheme."""
+    out = tempfile.mkdtemp(prefix="pqing_prune_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ingest_batch(events, out)
+    pruned = spark.read.parquet(out).filter("day = 3 AND hour = 4")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters never appear as data Filters — pruned at listing
+    expected = (
+        with_time_partitions(events).filter("day = 3 AND hour = 4").count()
+    )
+    assert pruned.count() == expected
+    assert "PartitionFilters: [" in plan
