@@ -89,6 +89,26 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_approx_distinct_error_bound(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["q34_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.cnt
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("cnt"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / max(1, exact[k])
+        assert rel_err < 0.05, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
 def test_multimodal_stub_raises_for_real_decode():
     import pandas as pd
 

@@ -1,0 +1,93 @@
+"""Physical-plan shape assertions — the properties that decide whether
+a query survives 100× scale-up. Correctness tests prove the numbers;
+these prove the *plan*: filters reach the parquet scan, small dims
+broadcast, top-k never globally sorts, scans prune columns."""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return (
+        REGISTRY[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q15_pricing_summary")
+    # the shipdate range predicate must be pushed into the scan, not
+    # evaluated post-scan only
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_in_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_project_events")
+    read_schema = plan.split("ReadSchema:")[1][:200]
+    assert "event_id" in read_schema
+    assert "props" not in read_schema  # unused columns never leave parquet
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for q in ("q09_join_groupcount", "q10_revenue_per_nation", "q14_broadcast_join"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in plan, q
+    # the broadcast-dim query must not shuffle the fact side for joins:
+    # the only exchange allowed is the final aggregation's
+    plan = plan_of(spark, sf_dir, "q14_broadcast_join")
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert joins == 0, "fact-side shuffle join where broadcast expected"
+
+
+def test_semi_anti_joins_plan_as_joins(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q12_semi_join")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q13_anti_join")
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_global_topk")
+    # TakeOrderedAndProject = per-partition heaps + merge of k rows;
+    # a global Sort + Limit would shuffle the whole table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q15_pricing_summary")
+    # two HashAggregates (partial + final) around a single exchange:
+    # shuffle volume is O(groups), not O(rows)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = REGISTRY["q15_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes (and codegen-compiles) only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators; every
+    # filter/project/aggregate in this plan must carry one
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) Filter", plan)
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "range_join_bands")
+    assert "BroadcastNestedLoopJoin" in plan  # O(rows × bands), no shuffle
+
+
+def test_asof_join_is_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "asof_purchase_click")
+    # merge-as-of: union + one window; no join operator at all
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
+    assert plan.count("Window") >= 1
