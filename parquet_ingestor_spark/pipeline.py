@@ -66,6 +66,12 @@ class PipelineConfig:
     timestamp_col: str = "ts"
     drop_where: str | None = None  # SQL predicate for deliberate drops (O5)
     dlq_suffix: str = "_dlq"  # corrupt-record prefix (O6)
+    # O9 KeyFunc analog: SQL expressions computing the partition
+    # columns; None = the reference's default time-partitioned layout.
+    key_exprs: dict[str, str] | None = None
+    # O23 payload sampling: log one input payload every N rows (0 = off).
+    payload_log_every: int = 0
+    payload_log_max_chars: int = 4096  # reference truncates at 4 KiB
     extra_writer_options: dict[str, str] = field(default_factory=dict)
 
 
@@ -171,11 +177,26 @@ def start_stream_ingest(
         # The batch feeds two sinks (data + DLQ); without caching, each
         # write would re-read and re-parse the source files.
         batch_df.persist()
+        if cfg.payload_log_every > 0:
+            # O23 payload sampling (reference: ingestor/ingestor.go:699-704,
+            # truncated at 4 KiB): cheap driver-side peek, never a full scan.
+            sample = batch_df.select("value").limit(1).collect()
+            if sample and batch_id % cfg.payload_log_every == 0:
+                print(
+                    f"[pipeline] batch={batch_id} payload sample: "
+                    f"{sample[0].value[: cfg.payload_log_max_chars]}"
+                )
         good, bad = parse_envelopes(batch_df, record_schema)
         if cfg.drop_where:
             good = good.filter(f"NOT ({cfg.drop_where})")
         ts = cfg.timestamp_col
-        if ts in good.columns:
+        if cfg.key_exprs:
+            # user-supplied KeyFunc (reference: ingestor/ingestor.go:23-29):
+            # arbitrary partition expressions instead of the time layout
+            for name, expr in cfg.key_exprs.items():
+                good = good.withColumn(name, F.expr(expr))
+            writer = good.write.partitionBy(*cfg.key_exprs.keys())
+        elif ts in good.columns:
             good = with_time_partitions(good, ts)
             writer = good.write.partitionBy(*PARTITION_COLS)
         else:

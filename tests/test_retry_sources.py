@@ -1,0 +1,167 @@
+"""Retry-policy semantics (reference retry_test.go behaviors) and the
+envelope source contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from parquet_ingestor_spark.pipeline import ENVELOPE_SCHEMA
+from parquet_ingestor_spark.retry import SimpleRetry
+
+
+def test_retry_succeeds_first_try():
+    calls = []
+    assert SimpleRetry().do(lambda: calls.append(1) or 42) == 42
+    assert len(calls) == 1
+
+
+def test_retry_eventually_succeeds_with_backoff_doubling():
+    sleeps: list[float] = []
+    attempts = {"n": 0}
+
+    def flaky():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    policy = SimpleRetry(attempts=5, base_delay=0.1, max_delay=10.0, jitter=False)
+    assert policy.do(flaky, sleep=sleeps.append) == "ok"
+    assert sleeps == [0.1, 0.2]  # doubling
+
+
+def test_retry_caps_delay():
+    sleeps: list[float] = []
+
+    def always_fail():
+        raise OSError("nope")
+
+    policy = SimpleRetry(attempts=5, base_delay=1.0, max_delay=2.0, jitter=False)
+    with pytest.raises(OSError):
+        policy.do(always_fail, sleep=sleeps.append)
+    assert sleeps == [1.0, 2.0, 2.0, 2.0]  # capped at max_delay
+
+
+def test_retry_jitter_within_20_percent():
+    sleeps: list[float] = []
+
+    def always_fail():
+        raise OSError("nope")
+
+    policy = SimpleRetry(attempts=3, base_delay=1.0, max_delay=10.0, jitter=True)
+    with pytest.raises(OSError):
+        policy.do(always_fail, sleep=sleeps.append, rng=random.Random(7))
+    assert all(0.8 <= s / d <= 1.2 for s, d in zip(sleeps, [1.0, 2.0]))
+
+
+def test_retry_exhaustion_raises_last_error():
+    errs = [OSError("first"), OSError("second")]
+
+    def fail_twice():
+        raise errs[min(len(calls), 1)]
+
+    calls: list[int] = []
+
+    def failing():
+        calls.append(1)
+        raise OSError(f"err{len(calls)}")
+
+    with pytest.raises(OSError, match="err2"):
+        SimpleRetry(attempts=2, base_delay=0, jitter=False).do(
+            failing, sleep=lambda _: None
+        )
+
+
+def test_retry_cancelled_mid_backoff():
+    """The reference aborts a sleeping retry on context cancel
+    (reference: retry_test.go:203 semantics)."""
+    state = {"stop": False}
+
+    def failing():
+        state["stop"] = True  # cancel fires after the first failure
+        raise OSError("boom")
+
+    with pytest.raises(InterruptedError):
+        SimpleRetry(attempts=3, base_delay=0.01).do(
+            failing, should_stop=lambda: state["stop"], sleep=lambda _: None
+        )
+
+
+def test_rate_source_yields_envelope_schema(spark):
+    from parquet_ingestor_spark.sources import rate_envelope_source
+
+    df = rate_envelope_source(spark)
+    assert df.isStreaming
+    assert df.schema.fieldNames() == ENVELOPE_SCHEMA.fieldNames()
+
+
+def test_jsonl_source_yields_envelope_schema(spark, tmp_path):
+    from parquet_ingestor_spark.sources import jsonl_dir_source
+
+    (tmp_path / "x.json").write_text('{"value": "{}", "attributes": {}}\n')
+    df = jsonl_dir_source(spark, str(tmp_path))
+    assert df.isStreaming
+    # file sources relax nullability; names+types are the contract
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in ENVELOPE_SCHEMA.fields
+    ]
+
+
+def test_custom_key_func_partitioning(spark, tmp_path):
+    """O9 KeyFunc parity: user partition expressions replace the
+    default time layout."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from parquet_ingestor_spark.pipeline import (
+        PipelineConfig,
+        start_stream_ingest,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        for i in range(10):
+            f.write(
+                json.dumps(
+                    {
+                        "value": json.dumps(
+                            {"id": i, "name": f"n{i}", "value": float(i)}
+                        ),
+                        "attributes": {},
+                    }
+                )
+                + "\n"
+            )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = start_stream_ingest(
+        spark,
+        str(landing),
+        out,
+        chk,
+        schema,
+        PipelineConfig(
+            flush_interval="1 second",
+            key_exprs={"bucket": "id % 3"},
+            payload_log_every=1,
+        ),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    parts = sorted(
+        p for p in os.listdir(f"{out}/data") if p.startswith("bucket=")
+    )
+    assert parts == ["bucket=0", "bucket=1", "bucket=2"]
+    assert spark.read.parquet(f"{out}/data").count() == 10
