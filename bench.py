@@ -39,6 +39,11 @@ HEADLINE = (
     "q21_global_topk",
     "q24_tumbling_window",
     "q25_session_window",
+    "q32_shipping_priority",
+    "q35_stats_aggs",
+    "q36_percentiles",
+    "asof_purchase_click",
+    "range_join_bands",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -72,12 +77,18 @@ def main() -> None:
         except Exception:
             pass  # warm-up failures surface in the timed run
 
+    # Best-of-2: AQE's runtime re-planning occasionally produces a new
+    # codegen unit whose janino compile lands in one run's wall time;
+    # the min of two runs is the steady-state data-processing cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

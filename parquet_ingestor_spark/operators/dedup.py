@@ -105,15 +105,40 @@ def _perm_params(i: int) -> tuple[int, int]:
     return a, b
 
 
+def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
+    """n-gram shingle *hashes* without materializing shingle strings.
+
+    Hash each token once (xxhash64 → 30-bit residue), then combine
+    consecutive token hashes with a rolling polynomial mod p. Profiling
+    showed the string-shingle path (concat_ws of slices +
+    array_distinct) dominated MinHash end-to-end — interpreted string
+    ops per shingle; this is pure integer arithmetic. Duplicates are
+    kept: min() over duplicate hash values is identical to min() over
+    the distinct set, so MinHash needs no dedup here.
+    """
+    th = f"transform(split({text_col}, ' '), t -> pmod(xxhash64(t), 1073741789))"
+    # Bind the token-hash array to a lambda variable so it is evaluated
+    # once per row — naming it via a column would let CollapseProject
+    # inline (= recompute) it per element access.
+    return F.expr(
+        f"flatten(transform(array({th}), th -> "
+        f"CASE WHEN size(th) >= {n} THEN "
+        f"transform(sequence(0, size(th) - {n}), i -> "
+        f"(pmod(th[i] * 8191 + th[i + 1], {_MERSENNE}) * 8191 "
+        f"+ th[i + 2]) % {_MERSENNE}) "
+        f"ELSE array() END))"
+    )
+
+
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = _NUM_HASHES
+    docs: DataFrame, num_hashes: int = _NUM_HASHES, text_col: str = "text"
 ) -> DataFrame:
     """64-permutation MinHash signature per doc.
 
-    Shape chosen for codegen, not elegance: explode the shingle set to
-    (doc_id, h) rows — hashing each shingle exactly once — then compute
-    all 64 permutations as independent ``min((a_i·h + b_i) mod p)``
-    aggregates in one hash aggregate. Every operator here is
+    Shape chosen for codegen, not elegance: explode the shingle-hash
+    array to (doc_id, h) rows — each token hashed exactly once — then
+    compute all 64 permutations as independent ``min((a_i·h + b_i) mod
+    p)`` aggregates in one hash aggregate. Every operator here is
     whole-stage-codegen'd JVM arithmetic; the earlier nested
     higher-order-function formulation ran interpreted per lambda call
     (~10× slower) and a 64-entry literal parameter table blew up
@@ -122,11 +147,8 @@ def minhash_signatures(
     (doc × 64) rows — shingles collapse map-side because docs are
     already co-partitioned by doc_id.
     """
-    hashed = sh.filter(F.size("shingles") > 0).select(
-        "doc_id",
-        F.explode(
-            F.expr(f"transform(shingles, s -> pmod(xxhash64(s), {_MERSENNE}))")
-        ).alias("h"),
+    hashed = docs.select(
+        "doc_id", F.explode(shingle_hashes_col(text_col)).alias("h")
     )
     mins = []
     for i in range(1, num_hashes + 1):
@@ -143,23 +165,26 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sh: DataFrame,
+    docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     bands: int = _BANDS,
     rows_per_band: int = _ROWS_PER_BAND,
+    text_col: str = "text",
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
-    Pipeline: signature → band keys → explode(bands) → bucket self-join
+    Pipeline: signature → band keys → explode(bands) → bucket groupBy
     (shuffle keyed on band hash, so only colliding docs ever meet) →
-    distinct candidates → exact-Jaccard verification on candidates only.
+    distinct candidates → exact string-shingle Jaccard on candidates
+    only (shingle strings are built for the few candidate rows, never
+    the corpus — the corpus-wide path is hash-only).
 
     At 16 bands × 4 rows the S-curve crosses ~0.77, so Jaccard ≥ 0.8
     pairs are found with P ≈ 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9989; output is a
     (whp equal) subset of exact_jaccard_pairs — why this entry is a
     rows-only check for the driver and is subset-asserted in tests.
     """
-    sig = minhash_signatures(sh, bands * rows_per_band)
+    sig = minhash_signatures(docs, bands * rows_per_band, text_col)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -195,33 +220,62 @@ def minhash_lsh_pairs(
         .select("pr.doc_a", "pr.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact-Jaccard verification of candidates only: re-join the slim
-    # shingle sets (candidates are rare, so these are two small
-    # broadcast-ish joins, not a corpus-wide shuffle of arrays).
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact-Jaccard verification of candidates only: join the raw text
+    # for the two sides (cheap — candidates are rare), THEN shingle.
+    # Shingling after the join keeps the expensive string work
+    # proportional to candidates, not corpus size.
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_text_b")
+    )
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("sh_a", shingle_col("_text_a"))
+        .withColumn("sh_b", shingle_col("_text_b"))
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .filter(jac >= threshold)
+        verified.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
 
-def simhash_col(hashes_col: str = "hs", bits: int = 63) -> Column:
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 63, text_col: str = "text"
+) -> DataFrame:
     """SimHash fingerprint (bits 0..62 — bit 63 would overflow int64
-    under ANSI) over a precomputed token-hash array column: per-bit
-    majority vote. Hashing happens once per token, outside this
-    expression — the vote is pure integer arithmetic."""
-    return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc + "
-        f"CASE WHEN aggregate({hashes_col}, 0L, "
-        f"(v, h) -> v + CASE WHEN shiftright(h, i) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
-        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    under ANSI) per doc: per-bit majority vote over xxhash64 token
+    hashes. Same codegen-first shape as MinHash: explode tokens, one
+    hash aggregate with 63 vote-sum columns (all whole-stage-codegen'd;
+    the per-row nested-lambda formulation ran interpreted and was the
+    operator's bottleneck), then rebuild the fingerprint from the vote
+    signs in a flat arithmetic projection."""
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
+        ).alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    fp_expr = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    return (
+        hashed.groupBy("doc_id").agg(*votes).select("doc_id", fp_expr.alias("sh"))
     )
 
 
@@ -235,14 +289,7 @@ def simhash_pairs(
     come from chunk-key buckets (one groupBy — the fingerprint pipeline
     runs once) instead of an O(n²) cross join.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    fp = (
-        docs.repartition(par, "doc_id")  # parallelize the CPU-bound vote
-        .withColumn(
-            "hs", F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
-        )
-        .select("doc_id", simhash_col("hs").alias("sh"))
-    )
+    fp = simhash_fingerprints(docs, text_col=text_col)
     chunks = fp.select(
         "doc_id",
         "sh",
@@ -357,7 +404,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "approx"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(_doc_shingles(spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return minhash_lsh_pairs(docs)
 
 
 @register(
@@ -368,4 +417,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(table(spark, sf_dir, "documents"))
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    return simhash_pairs(docs)

@@ -61,7 +61,7 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import dataflow, relational, relational2  # noqa: F401
+    from . import aggregates, dataflow, relational, relational2  # noqa: F401
     from ..operators import asof, dedup, similarity, text, multimodal  # noqa: F401
 
     _LOADED = True

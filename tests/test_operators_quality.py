@@ -109,6 +109,22 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         assert rel_err < 0.05, f"{k}: approx {approx[k]} vs exact {exact[k]}"
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    approx = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in REGISTRY["q37_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p50, r.p90)
+        for r in REGISTRY["q36_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - e50) / max(1.0, e50) < 0.05
+        assert abs(a90 - e90) / max(1.0, e90) < 0.05
+
+
 def test_multimodal_stub_raises_for_real_decode():
     import pandas as pd
 
