@@ -31,9 +31,19 @@ TABLES: tuple[str, ...] = (
 BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier"})
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Correctness-critical runtime confs, set defensively so queries
+    work on *any* session (the driver builds its own): nanos parquet
+    reads and UTC time semantics (every time-bucketing query assumes
+    the testdata's naive-UTC timestamps)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) columns arrive as raw int64 nanos (see
     # spark.sql.legacy.parquet.nanosAsLong); rebuild a timestamp at µs
