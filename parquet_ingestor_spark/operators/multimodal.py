@@ -84,6 +84,79 @@ def extract_media_metadata(
     )
 
 
+N_FRAMES = 4
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_val", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames_batch(pdf: pd.DataFrame, n_frames: int = N_FRAMES) -> pd.DataFrame:
+    """Per-batch frame sampling: pick n_frames evenly-spaced bytes from
+    each payload — the shape of video frame-sampling / audio windowing
+    (STUB: a real decoder would seek keyframes; positions and count
+    are the real contract)."""
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        size = len(payload)
+        if size == 0:
+            continue
+        step = max(1, size // n_frames)
+        for k in range(n_frames):
+            pos = k * step
+            if pos >= size:
+                break
+            rows.append((int(doc_id), k, payload[pos]))
+    return pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_val"])
+
+
+def sample_frames(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas frame-sampling stage: 1→N rows per media blob."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield sample_frames_batch(
+                pdf.rename(columns={id_col: "doc_id", payload_col: "payload"})
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _sample, schema=FRAME_SCHEMA
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, length(text) AS sz,
+                   greatest(1, length(text) // {N_FRAMES}) AS step,
+                   unnest(range({N_FRAMES})) AS frame_idx
+            FROM documents
+        )
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(ascii(substring(text, CAST(frame_idx * step + 1 AS INTEGER), 1))
+                    AS BIGINT) AS frame_val
+        FROM f JOIN documents USING (doc_id)
+        WHERE frame_idx * step < sz
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="Frame sampling over binary media blobs (1→N mapInPandas): "
+    "evenly-spaced byte probes stand in for keyframe extraction.",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(media).orderBy("doc_id", "frame_idx")
+
+
 @register(
     "multimodal_meta",
     oracle="""

@@ -191,6 +191,53 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window (mins selected per window)
+
+
+def winnow_fingerprints_col(text_col: str = "text") -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    algorithm): hash every char k-gram, slide a w-window over the hash
+    sequence, keep each window's minimum; the distinct minima are the
+    document's fingerprints. Guarantees any match of length ≥ k+w-1
+    shares a fingerprint — the locality property plain min-hashing
+    lacks. All expression-level: k-gram hashing via substring+xxhash64
+    bound once through a lambda, window minima via array_min(slice)."""
+    t = text_col
+    hashes = (
+        f"transform(sequence(1, greatest(length({t}) - {WINNOW_K - 1}, 1)), "
+        f"i -> xxhash64(substring({t}, i, {WINNOW_K})))"
+    )
+    return F.expr(
+        f"array_distinct(transform(array({hashes}), hs -> "
+        f"CASE WHEN size(hs) >= {WINNOW_W} THEN "
+        f"transform(sequence(0, size(hs) - {WINNOW_W}), "
+        f"j -> array_min(slice(hs, j + 1, {WINNOW_W}))) "
+        f"ELSE array(array_min(hs)) END)[0])"
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=None,  # xxhash64-derived: no DuckDB twin; tests run a
+    # pure-Python winnowing oracle over the same k-grams.
+    doc="Winnowing (MOSS) rolling-hash fingerprints: guarantees shared "
+    "fingerprints for any common substring ≥ k+w-1 chars.",
+    tags=("text", "fingerprint"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    return (
+        table(spark, sf_dir, "documents")
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(winnow_fingerprints_col()).alias("fp"),
+        )
+        .orderBy("doc_id", "fp")
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""

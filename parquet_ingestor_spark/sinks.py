@@ -1,0 +1,59 @@
+"""Sink layer — the reference's encoder/sink plane (O10-O14) on
+Spark's native writers.
+
+The reference encodes batches to Parquet with codec ∈ {none, snappy,
+gzip, zstd} (reference: encoder/encoder_parquet.go:19-26) and writes
+to S3 buffered or streaming-multipart (reference: sink/sink_s3.go).
+Spark's ParquetFileFormat + committer subsumes both write modes; what
+remains worth owning is the codec surface, output sizing, and the
+path contract.
+
+S3 note: the same writer targets ``s3a://bucket/prefix`` unchanged —
+S3A's block-upload is the reference's streaming-multipart path
+(fs.s3a.fast.upload), and the magic committer replaces its
+write-then-ack choreography.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+#: Exact codec parity with the reference's enum
+#: (encoder/encoder_parquet.go:19-26; "none" is parquet UNCOMPRESSED).
+CODECS: tuple[str, ...] = ("none", "snappy", "gzip", "zstd")
+
+
+@dataclass(frozen=True)
+class SinkConfig:
+    codec: str = "snappy"  # the reference's default in every example
+    max_records_per_file: int = 5_000_000
+    partition_cols: tuple[str, ...] = ()
+    mode: str = "append"
+
+    def __post_init__(self) -> None:
+        if self.codec not in CODECS:
+            raise ValueError(
+                f"unsupported codec {self.codec!r}; supported: {CODECS}"
+            )
+
+
+def write_parquet(df: DataFrame, path: str, cfg: SinkConfig | None = None) -> None:
+    """The buffered/streaming sink write (O10-O13) — one call; Spark
+    picks streaming encode + multipart upload on s3a automatically."""
+    cfg = cfg or SinkConfig()
+    writer = (
+        df.write.mode(cfg.mode)
+        .option("compression", cfg.codec if cfg.codec != "none" else "uncompressed")
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+    )
+    if cfg.partition_cols:
+        writer = writer.partitionBy(*cfg.partition_cols)
+    writer.parquet(path)
+
+
+def resolve_path(base: str, key: str) -> str:
+    """O14 sink path resolution (reference: sink/sink_s3.go:151-168):
+    key → full object path under the sink prefix."""
+    return f"{base.rstrip('/')}/{key.lstrip('/')}"

@@ -89,6 +89,51 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_winnow_matches_python_oracle(spark, sf_dir):
+    """Pure-Python winnowing over the same xxhash64 k-gram hashes
+    (hashes pulled from Spark so the hash function is shared)."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.text import WINNOW_K, WINNOW_W
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)), "
+                f"i -> xxhash64(substring(text, i, {WINNOW_K})))"
+            ),
+        )
+        .select("doc_id", "hs")
+        .collect()
+    )
+
+    def winnow(hs: list[int]) -> set[int]:
+        if len(hs) < WINNOW_W:
+            return {min(hs)}
+        return {min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)}
+
+    want = {(r.doc_id, fp) for r in docs for fp in winnow(r.hs)}
+    got = {
+        (r.doc_id, r.fp)
+        for r in REGISTRY["text_winnow_fingerprints"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_on_planted_dups(spark, sf_dir, exact_pairs):
+    """Winnowing's locality property: near-identical docs (the planted
+    Jaccard ≥ 0.95 pairs share long substrings) must share fingerprints."""
+    fps = {}
+    for r in REGISTRY["text_winnow_fingerprints"].fn(spark, sf_dir).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    planted = [k for k, v in exact_pairs.items() if v >= 0.95]
+    assert planted
+    for a, b in planted:
+        assert fps[a] & fps[b], f"planted pair ({a},{b}) shares no fingerprint"
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     import pyspark.sql.functions as F
 

@@ -1,0 +1,68 @@
+"""Codec round-trip parity — the reference's encoder test matrix
+(encode → decode → exact row equality, all four codecs) re-expressed
+against Spark's parquet writer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from parquet_ingestor_spark.sinks import CODECS, SinkConfig, resolve_path, write_parquet
+
+
+@pytest.mark.parametrize("codec", CODECS)
+def test_codec_roundtrip_exact(spark, tmp_path, codec):
+    df = spark.range(1000).selectExpr(
+        "id", "concat('item-', id) AS name", "id * 1.337 AS value"
+    )
+    out = str(tmp_path / codec)
+    write_parquet(df, out, SinkConfig(codec=codec, mode="overwrite"))
+    back = spark.read.parquet(out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # parquet magic bytes, like the reference's PAR1 assertion
+    part = next(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    with open(os.path.join(out, part), "rb") as fh:
+        assert fh.read(4) == b"PAR1"
+
+
+def test_codec_actually_applied(spark, tmp_path):
+    df = spark.range(50000).selectExpr("id", "repeat('x', 100) AS pad")
+    sizes = {}
+    for codec in ("none", "zstd"):
+        out = str(tmp_path / f"c_{codec}")
+        write_parquet(df, out, SinkConfig(codec=codec, mode="overwrite"))
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+    assert sizes["zstd"] < sizes["none"] * 0.5  # compression really on
+
+
+def test_invalid_codec_rejected():
+    with pytest.raises(ValueError, match="unsupported codec"):
+        SinkConfig(codec="lz77")
+
+
+def test_max_records_per_file_bounds_output(spark, tmp_path):
+    """The Spark-native analog of the reference's byte/count flush
+    thresholds bounding object size."""
+    df = spark.range(10_000).coalesce(1)
+    out = str(tmp_path / "bounded")
+    write_parquet(
+        df, out, SinkConfig(max_records_per_file=2500, mode="overwrite")
+    )
+    parts = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(parts) == 4  # 10k rows / 2.5k cap
+
+
+def test_resolve_path():
+    assert (
+        resolve_path("s3a://bucket/prefix/", "/2024/01/file.parquet")
+        == "s3a://bucket/prefix/2024/01/file.parquet"
+    )
