@@ -1,0 +1,166 @@
+"""Embedding-column transforms: normalization, scalar quantization,
+and a k-means assignment/update step — the vector-pipeline staples
+around similarity search.
+
+All expressed over ``array<float>`` with built-in higher-order
+functions; the arithmetic is elementwise and embarrassingly parallel
+(no shuffle except k-means' centroid update, whose shuffle volume is
+O(k × dim), not O(rows)).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..queries import register
+from .similarity import _dot, with_norm
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(nrm, 4) AS norm,
+               round(sqrt(list_sum(list_transform(
+                   list_transform(v, x -> x / nrm), y -> y * y))), 4) AS unit_norm
+        FROM n
+        ORDER BY vec_id
+    """,
+    doc="L2 normalization: per-vector norm and the (≡1.0) norm of the "
+    "normalized vector — the pre-step for cosine via dot product.",
+    tags=("embedding",),
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    unit = F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"
+    )
+    unit_norm = F.sqrt(
+        F.aggregate(
+            F.transform(unit, lambda y: y * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.round("nrm", 4).alias("norm"),
+        F.round(unit_norm, 4).alias("unit_norm"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "emb_quantize",
+    oracle="""
+        WITH m AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x))) AS amax
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(CAST(amax AS DOUBLE), 4) AS scale_max,
+               CAST(list_sum(list_transform(embedding,
+                   x -> CAST(round(x / amax * 127) AS BIGINT))) AS BIGINT)
+                   AS q_checksum
+        FROM m
+        ORDER BY vec_id
+    """,
+    doc="Symmetric int8 scalar quantization (x → round(x/absmax·127)): "
+    "4× memory cut for ANN candidate scoring; checksum keeps the "
+    "oracle comparison compact.",
+    tags=("embedding",),
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    amax = F.array_max(F.transform(F.col("embedding"), F.abs))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x / F.col("amax") * 127).cast("long"),
+    )
+    return (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("amax", amax)
+        .select(
+            "vec_id",
+            F.round(F.col("amax").cast("double"), 4).alias("scale_max"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "q_checksum"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "emb_kmeans_step",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+            WHERE vec_id % 25 = 0
+        ), assigned AS (
+            SELECT n.vec_id, c.c_id,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform(
+                           generate_series(1, len(n.v)),
+                           i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn) DESC,
+                           c.c_id
+                   ) AS rn,
+                   n.v
+            FROM n CROSS JOIN c
+        )
+        SELECT c_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               round(AVG(v[1]), 4) AS centroid_d1,
+               round(AVG(v[2]), 4) AS centroid_d2
+        FROM assigned WHERE rn = 1
+        GROUP BY c_id
+        ORDER BY c_id
+    """,
+    doc="One k-means iteration (assign to nearest centroid by cosine, "
+    "recompute centroid means) — the iterative-algorithm building "
+    "block; shuffle is O(k × dim).",
+    tags=("embedding", "iterative"),
+)
+def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "c_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        assigned.groupBy("c_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.round(
+                F.avg(F.col("embedding")[0].cast("double")), 4
+            ).alias("centroid_d1"),
+            F.round(
+                F.avg(F.col("embedding")[1].cast("double")), 4
+            ).alias("centroid_d2"),
+        )
+        .orderBy("c_id")
+    )

@@ -62,6 +62,14 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from . import aggregates, dataflow, relational, relational2  # noqa: F401
-    from ..operators import asof, dedup, similarity, text, multimodal  # noqa: F401
+    from ..operators import (  # noqa: F401
+        asof,
+        dedup,
+        embeddings,
+        multimodal,
+        similarity,
+        skew,
+        text,
+    )
 
     _LOADED = True
