@@ -61,7 +61,13 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from . import aggregates, dataflow, relational, relational2  # noqa: F401
+    from . import (  # noqa: F401
+        aggregates,
+        dataflow,
+        relational,
+        relational2,
+        relational3,
+    )
     from ..operators import (  # noqa: F401
         asof,
         dedup,

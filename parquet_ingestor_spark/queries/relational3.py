@@ -1,0 +1,168 @@
+"""Q40+ — window-function breadth, scalar/IN/correlated subqueries,
+string aggregation. Subqueries use spark.sql directly (Catalyst
+decorrelates them into joins — exactly the rewrite you'd hand-write,
+verified by the plan, without the hand-writing)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from . import register
+
+
+@register(
+    "q40_window_breadth",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 4) AS pct_rank,
+               round(cume_dist() OVER w, 4) AS cume,
+               round(first_value(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS smallest,
+               round(last_value(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+                   AS largest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    doc="ntile / percent_rank / cume_dist / first_value / last_value "
+    "with explicit frames.",
+    tags=("relational", "window"),
+)
+def q40_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+            F.round(F.first("o_totalprice").over(w_run), 2).alias("smallest"),
+            F.round(F.last("o_totalprice").over(w_all), 2).alias("largest"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q41_scalar_subquery",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
+                   AS diff_from_mean
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    doc="Uncorrelated scalar subquery (global mean) — planned as a "
+    "one-row broadcast, not a per-row re-execution.",
+    tags=("relational", "subquery"),
+)
+def q41_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_q41")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(o_totalprice - (SELECT AVG(o_totalprice) FROM _orders_q41), 2)
+                   AS diff_from_mean
+        FROM _orders_q41
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q42_in_subquery",
+    oracle="""
+        SELECT o_orderkey
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+        )
+        ORDER BY o_orderkey
+    """,
+    doc="IN subquery — decorrelated to a left-semi join by Catalyst.",
+    tags=("relational", "subquery"),
+)
+def q42_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("orders", "customer", "nation", "region"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"_q42_{name}")
+    return spark.sql(
+        """
+        SELECT o_orderkey
+        FROM _q42_orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM _q42_customer
+            JOIN _q42_nation ON n_nationkey = c_nationkey
+            JOIN _q42_region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q43_correlated_subquery",
+    oracle="""
+        SELECT o_orderkey
+        FROM orders o
+        WHERE o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+    """,
+    doc="Correlated scalar subquery (above own-customer average) — "
+    "decorrelated into an aggregate + join, one scan each.",
+    tags=("relational", "subquery"),
+)
+def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_q43")
+    return spark.sql(
+        """
+        SELECT o_orderkey
+        FROM _orders_q43 o
+        WHERE o_totalprice > (
+            SELECT AVG(o2.o_totalprice) FROM _orders_q43 o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q44_string_agg",
+    oracle="""
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    doc="Ordered string aggregation (listagg): deterministic via "
+    "sort-within-group.",
+    tags=("relational", "aggregate"),
+)
+def q44_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
+        .orderBy("n_regionkey")
+    )
