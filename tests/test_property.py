@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none): algebraic properties of the
+custom operators checked over randomized inputs."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from parquet_ingestor_spark.operators.asof import asof_join
+from parquet_ingestor_spark.operators.skew import salted_count_sum
+from parquet_ingestor_spark.retry import SimpleRetry
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=1000),  # ts
+        st.integers(min_value=0, max_value=10**6),  # id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=events, right=events)
+def test_asof_join_matches_bruteforce(left, right):
+    """asof_join(L, R) row-for-row equals the quadratic definition:
+    the right row with the max ts ≤ left ts per key."""
+    # unique ids per side; dedupe (key, ts) on the right so "the latest
+    # prior row" is well-defined
+    right = list({(k, ts): (k, ts, i) for k, ts, i in right}.values())
+    ldf = _spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in left], "k long, ts long, l_id long"
+    )
+    rdf = _spark.createDataFrame(right, "k long, ts long, r_id long")
+    got = {
+        (r.l_id, r.r_id)
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    want = set()
+    for k, lts, lid in left:
+        prior = [(ts, rid) for rk, ts, rid in right if rk == k and ts <= lts]
+        want.add((lid, max(prior)[1] if prior else None))
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events)
+def test_salted_agg_equals_plain_agg(rows):
+    df = _spark.createDataFrame(
+        [(k, float(v)) for k, _, v in rows], "k long, v double"
+    )
+    got = {
+        (r.k, r.cnt, round(r.total, 6))
+        for r in salted_count_sum(df, "k", "v", salts=4).collect()
+    }
+    want = {
+        (r.k, r.cnt, round(r.total, 6))
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("cnt"), F.sum("v").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    attempts=st.integers(min_value=1, max_value=6),
+    fail_n=st.integers(min_value=0, max_value=8),
+)
+def test_retry_attempt_count_invariant(attempts, fail_n):
+    """fn runs min(attempts, fail_n+1) times; succeeds iff
+    fail_n < attempts."""
+    calls = []
+
+    def fn():
+        calls.append(1)
+        if len(calls) <= fail_n:
+            raise OSError("x")
+        return "ok"
+
+    policy = SimpleRetry(attempts=attempts, base_delay=0, jitter=False)
+    if fail_n < attempts:
+        assert policy.do(fn, sleep=lambda _: None) == "ok"
+        assert len(calls) == fail_n + 1
+    else:
+        with pytest.raises(OSError):
+            policy.do(fn, sleep=lambda _: None)
+        assert len(calls) == attempts
