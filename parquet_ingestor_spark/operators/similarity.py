@@ -171,6 +171,89 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_vectorized(
+    emb: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Arrow-vectorized brute-force cosine top-k: one numpy matmul per
+    partition against the broadcast query matrix.
+
+    The expression-based ``brute_force_topk`` evaluates the dot-product
+    fold per (row × query) in interpreted lambdas — exact and
+    oracle-matchable, but ~10-50× slower than BLAS. This variant moves
+    the arithmetic into numpy via mapInPandas: each Arrow batch of
+    vectors becomes a (batch × dim) matrix, scores are (batch × dim) @
+    (dim × q), and only per-batch top-k rows leave Python. The final
+    global top-k per query is a window over (partitions × q × k) rows —
+    tiny. Float64 pairwise summation differs from the sequential fold
+    in the last ulps, hence rows-only (test asserts identical id sets).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("q_id", "qv").collect()
+    q_ids = [r.q_id for r in q_rows]
+    qm = np.array([r.qv for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qm = spark.sparkContext.broadcast(qm)
+
+    out_schema = "q_id long, vec_id long, sim double"
+
+    def _score(batches):
+        qids = b_qids.value
+        qmat = b_qm.value  # (nq, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qmat.T  # (batch, nq)
+            top = min(k, len(pdf))
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
+            rows = []
+            vec_ids = pdf["vec_id"].values
+            for qi, qid in enumerate(qids):
+                for ri in idx[:, qi]:
+                    rows.append((qid, int(vec_ids[ri]), float(sims[ri, qi])))
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+
+    candidates = emb.select("vec_id", "embedding").mapInPandas(
+        _score, schema=out_schema
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("vec_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+@register(
+    "sim_bruteforce_topk_vectorized",
+    oracle=None,  # numpy pairwise summation ≠ sequential fold in the
+    # last ulps; the test asserts the result id-set equals the exact
+    # oracle-checked variant.
+    doc="Arrow/numpy-vectorized cosine top-k (BLAS matmul per batch) — "
+    "the throughput path for wide scans; exact twin: sim_bruteforce_topk.",
+    tags=("similarity", "vectorized"),
+)
+def sim_bruteforce_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    return cosine_topk_vectorized(
+        emb.repartition(par), _query_set(emb).select("q_id", "qv")
+    )
+
+
 @register(
     "sim_neardup_pairs",
     oracle=f"""

@@ -72,6 +72,20 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_vectorized_topk_matches_exact(spark, sf_dir):
+    exact = {
+        (r.q_id, r.rank): r.vec_id
+        for r in REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    fast = {
+        (r.q_id, r.rank): r.vec_id
+        for r in REGISTRY["sim_bruteforce_topk_vectorized"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert fast == exact
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     brute = {
         (r.q_id, r.vec_id)
