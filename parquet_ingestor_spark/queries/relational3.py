@@ -143,6 +143,49 @@ def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q45_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice AS price,
+                   l_discount AS discount,
+                   l_tax AS tax
+            FROM lineitem
+        ) UNPIVOT (value FOR metric IN (price, discount, tax))
+        ORDER BY l_orderkey, l_linenumber, metric
+    """,
+    doc="Unpivot (wide→long melt): 1 row → 3 metric rows, the inverse "
+    "of q39's pivot.",
+    tags=("relational", "pivot"),
+)
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "discount", "tax"],
+            "metric",
+            "value",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "metric",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+@register(
     "q44_string_agg",
     oracle="""
         SELECT n_regionkey,
