@@ -60,29 +60,30 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     _ensure_loaded()
-    spark = get_spark(app_name="pqing-bench")
+    # 23 queries × several codegen units each overflow the default
+    # 100-entry generated-class cache — evictions force janino
+    # recompiles of the wide-aggregate plans mid-bench.
+    spark = get_spark(
+        app_name="pqing-bench",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "2000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: run every headline plan once at the smallest SF so the
-    # measured numbers reflect steady-state data processing, not
-    # one-time JVM/codegen compilation (the 64-aggregate MinHash plan
-    # alone costs ~10 s of janino compile on first execution).
-    warm_dir = "/root/testdata/sf0.001"
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name in HEADLINE:
-        try:
-            REGISTRY[name].fn(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warm-up failures surface in the timed run
 
-    # Best-of-2: AQE's runtime re-planning occasionally produces a new
-    # codegen unit whose janino compile lands in one run's wall time;
-    # the min of two runs is the steady-state data-processing cost.
+    # Per-query warm-then-measure, best-of-2. Warm at the measured SF
+    # (AQE picks different join strategies per SF → different codegen
+    # units), immediately before timing (a global warm-everything pass
+    # leaves enough heap/codegen pressure to skew later queries), and
+    # take the min of two timed runs (AQE re-planning occasionally
+    # recompiles; min = steady-state data-processing cost).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up failures surface in the timed run
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

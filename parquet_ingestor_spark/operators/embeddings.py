@@ -100,6 +100,54 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_label_pca1",
+    oracle=None,  # eigen-decomposition is not SQL-expressible; the test
+    # diffs against numpy on the same grouped data.
+    doc="Per-label top principal component via applyInPandas grouped "
+    "map (numpy eigh per label group): top eigenvalue + explained-"
+    "variance ratio of each label cluster's covariance.",
+    tags=("embedding", "grouped-map"),
+)
+def emb_label_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pattern: groupBy(label).applyInPandas — each label's
+    vectors arrive as one pandas DataFrame (Arrow-batched), numpy does
+    the linear algebra, one summary row returns per group. State fits
+    because a group is one label's vectors; for groups too large for
+    one worker you'd pre-aggregate (count/sum/outer-product) with
+    DataFrame ops and only eigensolve the k×k result — noted here
+    because at 100 TB that is the shape to use."""
+    import numpy as np
+    import pandas as pd
+
+    def _pca1(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].values).astype(np.float64)
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        cov = np.cov(centered, rowvar=False)
+        evals = np.linalg.eigvalsh(cov)
+        top = float(evals[-1])
+        total = float(evals.sum())
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "top_eigenvalue": [round(top, 6)],
+                "explained_ratio": [round(top / total, 6) if total else 0.0],
+            }
+        )
+
+    return (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .applyInPandas(
+            _pca1,
+            schema="label int, n_vectors long, top_eigenvalue double, "
+            "explained_ratio double",
+        )
+        .orderBy("label")
+    )
+
+
+@register(
     "emb_kmeans_step",
     oracle="""
         WITH n AS (

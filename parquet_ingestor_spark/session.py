@@ -43,6 +43,11 @@ _BASE_CONF: dict[str, str] = {
     # bytes/count before each flush — O7; this is the Spark-native
     # equivalent of bounding the encoded object size).
     "spark.sql.files.maxRecordsPerFile": "5000000",
+    # The wide-aggregate operators (MinHash 64-min, SimHash 63-vote)
+    # produce large codegen units; the default 100-entry generated-
+    # class cache evicts them across a mixed workload, forcing repeated
+    # multi-second janino recompiles.
+    "spark.sql.codegen.cache.maxEntries": "2000",
     "spark.ui.enabled": "false",
     # The events table stores TIMESTAMP(NANOS), which Spark's vectorized
     # reader rejects; read the raw int64 and rebuild the timestamp in

@@ -148,6 +148,28 @@ def test_winnow_guarantee_on_planted_dups(spark, sf_dir, exact_pairs):
         assert fps[a] & fps[b], f"planted pair ({a},{b}) shares no fingerprint"
 
 
+def test_label_pca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    got = {
+        r.label: (r.n_vectors, r.top_eigenvalue, r.explained_ratio)
+        for r in REGISTRY["emb_label_pca1"].fn(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    for label, vecs in by_label.items():
+        mat = np.array(vecs, dtype=np.float64)
+        cov = np.cov(mat - mat.mean(axis=0, keepdims=True), rowvar=False)
+        evals = np.linalg.eigvalsh(cov)
+        top, total = float(evals[-1]), float(evals.sum())
+        n, t, ratio = got[label]
+        assert n == len(vecs)
+        assert abs(t - round(top, 6)) < 1e-9
+        assert abs(ratio - round(top / total, 6)) < 1e-9
+
+
 def test_approx_distinct_error_bound(spark, sf_dir):
     import pyspark.sql.functions as F
 
