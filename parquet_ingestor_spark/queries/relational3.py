@@ -186,6 +186,82 @@ def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q46_regex_breadth",
+    oracle="""
+        SELECT doc_id,
+               regexp_matches(text, 'spark.*join') AS mentions_spark_join,
+               regexp_extract(text, '(window|stream)', 1) AS first_w_or_s,
+               CAST(len(regexp_extract_all(text, 'data')) AS BIGINT)
+                   AS data_count,
+               regexp_replace(text, '^(\\w+) (\\w+).*$', '\\1-\\2')
+                   AS first_two
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Regex breadth: rlike, group extraction, extract-all counting, "
+    "backreference replacement.",
+    tags=("relational", "scalar", "regex"),
+)
+def q46_regex_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("text").rlike("spark.*join").alias("mentions_spark_join"),
+            F.regexp_extract("text", "(window|stream)", 1).alias("first_w_or_s"),
+            F.regexp_count(F.col("text"), F.lit("data"))
+            .cast("long")
+            .alias("data_count"),
+            F.regexp_replace("text", r"^(\w+) (\w+).*$", "$1-$2").alias(
+                "first_two"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q47_null_semantics",
+    oracle="""
+        WITH j AS (
+            SELECT c.c_custkey,
+                   CASE WHEN c.c_custkey % 3 = 0 THEN NULL
+                        ELSE c.c_acctbal END AS bal
+            FROM customer c
+        )
+        SELECT c_custkey,
+               round(coalesce(bal, 0.0), 2) AS bal_or_zero,
+               bal IS NULL AS was_null,
+               round(nullif(coalesce(bal, 0.0), 0.0), 2) AS zero_to_null,
+               (bal IS NOT DISTINCT FROM NULL) AS nullsafe_is_null
+        FROM j
+        ORDER BY c_custkey
+    """,
+    doc="NULL semantics: coalesce / nullif / null-safe comparison "
+    "(<=> ≡ IS NOT DISTINCT FROM).",
+    tags=("relational", "scalar", "null"),
+)
+def q47_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bal = F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("bal", bal)
+        .select(
+            "c_custkey",
+            F.round(F.coalesce("bal", F.lit(0.0)), 2).alias("bal_or_zero"),
+            F.isnull("bal").alias("was_null"),
+            F.round(F.nullif(F.coalesce("bal", F.lit(0.0)), F.lit(0.0)), 2).alias(
+                "zero_to_null"
+            ),
+            F.col("bal").eqNullSafe(F.lit(None)).alias("nullsafe_is_null"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
     "q44_string_agg",
     oracle="""
         SELECT n_regionkey,
