@@ -109,6 +109,43 @@ def q37_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q48_conditional_aggs",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE value > 250) AS BIGINT) AS hi_cnt,
+               bool_or(value > 480) AS has_extreme,
+               bool_and(value > 0) AS all_positive,
+               round(SUM(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END), 2)
+                   AS even_user_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Conditional/boolean aggregates: count_if, bool_or/bool_and, "
+    "CASE-gated sums — all map-side-combinable.",
+    tags=("relational", "aggregate"),
+)
+def q48_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 250).alias("hi_cnt"),
+            F.bool_or(F.col("value") > 480).alias("has_extreme"),
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            round2(
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, F.col("value")).otherwise(
+                        0.0
+                    )
+                )
+            ).alias("even_user_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "q38_grouping_sets",
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
