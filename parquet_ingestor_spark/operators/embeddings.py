@@ -11,7 +11,7 @@ O(k × dim), not O(rows)).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
 from ..queries import register
@@ -158,7 +158,7 @@ def emb_label_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         ), c AS (
             SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-            WHERE vec_id % 25 = 0
+            WHERE vec_id < 25
         ), assigned AS (
             SELECT n.vec_id, c.c_id,
                    row_number() OVER (
@@ -181,34 +181,51 @@ def emb_label_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="One k-means iteration (assign to nearest centroid by cosine, "
     "recompute centroid means) — the iterative-algorithm building "
-    "block; shuffle is O(k × dim).",
+    "block; fixed k, no window sort, O(rows) shuffle of scalar rows.",
     tags=("embedding", "iterative"),
 )
 def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment is an aggregate, not a window: each vector's k
+    broadcast-centroid similarities reduce map-side via
+    ``max(struct(csim, -c_id))`` (lexicographic struct max ⇒ highest
+    sim, ties to the smallest c_id — matching the oracle's row_number
+    ORDER BY sim DESC, c_id). The shuffle carries one scalar row per
+    vector (no embeddings, no sort), then the centroid update is a
+    second O(k)-output aggregate. Centroid count is FIXED (first k
+    vectors, k ⊥ n) — the round-1 n/25 rule made assignment O(n²/25).
+    """
     emb = with_norm(table(spark, sf_dir, "embeddings"))
-    centroids = emb.filter(F.col("vec_id") % 25 == 0).select(
+    centroids = emb.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("cn"),
     )
     csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("c_id"))
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "c_id", csim.alias("csim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("embedding")[0].cast("double").alias("d1"),
+            F.col("embedding")[1].cast("double").alias("d2"),
+            "c_id",
+            csim.alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim"), (-F.col("c_id")).alias("nci"))
+            ).alias("best"),
+            F.first("d1").alias("d1"),
+            F.first("d2").alias("d2"),
+        )
+        .select((-F.col("best.nci")).alias("c_id"), "d1", "d2")
     )
     return (
         assigned.groupBy("c_id")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.round(
-                F.avg(F.col("embedding")[0].cast("double")), 4
-            ).alias("centroid_d1"),
-            F.round(
-                F.avg(F.col("embedding")[1].cast("double")), 4
-            ).alias("centroid_d2"),
+            F.round(F.avg("d1"), 4).alias("centroid_d1"),
+            F.round(F.avg("d2"), 4).alias("centroid_d2"),
         )
         .orderBy("c_id")
     )
