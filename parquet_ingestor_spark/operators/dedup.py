@@ -10,8 +10,17 @@ ladder:
 3. MinHash + LSH    the 100 TB path: 64-perm signatures, 16 bands × 4
                     rows; candidate pairs only where a band collides,
                     then exact-Jaccard verification of candidates
-4. SimHash          64-bit fingerprints, hamming≤3 via 4×16-bit
-                    pigeonhole banding
+4. SimHash          126-bit (2×63) fingerprints, hamming≤3 via 4
+                    ~32-bit pigeonhole chunks
+
+Both sketch tiers compose exact dedup FIRST: texts collapse to one
+representative per distinct text (md5 group, min doc_id keeper), the
+sketch runs over representatives only, and member pairs are expanded
+back by joins. That bounds sketch buckets — a degenerate corpus of a
+million byte-identical docs contributes ONE representative instead of
+a million colliding rows in a single band bucket — and makes the
+(inherently quadratic) identical-text pair output a distributed join,
+never a single-task ``collect_list`` expansion.
 
 All pure DataFrame/column expressions (no Python UDFs): shingling,
 hashing, signatures, and banding run inside whole-stage codegen.
@@ -98,6 +107,87 @@ def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _rep_groups(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup pre-pass shared by the sketch tiers.
+
+    Returns ``(reps, members)``: ``reps`` holds one representative row
+    (min doc_id, the text) per distinct text keyed by ``grp =
+    md5(text)``; ``members`` maps every doc_id to its grp. The
+    groupBy shuffles each distinct text once — the same work as
+    ``dedup_exact`` — and everything downstream (signatures, banding,
+    candidate joins) sees at most one row per distinct text.
+    """
+    grp = F.md5(F.col(text_col).cast("binary"))
+    members = docs.select("doc_id", grp.alias("grp"))
+    # reps feeds many DAG branches (signatures, both verification text
+    # joins, group expansion); persist() marks it for materialize-once
+    # instead of re-running the corpus scan + md5 shuffle per branch.
+    # Lazy — no I/O until an action — and the ContextCleaner drops the
+    # entry when the DataFrame is garbage collected.
+    reps = (
+        docs.select("doc_id", grp.alias("grp"), text_col)
+        .groupBy("grp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first(text_col).alias(text_col),
+        )
+        .persist()
+    )
+    return reps, members
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame,
+    reps: DataFrame,
+    members: DataFrame,
+    value_col: str,
+    within_value: Column,
+    rep_within_filter: Column | None = None,
+) -> DataFrame:
+    """Expand representative-level pairs to all member pairs.
+
+    Cross-group: each rep pair (value carried through — identical
+    texts have identical sketch distances) fans out to the cartesian
+    product of its two member groups via two grp-keyed joins —
+    distributed work, and AQE's skew-join splitting handles a huge
+    group. Within-group: a grp self-join emits every identical-text
+    pair at ``within_value`` (jaccard 1.0 / hamming 0);
+    ``rep_within_filter`` excludes groups where the metric is
+    undefined (e.g. texts too short to shingle).
+    """
+    ga = reps.select(F.col("doc_id").alias("doc_a"), F.col("grp").alias("ga"))
+    gb = reps.select(F.col("doc_id").alias("doc_b"), F.col("grp").alias("gb"))
+    ma = members.select(F.col("doc_id").alias("ma"), F.col("grp").alias("ga"))
+    mb = members.select(F.col("doc_id").alias("mb"), F.col("grp").alias("gb"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .drop("doc_a", "doc_b")
+        .join(ma, "ga")
+        .join(mb, "gb")
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            value_col,
+        )
+    )
+    w = members
+    if rep_within_filter is not None:
+        w = members.join(
+            reps.filter(rep_within_filter).select("grp"), "grp"
+        )
+    wa = w.select("grp", F.col("doc_id").alias("doc_a"))
+    wb = w.select("grp", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "grp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", within_value.alias(value_col))
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+
 def _perm_params(i: int) -> tuple[int, int]:
     """Deterministic universal-hash parameters for permutation i (LCG)."""
     a = (1103515245 * i + 12345) % (_MERSENNE - 1) + 1  # in [1, p-1]
@@ -173,18 +263,31 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
-    Pipeline: signature → band keys → explode(bands) → bucket groupBy
-    (shuffle keyed on band hash, so only colliding docs ever meet) →
-    distinct candidates → exact string-shingle Jaccard on candidates
-    only (shingle strings are built for the few candidate rows, never
-    the corpus — the corpus-wide path is hash-only).
+    Pipeline: exact-dedup to representatives → signature → band keys →
+    explode(bands) → bucket groupBy (shuffle keyed on band hash, so
+    only colliding reps ever meet) → distinct candidates → exact
+    string-shingle Jaccard on candidates only (shingle strings are
+    built for the few candidate rows, never the corpus — the
+    corpus-wide path is hash-only) → member-pair expansion by join.
+
+    The representative pre-pass is the bucket bound: a bucket is a
+    4-row signature collision among *distinct* texts, so mass exact
+    duplication (the degenerate corpus that used to pile n docs into
+    one bucket's ``collect_list``) collapses to one row before banding
+    and re-expands afterwards through distributed joins.
 
     At 16 bands × 4 rows the S-curve crosses ~0.77, so Jaccard ≥ 0.8
     pairs are found with P ≈ 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9989; output is a
     (whp equal) subset of exact_jaccard_pairs — why this entry is a
     rows-only check for the driver and is subset-asserted in tests.
     """
-    sig = minhash_signatures(docs, bands * rows_per_band, text_col)
+    reps, members = _rep_groups(docs, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    reps = reps.repartition(par, "doc_id")
+    # Signatures are consumed by both self-join branches; persist so the
+    # 64-aggregate pipeline runs once (the broadcast-side branch cannot
+    # share a shuffle with the streamed side via ReusedExchange).
+    sig = minhash_signatures(reps, bands * rows_per_band, text_col).persist()
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -197,37 +300,33 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
 
-    # Bucket once (groupBy — the signature pipeline runs a single time,
-    # unlike a self-join whose two branches each recompute it), then
-    # emit candidate pairs from every bucket with ≥2 docs. Bucket
-    # membership is small by construction — a bucket is a 4-row
-    # signature collision — so the pair expansion is local and bounded.
-    buckets = (
-        banded.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
+    # Candidates from band-key collisions via self-join: no per-bucket
+    # collect_list, so no bucket ever has to fit one task's memory.
+    # Both join branches are the same subplan, so the banding shuffle
+    # is written once and read twice (ReusedExchange).
+    bl = banded.alias("bl")
+    br = banded.alias("br")
     cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ids) - 2), i -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "j -> struct(ids[i] AS doc_a, j AS doc_b))))"
-                )
-            ).alias("pr")
+        bl.join(
+            br,
+            (F.col("bl.band") == F.col("br.band"))
+            & (F.col("bl.bkey") == F.col("br.bkey"))
+            & (F.col("bl.doc_id") < F.col("br.doc_id")),
         )
-        .select("pr.doc_a", "pr.doc_b")
+        .select(
+            F.col("bl.doc_id").alias("doc_a"),
+            F.col("br.doc_id").alias("doc_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Exact-Jaccard verification of candidates only: join the raw text
     # for the two sides (cheap — candidates are rare), THEN shingle.
     # Shingling after the join keeps the expensive string work
     # proportional to candidates, not corpus size.
-    ta = docs.select(
+    ta = reps.select(
         F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_text_a")
     )
-    tb = docs.select(
+    tb = reps.select(
         F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_text_b")
     )
     verified = (
@@ -239,96 +338,135 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    return (
-        verified.filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    rep_pairs = verified.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+    return _expand_rep_pairs(
+        rep_pairs,
+        reps,
+        members,
+        "jaccard",
+        within_value=F.lit(1.0),
+        # Jaccard is undefined (0/0) for texts with < 3 tokens; such
+        # docs never shingle, so identical-short-text pairs stay out —
+        # matching exact_jaccard_pairs.
+        rep_within_filter=F.size(F.split(F.col(text_col), " ")) >= 3,
     )
 
 
 def simhash_fingerprints(
     docs: DataFrame, bits: int = 63, text_col: str = "text"
 ) -> DataFrame:
-    """SimHash fingerprint (bits 0..62 — bit 63 would overflow int64
-    under ANSI) per doc: per-bit majority vote over xxhash64 token
-    hashes. Same codegen-first shape as MinHash: explode tokens, one
-    hash aggregate with 63 vote-sum columns (all whole-stage-codegen'd;
-    the per-row nested-lambda formulation ran interpreted and was the
-    operator's bottleneck), then rebuild the fingerprint from the vote
-    signs in a flat arithmetic projection."""
+    """Two-word SimHash fingerprint (2 × bits 0..62 — bit 63 would
+    overflow int64 under ANSI; 126 bits total) per doc: per-bit
+    majority vote over two independent xxhash64 token hashes
+    (``xxhash64(t)`` and ``xxhash64(t, 1)``). Same codegen-first shape
+    as MinHash: explode tokens, one hash aggregate with 126 vote-sum
+    columns (all whole-stage-codegen'd; the per-row nested-lambda
+    formulation ran interpreted and was the operator's bottleneck),
+    then rebuild both words from the vote signs in a flat arithmetic
+    projection.
+
+    Why two words: banding needs 4 exact-match chunks for the
+    hamming≤3 pigeonhole, and a 63-bit fingerprint only gives 16-bit
+    chunk keys — a key space of 4×65,536 buckets whose membership
+    grows linearly with corpus size. Two words give ~32-bit chunk
+    keys (2³¹⁺ buckets per chunk), keeping random chunk collisions —
+    and therefore candidate-join fan-out — flat at billions of docs.
+    """
     hashed = docs.select(
         "doc_id",
         F.explode(
-            F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))")
-        ).alias("h"),
-    )
+            F.expr(
+                f"transform(split({text_col}, ' '), "
+                f"t -> struct(xxhash64(t) AS h0, xxhash64(t, 1) AS h1))"
+            )
+        ).alias("hh"),
+    ).select("doc_id", "hh.h0", "hh.h1")
     votes = [
         F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+            F.when(
+                F.shiftright(w, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"{w}_{i}")
+        for w in ("h0", "h1")
         for i in range(bits)
     ]
-    fp_expr = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp_expr = term if fp_expr is None else fp_expr + term
+    words = []
+    for w in ("h0", "h1"):
+        fp_expr = None
+        for i in range(bits):
+            term = F.when(
+                F.col(f"{w}_{i}") > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            fp_expr = term if fp_expr is None else fp_expr + term
+        words.append(fp_expr)
     return (
-        hashed.groupBy("doc_id").agg(*votes).select("doc_id", fp_expr.alias("sh"))
+        hashed.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", words[0].alias("sh0"), words[1].alias("sh1"))
     )
 
 
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with hamming(simhash128) ≤ max_hamming.
 
-    Pigeonhole banding: split the 64-bit space into 4 × 16-bit chunks;
-    hamming ≤ 3 ⇒ at least one chunk matches exactly, so candidates
-    come from chunk-key buckets (one groupBy — the fingerprint pipeline
-    runs once) instead of an O(n²) cross join.
+    Exact-dedup first (identical texts share a fingerprint — they
+    re-expand as hamming-0 pairs by join), then pigeonhole banding:
+    the 126-bit fingerprint splits into 4 ~32-bit chunks; hamming ≤ 3
+    ⇒ at least one chunk matches exactly, so candidates come from a
+    (chunk, ckey) self-join — no per-bucket collect_list, no bucket
+    bounded by one task's memory, and the banding shuffle is written
+    once (both join branches share the subplan via ReusedExchange).
     """
-    fp = simhash_fingerprints(docs, text_col=text_col)
+    reps, members = _rep_groups(docs, text_col)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    # Persist: both chunk self-join branches consume the fingerprints;
+    # without it the 126-aggregate vote pipeline runs once per branch.
+    fp = simhash_fingerprints(
+        reps.repartition(par, "doc_id"), text_col=text_col
+    ).persist()
     chunks = fp.select(
         "doc_id",
-        "sh",
+        "sh0",
+        "sh1",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), c -> "
-                "struct(c AS chunk, shiftright(sh, c * 16) & 65535 AS ckey))"
+                "array(struct(0 AS chunk, sh0 & 4294967295 AS ckey), "
+                "struct(1 AS chunk, shiftright(sh0, 32) AS ckey), "
+                "struct(2 AS chunk, sh1 & 4294967295 AS ckey), "
+                "struct(3 AS chunk, shiftright(sh1, 32) AS ckey))"
             )
         ).alias("cc"),
-    ).select("doc_id", "sh", "cc.chunk", "cc.ckey")
-    buckets = (
-        chunks.groupBy("chunk", "ckey")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "sh"))
-            ).alias("members")
+    ).select("doc_id", "sh0", "sh1", "cc.chunk", "cc.ckey")
+    cl = chunks.alias("cl")
+    cr = chunks.alias("cr")
+    ham = F.bit_count(
+        F.col("cl.sh0").bitwiseXOR(F.col("cr.sh0"))
+    ) + F.bit_count(F.col("cl.sh1").bitwiseXOR(F.col("cr.sh1")))
+    rep_pairs = (
+        cl.join(
+            cr,
+            (F.col("cl.chunk") == F.col("cr.chunk"))
+            & (F.col("cl.ckey") == F.col("cr.ckey"))
+            & (F.col("cl.doc_id") < F.col("cr.doc_id")),
         )
-        .filter(F.size("members") > 1)
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(members) - 2), i -> "
-                    "transform(slice(members, i + 2, size(members) - i - 1), "
-                    "m -> struct(members[i].doc_id AS doc_a, "
-                    "members[i].sh AS sh_a, "
-                    "m.doc_id AS doc_b, m.sh AS sh_b))))"
-                )
-            ).alias("pr")
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("cl.doc_id").alias("doc_a"),
+            F.col("cr.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
         )
-        .select("pr.doc_a", "pr.sh_a", "pr.doc_b", "pr.sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.filter(ham <= max_hamming)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
+    return _expand_rep_pairs(
+        rep_pairs,
+        reps,
+        members,
+        "hamming",
+        within_value=F.lit(0).cast("int"),
     )
 
 
@@ -413,7 +551,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # xxhash64-derived fingerprints are not reproducible in
     # DuckDB SQL; tests diff against a pure-Python SimHash oracle.
-    doc="SimHash-63 fingerprint pairs at hamming ≤ 3 via 16-bit banding.",
+    doc="SimHash-126 (2×63-bit) fingerprint pairs at hamming ≤ 3 via "
+    "4×~32-bit chunk self-join banding.",
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

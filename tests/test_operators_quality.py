@@ -42,9 +42,12 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .withColumn(
-            "hs", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
+            "h0s", F.expr("transform(split(text, ' '), t -> xxhash64(t))")
         )
-        .select("doc_id", "hs")
+        .withColumn(
+            "h1s", F.expr("transform(split(text, ' '), t -> xxhash64(t, 1))")
+        )
+        .select("doc_id", "h0s", "h1s")
         .collect()
     )
 
@@ -56,14 +59,16 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
                 out |= 1 << i
         return out
 
-    fps = {r.doc_id: simhash(r.hs) for r in docs}
+    fps = {r.doc_id: (simhash(r.h0s), simhash(r.h1s)) for r in docs}
     want = set()
     ids = sorted(fps)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            x = fps[a] ^ fps[b]
-            if bin(x).count("1") <= 3:
-                want.add((a, b, bin(x).count("1")))
+            d = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                fps[a][1] ^ fps[b][1]
+            ).count("1")
+            if d <= 3:
+                want.add((a, b, d))
 
     got = {
         (r.doc_a, r.doc_b, r.hamming)
@@ -213,3 +218,34 @@ def test_multimodal_stub_raises_for_real_decode():
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"png"]), real_decode=True)
+
+
+def test_degenerate_corpus_mass_dups(spark):
+    """A corpus that is almost entirely one byte-identical text must not
+    concentrate in a single sketch bucket: the exact-dedup pre-pass
+    collapses it to one representative before banding, and the
+    quadratic identical-pair output is produced by distributed joins.
+    Asserts exact expected pair counts/values for both sketch tiers."""
+    from parquet_ingestor_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(1000)] + [(2000, base + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lsh = minhash_lsh_pairs(docs)
+    # C(1000,2) identical pairs at jaccard 1.0 + 1000 near-dup pairs
+    # (10 shared of 11 shingles = 0.9091) against doc 2000.
+    by_val = {r["jaccard"]: 0 for r in []}
+    counts = {}
+    for r in lsh.groupBy("jaccard").count().collect():
+        counts[r["jaccard"]] = r["count"]
+    assert counts == {1.0: 499500, 0.9091: 1000}
+
+    sh = simhash_pairs(docs)
+    # identical pairs are hamming 0; the near-dup may or may not land
+    # within hamming<=3, but every identical pair must be present.
+    ham0 = sh.filter("hamming = 0 and doc_b < 2000").count()
+    assert ham0 == 499500
