@@ -25,16 +25,23 @@ def salted_count_sum(
     key: str,
     value: str,
     salts: int = DEFAULT_SALTS,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """groupBy(key).agg(count, sum) with two-phase salting.
 
     Phase 1 shuffles on (key, salt) — the hot key spreads across
     ``salts`` reducers; phase 2 shuffles S×|groups| tiny partials.
-    Deterministic salt (hash of a unique column would also work;
-    monotonically_increasing_id is per-row unique and cheap).
+
+    The salt is a content hash of the full row (``salt_cols`` narrows
+    it), NOT monotonically_increasing_id: mid-based salts depend on
+    partition layout and row order, so a partially recomputed map
+    stage after a fetch failure could re-salt rows into different
+    (key, salt) shards and double-count or drop them. A content hash
+    re-derives the same shard on every recomputation.
     """
+    salt_src = [F.col(c) for c in (salt_cols or df.columns)]
     salted = df.withColumn(
-        "_salt", (F.monotonically_increasing_id() % salts).cast("int")
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salts)).cast("int")
     )
     partial = salted.groupBy(key, "_salt").agg(
         F.count("*").alias("_cnt"), F.sum(value).alias("_sum")
@@ -50,12 +57,16 @@ def salted_join_counts(
     fact_key: str,
     dim_key: str,
     salts: int = DEFAULT_SALTS,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skewed equi-join: salt the fact side, explode the (small) dim
     side S× so every (key, salt) shard finds its dim row. Use when the
-    dim is too big to broadcast and the fact key is skewed."""
+    dim is too big to broadcast and the fact key is skewed. The salt
+    is a content hash (see salted_count_sum) so task re-execution
+    re-derives identical shards."""
+    salt_src = [F.col(c) for c in (salt_cols or facts.columns)]
     salted_facts = facts.withColumn(
-        "_salt", (F.monotonically_increasing_id() % salts).cast("int")
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salts)).cast("int")
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
