@@ -130,19 +130,40 @@ def sample_frames(
     )
 
 
+# The operators index BYTES (the honest contract for binary media),
+# but DuckDB SQL cannot byte-index a BLOB, so the oracle comparison
+# normalizes the stand-in payload to ASCII on BOTH sides — char and
+# byte indexing then agree and a non-ASCII documents.text cannot
+# silently desynchronize the differential.
+_ASCII_ONLY = r"[^\x00-\x7F]"
+
+
+def _ascii_payload(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.encode(
+            F.regexp_replace(F.col("text"), _ASCII_ONLY, ""), "UTF-8"
+        ).alias("payload"),
+    )
+
+
 @register(
     "multimodal_frame_sample",
-    oracle=f"""
-        WITH f AS (
-            SELECT doc_id, length(text) AS sz,
-                   greatest(1, length(text) // {N_FRAMES}) AS step,
-                   unnest(range({N_FRAMES})) AS frame_idx
+    oracle=rf"""
+        WITH a AS (
+            SELECT doc_id,
+                   regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
             FROM documents
+        ), f AS (
+            SELECT doc_id, t, length(t) AS sz,
+                   greatest(1, length(t) // {N_FRAMES}) AS step,
+                   unnest(range({N_FRAMES})) AS frame_idx
+            FROM a
         )
         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-               CAST(ascii(substring(text, CAST(frame_idx * step + 1 AS INTEGER), 1))
+               CAST(ascii(substring(t, CAST(frame_idx * step + 1 AS INTEGER), 1))
                     AS BIGINT) AS frame_val
-        FROM f JOIN documents USING (doc_id)
+        FROM f
         WHERE frame_idx * step < sz
         ORDER BY doc_id, frame_idx
     """,
@@ -151,21 +172,27 @@ def sample_frames(
     tags=("multimodal",),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    media = _ascii_payload(table(spark, sf_dir, "documents"))
     return sample_frames(media).orderBy("doc_id", "frame_idx")
 
 
 @register(
     "multimodal_meta",
-    oracle="""
+    oracle=r"""
+        WITH a AS (
+            SELECT doc_id,
+                   regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS width,
-               CAST(ascii(substring(text, length(text), 1)) AS BIGINT)
+               CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+               CASE WHEN length(t) > 0
+                    THEN CAST(ascii(substring(t, 1, 1)) AS BIGINT) END
+                   AS width,
+               CASE WHEN length(t) > 0
+                    THEN CAST(ascii(substring(t, length(t), 1)) AS BIGINT) END
                    AS height
-        FROM documents
+        FROM a
         ORDER BY doc_id
     """,
     doc="Binary-column decode plumbing: documents.text encoded to bytes "
@@ -173,7 +200,5 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
+    media = _ascii_payload(table(spark, sf_dir, "documents"))
     return extract_media_metadata(media).orderBy("doc_id")

@@ -249,3 +249,28 @@ def test_degenerate_corpus_mass_dups(spark):
     # within hamming<=3, but every identical pair must be present.
     ham0 = sh.filter("hamming = 0 and doc_b < 2000").count()
     assert ham0 == 499500
+
+
+def test_multimodal_oracle_byte_semantics_non_ascii(spark, tmp_path):
+    """The byte-indexing operators and their char-indexing oracles must
+    agree on non-ASCII input (both normalize the stand-in payload to
+    ASCII — the contract that keeps byte and char offsets in sync)."""
+    import duckdb
+
+    from parquet_ingestor_spark.testing import duck_canon, spark_canon
+
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES (0, 'héllo wörld this is a test'), "
+        "(1, ''), (2, 'plain ascii text here')) t(doc_id, text)) "
+        f"TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ["multimodal_frame_sample", "multimodal_meta"]:
+        q = REGISTRY[name]
+        assert spark_canon(q.fn(spark, str(tmp_path))) == duck_canon(
+            con, q.oracle
+        ), name
