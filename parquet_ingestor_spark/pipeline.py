@@ -9,11 +9,14 @@ with at-least-once delivery and ack-only-after-durable-write
     → writeStream.partitionBy(y, m, d, h).format('parquet')
       .option('checkpointLocation', …).trigger(processingTime=…)
 
-- The checkpoint + file-sink commit protocol (``_spark_metadata``)
-  *is* the ack guarantee: offsets only commit after the sink commit,
-  so a crash replays the uncommitted batch — the same at-least-once /
-  exactly-once-to-files contract the reference implements by hand
-  (AckGroup.Commit after sink.Write, reference: ingestor/ingestor.go:569-609).
+- The ack guarantee is the streaming checkpoint plus an IDEMPOTENT
+  batch commit (``write_batch``): offsets only commit after the sink
+  writes succeed, so a crash replays the uncommitted batch
+  (at-least-once delivery), and the replay overwrites its own
+  batch_id-keyed partitions instead of appending duplicates
+  (exactly-once in the files) — the same contract the reference
+  implements by hand (AckGroup.Commit after sink.Write, reference:
+  ingestor/ingestor.go:569-609).
 - The trigger interval is the FlushInterval analog; count/byte
   thresholds map to source rate limits (maxFilesPerTrigger) and
   ``spark.sql.files.maxRecordsPerFile`` (reference: batcher/batcher.go:15-31).
@@ -109,6 +112,59 @@ def ingest_batch(
     )
 
 
+def write_batch(
+    good: DataFrame,
+    bad: DataFrame,
+    data_dir: str,
+    dlq_dir: str,
+    batch_id: int,
+    cfg: PipelineConfig | None = None,
+) -> None:
+    """Idempotent per-batch commit: the exactly-once half of the ack
+    contract.
+
+    Every output row is stamped with its micro-batch id and the sink is
+    partitioned by ``(…time/key columns…, batch_id)`` with DYNAMIC
+    partition overwrite: a batch writes ``mode('overwrite')`` but only
+    touches the leaf partitions it produced. If the process dies after
+    the data write and before the streaming checkpoint commits the
+    offsets, the replayed batch re-runs with the SAME batch_id and
+    overwrites its own leaves — duplicates cannot survive a replay, for
+    the data path and the DLQ path alike. This is the foreachBatch
+    equivalent of the native file sink's ``_spark_metadata`` protocol,
+    and the Spark translation of the reference's
+    commit-batch-then-ack ordering (ingestor/ingestor.go:569-609).
+    """
+    cfg = cfg or PipelineConfig()
+    good = good.withColumn("batch_id", F.lit(batch_id))
+    ts = cfg.timestamp_col
+    if cfg.key_exprs:
+        # user-supplied KeyFunc (reference: ingestor/ingestor.go:23-29):
+        # arbitrary partition expressions instead of the time layout
+        for name, expr in cfg.key_exprs.items():
+            good = good.withColumn(name, F.expr(expr))
+        part_cols = (*cfg.key_exprs.keys(), "batch_id")
+    elif ts in good.columns:
+        good = with_time_partitions(good, ts)
+        part_cols = (*PARTITION_COLS, "batch_id")
+    else:
+        part_cols = ("batch_id",)
+    (
+        good.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", cfg.max_records_per_file)
+        .partitionBy(*part_cols)
+        .parquet(data_dir)
+    )
+    (
+        bad.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .json(dlq_dir)
+    )
+
+
 def parse_envelopes(
     raw: DataFrame,
     record_schema: T.StructType,
@@ -189,27 +245,7 @@ def start_stream_ingest(
         good, bad = parse_envelopes(batch_df, record_schema)
         if cfg.drop_where:
             good = good.filter(f"NOT ({cfg.drop_where})")
-        ts = cfg.timestamp_col
-        if cfg.key_exprs:
-            # user-supplied KeyFunc (reference: ingestor/ingestor.go:23-29):
-            # arbitrary partition expressions instead of the time layout
-            for name, expr in cfg.key_exprs.items():
-                good = good.withColumn(name, F.expr(expr))
-            writer = good.write.partitionBy(*cfg.key_exprs.keys())
-        elif ts in good.columns:
-            good = with_time_partitions(good, ts)
-            writer = good.write.partitionBy(*PARTITION_COLS)
-        else:
-            writer = good.write
-        (
-            writer.mode("append")
-            .option("maxRecordsPerFile", cfg.max_records_per_file)
-            .parquet(data_dir)
-        )
-        # DLQ write second: a replayed batch may duplicate DLQ rows
-        # (at-least-once there), but never data rows short of sink
-        # success — matching the reference's guarantee ordering.
-        bad.write.mode("append").json(dlq_dir)
+        write_batch(good, bad, data_dir, dlq_dir, batch_id, cfg)
         batch_df.unpersist()
 
     return (

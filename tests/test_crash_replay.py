@@ -87,3 +87,34 @@ def test_failed_sink_write_is_never_committed(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 20  # replayed exactly once, no loss
     assert df.select("id").distinct().count() == 20
+
+
+def test_replayed_batch_overwrites_not_appends(spark, tmp_path):
+    """The window the offset-commit test can't cover: the process dies
+    AFTER the sink write but BEFORE the checkpoint commit. The replay
+    re-runs the same batch_id; the idempotent batch commit must
+    overwrite that batch's partitions, leaving zero duplicates in both
+    the data and DLQ paths."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.pipeline import write_batch
+
+    good = spark.createDataFrame(
+        [(i, f"n{i}", float(i), f"2024-03-0{1 + i % 3} 0{i % 9}:00:00") for i in range(30)],
+        "id long, name string, value double, ts_str string",
+    ).select("id", "name", "value", F.to_timestamp("ts_str").alias("ts"))
+    bad = spark.createDataFrame(
+        [("oops", "transform_error: malformed payload")], "value string, error string"
+    )
+    data_dir, dlq_dir = f"{tmp_path}/data", f"{tmp_path}/dlq"
+
+    write_batch(good, bad, data_dir, dlq_dir, batch_id=7)
+    write_batch(good, bad, data_dir, dlq_dir, batch_id=7)  # the replay
+    assert spark.read.parquet(data_dir).count() == 30
+    assert spark.read.json(dlq_dir).count() == 1
+
+    # a *different* batch appends rather than clobbering prior batches
+    write_batch(good.limit(5), bad.limit(0), data_dir, dlq_dir, batch_id=8)
+    df = spark.read.parquet(data_dir)
+    assert df.count() == 35
+    assert df.filter("batch_id = 7").count() == 30
