@@ -10,11 +10,16 @@ conservation (O7), commit/ack-after-write (O15), attribute extraction
 
 from __future__ import annotations
 
+import os as _os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
 from . import register
+
+#: q07 scratch sinks already registered for exit-time cleanup.
+_Q07_SCRATCH_DIRS: set[str] = set()
 
 # The event_type the pipeline treats as droppable, exercising the
 # reference's "transformer returns empty slice => deliberate drop"
@@ -164,11 +169,25 @@ def q06_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dataflow", "pipeline", "invariant"),
 )
 def q07_roundtrip_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the partitioned sink. The sink target is one
+    deterministic scratch dir per (process, sf_dir), written in
+    overwrite mode and removed at interpreter exit — repeated builder
+    invocations reuse it instead of leaking a fresh mkdtemp each time.
+    """
+    import atexit
+    import hashlib
+    import shutil
     import tempfile
 
     from ..pipeline import ingest_batch
 
-    out_dir = tempfile.mkdtemp(prefix="pqing_q07_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = (
+        f"{tempfile.gettempdir()}/pqing_q07_{_os.getpid()}_{tag}"
+    )
+    if out_dir not in _Q07_SCRATCH_DIRS:
+        _Q07_SCRATCH_DIRS.add(out_dir)
+        atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     ingest_batch(table(spark, sf_dir, "events"), out_dir)
     return spark.read.parquet(out_dir).agg(
         F.count("*").alias("cnt"),

@@ -66,13 +66,15 @@ def q09_join_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN orders o   ON o.o_custkey   = c.c_custkey
         JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
         JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+                       AND s.s_nationkey = c.c_nationkey
         WHERE r.r_name = 'ASIA'
           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
         ORDER BY revenue DESC, n_name
     """,
-    doc="TPC-H Q5-shaped 6-way multi-join with region filter + date range.",
+    doc="TPC-H Q5 local-supplier-volume 6-way multi-join: region filter, "
+    "date range, supplier nation = customer nation.",
     tags=("relational", "join", "flagship"),
 )
 def q10_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,15 +98,22 @@ def q10_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = customer.join(
         F.broadcast(asia_nations),
         customer.c_nationkey == asia_nations.n_nationkey,
-    ).select("c_custkey", "n_name")
+    ).select("c_custkey", "n_nationkey", "n_name")
     ord_f = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        "o_orderkey", "n_name"
+        "o_orderkey", "n_nationkey", "n_name"
     )
     li = lineitem.join(
         F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey")
+    # Q5's local-supplier condition (supplier and customer share a
+    # nation) rides the same l_orderkey shuffle as an extra equi-key —
+    # no additional exchange.
     return (
-        li.join(ord_f, li.l_orderkey == ord_f.o_orderkey)
+        li.join(
+            ord_f,
+            (li.l_orderkey == ord_f.o_orderkey)
+            & (li.s_nationkey == ord_f.n_nationkey),
+        )
         .groupBy("n_name")
         .agg(
             round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
