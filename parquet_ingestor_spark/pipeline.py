@@ -66,6 +66,10 @@ class PipelineConfig:
     flush_interval: str = "10 seconds"  # trigger(processingTime=…)
     max_files_per_trigger: int = 32  # count/byte threshold analog
     max_records_per_file: int = 5_000_000  # output object sizing
+    # Payload codec inside the envelope: the reference's Payload is
+    # ``any`` (source/source.go:16); "json" and "csv" are the wire
+    # formats this pipeline decodes, with the same DLQ split.
+    payload_format: str = "json"
     timestamp_col: str = "ts"
     drop_where: str | None = None  # SQL predicate for deliberate drops (O5)
     dlq_suffix: str = "_dlq"  # corrupt-record prefix (O6)
@@ -169,9 +173,13 @@ def parse_envelopes(
     raw: DataFrame,
     record_schema: T.StructType,
     payload_col: str = "value",
+    payload_format: str = "json",
 ) -> tuple[DataFrame, DataFrame]:
-    """O4 + O6: decode JSON payloads into typed records; split failures.
+    """O4 + O6: decode payloads into typed records; split failures.
 
+    The reference's envelope payload is ``any``
+    (source/source.go:16); this decodes the two text wire formats —
+    JSON objects and CSV lines — with identical split semantics.
     Returns ``(good, bad)``. ``bad`` carries the raw payload plus an
     error tag — the reference's Fail()-and-never-batch path
     (reference: ingestor/ingestor.go:468-474) re-expressed as a
@@ -183,14 +191,22 @@ def parse_envelopes(
     )
     # PERMISSIVE + corrupt-record column: malformed payloads surface as
     # a non-null _corrupt_record instead of silently null-filled rows.
-    parsed = raw.withColumn(
-        "_rec",
-        F.from_json(
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt}
+    if payload_format == "json":
+        rec = F.from_json(F.col(payload_col), schema_with_corrupt, opts)
+    elif payload_format == "csv":
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in schema_with_corrupt.fields
+        )
+        rec = F.from_csv(
             F.col(payload_col),
-            schema_with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
-        ),
-    )
+            ddl,
+            {**opts, "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss"},
+        )
+    else:
+        raise ValueError(f"unsupported payload_format {payload_format!r}")
+    parsed = raw.withColumn("_rec", rec)
     good = parsed.filter(F.col(f"_rec.{corrupt}").isNull()).select(
         *[F.col(f"_rec.{f.name}").alias(f.name) for f in record_schema.fields],
         *[c for c in raw.columns if c != payload_col],
@@ -242,7 +258,9 @@ def start_stream_ingest(
                     f"[pipeline] batch={batch_id} payload sample: "
                     f"{sample[0].value[: cfg.payload_log_max_chars]}"
                 )
-        good, bad = parse_envelopes(batch_df, record_schema)
+        good, bad = parse_envelopes(
+            batch_df, record_schema, payload_format=cfg.payload_format
+        )
         if cfg.drop_where:
             good = good.filter(f"NOT ({cfg.drop_where})")
         write_batch(good, bad, data_dir, dlq_dir, batch_id, cfg)

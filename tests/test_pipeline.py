@@ -157,3 +157,37 @@ def test_batch_ingest_partition_pruning(spark, sf_dir):
     )
     assert pruned.count() == expected
     assert "PartitionFilters: [" in plan
+
+
+def test_stream_ingest_csv_payloads(spark, dirs):
+    """Non-JSON envelope payloads (reference Payload is `any`,
+    source/source.go:16): CSV lines decode through the same pipeline
+    with the same DLQ split for malformed rows."""
+    landing, out, chk = dirs
+    os.makedirs(landing)
+    good = 0
+    with open(os.path.join(landing, "batch0.json"), "w") as f:
+        for i in range(60):
+            if i % 10 == 9:
+                payload = "not-a-long,oops"  # id fails to parse → DLQ
+            else:
+                payload = f"{i},item-{i},{i * 1.337},2024-01-01T{i % 24:02d}:00:00"
+                good += 1
+            f.write(
+                json.dumps({"value": payload, "attributes": {"MessageId": str(i)}})
+                + "\n"
+            )
+
+    q = start_stream_ingest(
+        spark, landing, out, chk, RECORD_SCHEMA,
+        PipelineConfig(flush_interval="1 second", payload_format="csv"),
+    )
+    _run_until_drained(q)
+
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == good
+    assert data.filter("name = 'item-3'").select("value").first()[0] == 3 * 1.337
+    assert data.select(F.min("ts").cast("string")).first()[0] == "2024-01-01 00:00:00"
+    dlq = spark.read.json(f"{out}/_dlq")
+    assert dlq.count() == 60 - good
+    assert set(r.value for r in dlq.select("value").collect()) == {"not-a-long,oops"}
