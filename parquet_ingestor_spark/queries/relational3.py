@@ -285,3 +285,108 @@ def q44_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "q49_map_funcs",
+    oracle="""
+        WITH m0 AS (
+            SELECT event_id,
+                   map_concat(
+                       MAP {'type': event_type,
+                            'user': CAST(user_id AS VARCHAR)},
+                       MAP {'vbucket': CAST(CAST(floor(value) AS BIGINT)
+                                            AS VARCHAR)}
+                   ) AS m
+            FROM events
+        )
+        SELECT event_id,
+               m['type'][1] AS m_type,
+               CAST(cardinality(m) AS INTEGER) AS m_size,
+               array_to_string(map_keys(m), ',') AS keys_csv,
+               array_to_string(map_values(m), ',') AS vals_csv,
+               CAST(len(list_filter(map_entries(m), e -> e.key <> 'user'))
+                    AS INTEGER) AS non_user_entries,
+               upper(m['type'][1]) AS m_type_upper
+        FROM m0
+        ORDER BY event_id
+    """,
+    doc="Map-column function breadth: create_map, map_concat, "
+    "element_at, size, map_keys/values, map_filter, transform_values.",
+    tags=("relational", "map"),
+)
+def q49_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("user"), F.col("user_id").cast("string"),
+        ),
+        F.create_map(
+            F.lit("vbucket"),
+            F.floor("value").cast("long").cast("string"),
+        ),
+    )
+    filtered = F.map_filter(F.col("m"), lambda k, v: k != F.lit("user"))
+    upped = F.transform_values(F.col("m"), lambda k, v: F.upper(v))
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.element_at("m", "type").alias("m_type"),
+            F.size("m").alias("m_size"),
+            F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+            F.concat_ws(",", F.map_values("m")).alias("vals_csv"),
+            F.size(filtered).alias("non_user_entries"),
+            F.element_at(upped, "type").alias("m_type_upper"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q50_setops_all",
+    oracle="""
+        WITH a AS (
+            SELECT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal > 5000
+        ), b AS (
+            SELECT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 0
+        ), i AS (
+            SELECT 'intersect_all' AS op, nationkey
+            FROM (SELECT nationkey FROM a INTERSECT ALL
+                  SELECT nationkey FROM b) t
+        ), e AS (
+            SELECT 'except_all' AS op, nationkey
+            FROM (SELECT nationkey FROM b EXCEPT ALL
+                  SELECT nationkey FROM a) t
+        )
+        SELECT op, nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT * FROM i UNION ALL SELECT * FROM e) u
+        GROUP BY op, nationkey
+        ORDER BY op, nationkey
+    """,
+    doc="Multiset set operations: INTERSECT ALL and EXCEPT ALL "
+    "(duplicate-preserving), aggregated for a stable comparison.",
+    tags=("relational", "setops"),
+)
+def q50_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    b = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    i = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "nationkey")
+    e = b.exceptAll(a).select(F.lit("except_all").alias("op"), "nationkey")
+    return (
+        i.unionByName(e)
+        .groupBy("op", "nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("op", "nationkey")
+    )

@@ -103,3 +103,69 @@ def user_activity_batch_twin(events: DataFrame) -> DataFrame:
         F.count("*").alias("events_seen"),
         F.sum("value").alias("total_value"),
     )
+
+
+class UserActivityProcessor:
+    """transformWithStateInPandas twin of the tracker above — the
+    Spark 4 StatefulProcessor API (typed state handles, timers) that
+    supersedes applyInPandasWithState. Requires the RocksDB state
+    store provider AND protobuf in the Python env (the TWS runner
+    imports google.protobuf; absent here, so the differential test
+    skips in this container). State is a per-key ValueState of
+    (events_seen, total_value), emitted in Update mode per batch.
+
+    Implemented as a plain class and upcast at call time so importing
+    this module never hard-depends on the new API surface.
+    """
+
+    def init(self, handle) -> None:
+        self._acc = handle.getValueState("acc", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        events_seen, total_value = (
+            tuple(self._acc.get()) if self._acc.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            events_seen += len(pdf)
+            total_value += float(pdf["value"].sum())
+        self._acc.update((events_seen, total_value))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "events_seen": [events_seen],
+                "total_value": [total_value],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_activity_tracker_tws(events: DataFrame) -> DataFrame:
+    """Running per-user totals via transformWithStateInPandas.
+
+    The session must use the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); the batch twin
+    is user_activity_batch_twin minus the ``closed`` flag.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type(
+        "UserActivityStatefulProcessor",
+        (UserActivityProcessor, StatefulProcessor),
+        {},
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("events_seen", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        cls(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

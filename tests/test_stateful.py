@@ -57,3 +57,47 @@ def test_stateful_tracker_matches_batch_twin(spark, events_stream_dir):
         for r in user_activity_batch_twin(batch).collect()
     }
     assert got == want
+
+
+def test_transform_with_state_matches_batch_twin(spark, events_stream_dir):
+    """Same invariant through the Spark 4 StatefulProcessor API
+    (transformWithStateInPandas + RocksDB state store). The TWS Python
+    runner needs protobuf, which this container lacks — skip there."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from parquet_ingestor_spark.streaming.stateful import (
+        user_activity_batch_twin,
+        user_activity_tracker_tws,
+    )
+
+    batch, stream = events_stream_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_activity_tracker_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = {
+        r.user_id: (r.events_seen, round(r.total_value, 4))
+        for r in spark.table("t_tws").collect()
+    }
+    want = {
+        r.user_id: (r.events_seen, round(r.total_value, 4))
+        for r in user_activity_batch_twin(batch).collect()
+    }
+    assert got == want
