@@ -98,3 +98,97 @@ def kafka_envelope_source(
             ),
         ).alias("attributes"),
     )
+
+
+def poll_queue_once(
+    receive,
+    delete,
+    landing_dir: str,
+    file_prefix: str = "queue",
+) -> int:
+    """One queue receive → durable landing-file write → ack cycle.
+
+    The missing half of the SQS loop (reference:
+    source/source_sqs.go:204-315): a poller drains messages into the
+    landing dir the streaming source tails. ``receive()`` returns a
+    list of ``{"body": str, "receipt": str, "attributes": dict}``;
+    ``delete(receipts)`` acks. Ordering is the reference's
+    ack-after-durable-write: the JSONL envelope file is written to a
+    temp name and atomically renamed BEFORE delete() runs, so a crash
+    anywhere leaves the messages in flight (visibility timeout →
+    redelivery → at-least-once; the pipeline's idempotent batch commit
+    absorbs the replay).
+    """
+    import json
+    import os
+    import uuid
+
+    msgs = receive()
+    if not msgs:
+        return 0
+    name = f"{file_prefix}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(landing_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for m in msgs:
+            f.write(
+                json.dumps(
+                    {
+                        "value": m["body"],
+                        "attributes": {
+                            str(k): str(v)
+                            for k, v in (m.get("attributes") or {}).items()
+                        },
+                    }
+                )
+                + "\n"
+            )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(landing_dir, name))
+    delete([m["receipt"] for m in msgs])
+    return len(msgs)
+
+
+def sqs_receive_delete(queue_url: str, max_messages: int = 10, wait_seconds: int = 10):
+    """boto3-backed (receive, delete) pair for poll_queue_once.
+
+    Gated: boto3 is optional; environments without it (this container)
+    get a clear error at call time. The callables mirror the
+    reference's ReceiveMessage/DeleteMessageBatch usage
+    (source/source_sqs.go:249-315).
+    """
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as err:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "boto3 is not installed; pass custom receive/delete "
+            "callables to poll_queue_once instead"
+        ) from err
+    sqs = boto3.client("sqs")
+
+    def receive():
+        resp = sqs.receive_message(
+            QueueUrl=queue_url,
+            MaxNumberOfMessages=max_messages,
+            WaitTimeSeconds=wait_seconds,
+            MessageAttributeNames=["All"],
+        )
+        return [
+            {
+                "body": m["Body"],
+                "receipt": m["ReceiptHandle"],
+                "attributes": {"MessageId": m["MessageId"]},
+            }
+            for m in resp.get("Messages", [])
+        ]
+
+    def delete(receipts):
+        sqs.delete_message_batch(
+            QueueUrl=queue_url,
+            Entries=[
+                {"Id": str(i), "ReceiptHandle": r}
+                for i, r in enumerate(receipts)
+            ],
+        )
+
+    return receive, delete

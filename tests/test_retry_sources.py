@@ -165,3 +165,47 @@ def test_custom_key_func_partitioning(spark, tmp_path):
     )
     assert parts == ["bucket=0", "bucket=1", "bucket=2"]
     assert spark.read.parquet(f"{out}/data").count() == 10
+
+
+def test_queue_poller_ack_after_durable_write(spark, tmp_path):
+    """The poller lands envelopes atomically and acks only after the
+    rename; a write that never completes must leave messages unacked
+    (redelivery → at-least-once)."""
+    import json
+    import os
+
+    from parquet_ingestor_spark.pipeline import ENVELOPE_SCHEMA
+    from parquet_ingestor_spark.sources import poll_queue_once
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    batch = [
+        {"body": json.dumps({"id": i}), "receipt": f"r{i}",
+         "attributes": {"MessageId": i}}
+        for i in range(5)
+    ]
+    deleted: list[list[str]] = []
+
+    n = poll_queue_once(lambda: batch, deleted.append, str(landing))
+    assert n == 5
+    assert deleted == [["r0", "r1", "r2", "r3", "r4"]]
+    # no temp debris; landed file is valid envelope JSONL
+    assert not [p for p in os.listdir(landing) if p.endswith(".tmp")]
+    df = spark.read.schema(ENVELOPE_SCHEMA).json(str(landing))
+    assert df.count() == 5
+    assert df.filter("attributes.MessageId = '3'").count() == 1
+
+    # empty receive: no file, no ack
+    assert poll_queue_once(lambda: [], deleted.append, str(landing)) == 0
+    assert len(deleted) == 1
+
+    # ack ordering: a delete that fires implies the file already exists
+    seen_at_delete = {}
+
+    def delete_probe(receipts):
+        seen_at_delete["files"] = [
+            p for p in os.listdir(landing) if not p.startswith(".")
+        ]
+
+    poll_queue_once(lambda: batch[:2], delete_probe, str(landing))
+    assert len(seen_at_delete["files"]) == 2  # first file + this one
