@@ -335,3 +335,107 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+SRP_BITS = 128  # signature width (two packed longs)
+SRP_BANDS = 8  # 8 bands × 16 bits
+SRP_BAND_BITS = SRP_BITS // SRP_BANDS
+SRP_SEED = 42
+
+
+@register(
+    "sim_srp_lsh_neardup",
+    oracle=None,  # probabilistic candidate generation: rows-only;
+    # tests assert (subset of exact sim_neardup_pairs) + recall on
+    # high-similarity pairs.
+    doc="SRP-LSH cosine near-dup pairs: 128-bit signed-random-"
+    "projection signatures, 8×16-bit band self-join, exact-verified.",
+    tags=("similarity", "dedup", "approx"),
+)
+def sim_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return srp_lsh_neardup(table(spark, sf_dir, "embeddings"))
+
+
+def srp_lsh_neardup(
+    emb: DataFrame, threshold: float = NEARDUP_TAU
+) -> DataFrame:
+    """The scale path for embedding near-dup detection (the exact
+    twin, sim_neardup_pairs, is an all-pairs cross join — the
+    verification/baseline formulation).
+
+    Signed random projections: sign(v @ P) for a fixed seeded
+    (dim × 128) Gaussian matrix P approximates cosine — P(bit match)
+    = 1 − θ/π. Signatures are computed in one numpy mapInPandas pass
+    (no shuffle), banded into 8 × 16-bit keys, and candidates come
+    from a (band, key) self-join — no collect_list, AQE splits hot
+    buckets. Candidates (rare) are verified with the exact fold-based
+    cosine and thresholded at the same τ as the exact twin, so output
+    is always a subset of it. For τ = 0.4 the 16-bit bands make the
+    S-curve steep near 0.9+: this operator targets *near-duplicate*
+    similarity, and the recall test pins the ≥0.9 planted pairs.
+    At billions of vectors the 2¹⁶-per-band key space is the bucket
+    bound to watch — widen bands (and add bands to keep recall) the
+    same way the 126-bit SimHash chunks do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(SRP_SEED)
+    planes = rng.standard_normal((dim, SRP_BITS))
+    b_planes = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(SRP_BAND_BITS)).astype(np.int64)
+
+    def _sign(batches):
+        P = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            bits = (vm @ P) > 0  # (n, SRP_BITS)
+            rows = {"vec_id": np.repeat(pdf["vec_id"].values, SRP_BANDS),
+                    "band": np.tile(np.arange(SRP_BANDS), len(pdf)),
+                    "bkey": np.concatenate([
+                        bits[:, b * SRP_BAND_BITS:(b + 1) * SRP_BAND_BITS]
+                        @ weights
+                        for b in range(SRP_BANDS)
+                    ]).reshape(SRP_BANDS, len(pdf)).T.reshape(-1)}
+            yield pd.DataFrame(rows)
+
+    banded = emb.select("vec_id", "embedding").mapInPandas(
+        _sign, schema="vec_id long, band int, bkey long"
+    )
+    bl, br = banded.alias("bl"), banded.alias("br")
+    cand = (
+        bl.join(
+            br,
+            (F.col("bl.band") == F.col("br.band"))
+            & (F.col("bl.bkey") == F.col("br.bkey"))
+            & (F.col("bl.vec_id") < F.col("br.vec_id")),
+        )
+        .select(
+            F.col("bl.vec_id").alias("vec_a"),
+            F.col("br.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    n = with_norm(emb)
+    va = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = _dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .filter(sim >= threshold)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+        .orderBy("vec_a", "vec_b")
+    )

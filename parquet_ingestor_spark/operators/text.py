@@ -9,7 +9,7 @@ final presentation sort.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import table
 from ..queries import register
@@ -260,5 +260,131 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.alias("fp"),
             F.substring(fp, 1, 4).alias("shard"),
         )
+        .orderBy("doc_id")
+    )
+
+
+PACK_TOKEN_BUDGET = 256  # target tokens per training pack
+
+
+@register(
+    "text_pack_bins",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_off
+            FROM t
+        )
+        SELECT source,
+               CAST(start_off // {PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum
+        FROM c
+        GROUP BY source, pack_id
+        ORDER BY source, pack_id
+    """,
+    doc="Sequence packing for training batches: docs chunk into "
+    "token-budget packs by running offset, parallel per source shard.",
+    tags=("text", "training"),
+)
+def text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs.
+
+    Deterministic offset packing: within each source shard, documents
+    (in doc_id order) occupy a running token stream and a doc's pack is
+    ``start_offset // budget``. The window partitions by source, so
+    packing parallelizes across shards — the scale contract for
+    sequence packing (a GLOBAL greedy first-fit would serialize the
+    corpus through one task; per-shard streams are how packing runs at
+    100 TB). Output is per-pack (doc count, token sum) for a compact
+    exact comparison.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(F.col("start_off") / PACK_TOKEN_BUDGET).cast("long"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tok_sum"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle="""
+        WITH r AS (
+            SELECT doc_id, source,
+                   greatest(10, 100 - 5 * CAST(regexp_extract(source,
+                       '([0-9]+)', 1) AS INTEGER)) AS rate,
+                   ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                       source), 1, 6))::BIGINT % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket
+        FROM r
+        WHERE bucket < rate
+        ORDER BY doc_id
+    """,
+    doc="Deterministic per-source weighted corpus sampling: md5-bucket "
+    "admission, reproducible across engines and re-runs.",
+    tags=("text", "training", "sampling"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted downsampling for corpus mixing.
+
+    Admission is a pure function of (doc_id, source) — an md5-derived
+    bucket in [0,100) compared to the source's sampling rate — so the
+    sample is reproducible run-to-run, engine-to-engine, and under
+    task retry (never rand()-per-row, which resamples on recompute).
+    A narrow scan + codegen filter: no shuffle at any scale.
+    """
+    rate = F.greatest(
+        F.lit(10),
+        F.lit(100)
+        - 5 * F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("int"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("source"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "bucket")
         .orderBy("doc_id")
     )

@@ -274,3 +274,55 @@ def test_multimodal_oracle_byte_semantics_non_ascii(spark, tmp_path):
         assert spark_canon(q.fn(spark, str(tmp_path))) == duck_canon(
             con, q.oracle
         ), name
+
+
+def test_srp_lsh_subset_of_exact(spark, sf_dir):
+    """On the real testdata (no high-cosine pairs), SRP-LSH must emit
+    a subset of the exact all-pairs result with identical sims — the
+    verification stage guarantees no false positives."""
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in REGISTRY["sim_neardup_pairs"].fn(spark, sf_dir).collect()
+    }
+    srp = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in REGISTRY["sim_srp_lsh_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert set(srp) <= set(exact)
+    for k, v in srp.items():
+        assert v == exact[k]
+
+
+def test_srp_lsh_recall_on_planted_neardups(spark):
+    """The regime the sketch targets: a corpus with planted
+    near-identical vectors (cos ≥ ~0.99). The band S-curve puts their
+    detection probability near 1; require ≥90% recall and verify every
+    reported pair against numpy cosine."""
+    import numpy as np
+
+    from parquet_ingestor_spark.operators.similarity import srp_lsh_neardup
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 32))
+    dups = base[:20] + 0.02 * rng.standard_normal((20, 32))
+    corpus = np.vstack([base, dups])  # ids 200..219 duplicate 0..19
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in corpus[i]]) for i in range(len(corpus))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in srp_lsh_neardup(emb, threshold=0.9).collect()
+    }
+    # no false positives at τ=0.9
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    for (a, b), sim in got.items():
+        assert float(cn[a] @ cn[b]) >= 0.9 - 1e-3
+    planted = {
+        (i, 200 + i)
+        for i in range(20)
+        if float(cn[i] @ cn[200 + i]) >= 0.9
+    }
+    assert len(planted) >= 15  # noise keeps nearly all pairs ≥0.9
+    found = planted & set(got)
+    assert len(found) / len(planted) >= 0.9, f"{len(found)}/{len(planted)}"
