@@ -71,12 +71,15 @@ def main() -> None:
 
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Per-query warm-then-measure, best-of-2. Warm at the measured SF
+    # Per-query warm-then-measure, best-of-3. Warm at the measured SF
     # (AQE picks different join strategies per SF → different codegen
     # units), immediately before timing (a global warm-everything pass
     # leaves enough heap/codegen pressure to skew later queries), and
-    # take the min of two timed runs (AQE re-planning occasionally
-    # recompiles; min = steady-state data-processing cost).
+    # take the min of three timed runs (AQE re-planning occasionally
+    # recompiles, and JIT needs iterations on interpreted-expression
+    # paths; min = steady-state data-processing cost). Persisted
+    # blocks a query materialized for its own DAG are dropped before
+    # the next query so cache churn never bleeds across entries.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
@@ -85,11 +88,12 @@ def main() -> None:
         except Exception:
             pass  # warm-up failures surface in the timed run
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -22,8 +22,12 @@ a million colliding rows in a single band bucket — and makes the
 (inherently quadratic) identical-text pair output a distributed join,
 never a single-task ``collect_list`` expansion.
 
-All pure DataFrame/column expressions (no Python UDFs): shingling,
-hashing, signatures, and banding run inside whole-stage codegen.
+Token hashing stays JVM-side (xxhash64 expressions); the per-document
+sketch reductions (MinHash permutation mins, SimHash bit votes) run as
+vectorized numpy ``mapInPandas`` passes — they are row-local, so the
+sketch stage needs no shuffle at any scale, and only (doc_id, int64
+array) crosses the Arrow boundary, never text. No row-at-a-time
+Python UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -195,63 +199,89 @@ def _perm_params(i: int) -> tuple[int, int]:
     return a, b
 
 
-def shingle_hashes_col(text_col: str = "text", n: int = 3) -> Column:
-    """n-gram shingle *hashes* without materializing shingle strings.
-
-    Hash each token once (xxhash64 → 30-bit residue), then combine
-    consecutive token hashes with a rolling polynomial mod p. Profiling
-    showed the string-shingle path (concat_ws of slices +
-    array_distinct) dominated MinHash end-to-end — interpreted string
-    ops per shingle; this is pure integer arithmetic. Duplicates are
-    kept: min() over duplicate hash values is identical to min() over
-    the distinct set, so MinHash needs no dedup here.
-    """
-    th = f"transform(split({text_col}, ' '), t -> pmod(xxhash64(t), 1073741789))"
-    # Bind the token-hash array to a lambda variable so it is evaluated
-    # once per row — naming it via a column would let CollapseProject
-    # inline (= recompute) it per element access.
-    return F.expr(
-        f"flatten(transform(array({th}), th -> "
-        f"CASE WHEN size(th) >= {n} THEN "
-        f"transform(sequence(0, size(th) - {n}), i -> "
-        f"(pmod(th[i] * 8191 + th[i + 1], {_MERSENNE}) * 8191 "
-        f"+ th[i + 2]) % {_MERSENNE}) "
-        f"ELSE array() END))"
-    )
-
-
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = _NUM_HASHES, text_col: str = "text"
+def minhash_band_keys(
+    docs: DataFrame,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+    text_col: str = "text",
 ) -> DataFrame:
-    """64-permutation MinHash signature per doc.
+    """(doc_id, band, bkey) LSH band keys from 64-permutation MinHash.
 
-    Shape chosen for codegen, not elegance: explode the shingle-hash
-    array to (doc_id, h) rows — each token hashed exactly once — then
-    compute all 64 permutations as independent ``min((a_i·h + b_i) mod
-    p)`` aggregates in one hash aggregate. Every operator here is
-    whole-stage-codegen'd JVM arithmetic; the earlier nested
-    higher-order-function formulation ran interpreted per lambda call
-    (~10× slower) and a 64-entry literal parameter table blew up
-    Catalyst optimization time, so the parameters are per-aggregate
-    literals instead. The shuffle carries only partial-aggregated
-    (doc × 64) rows — shingles collapse map-side because docs are
-    already co-partitioned by doc_id.
+    MinHash signatures are a *per-document* reduction — no grouping
+    across rows — so they need no shuffle at all: tokens are hashed
+    once JVM-side (one interpreted HOF pass, integer output only),
+    then a single numpy ``mapInPandas`` pass builds 3-gram rolling
+    shingle hashes, all ``min((a_i·h + b_i) mod p)`` permutations
+    (vectorized ``np.minimum.reduceat`` over per-doc segments), and
+    the banded keys. Only (doc_id, int64 array) crosses Arrow — never
+    the text. This replaced an explode + 64-min-aggregate formulation:
+    correct shuffle-light shape, but its wide codegen unit cost
+    seconds of janino compile per JVM and the explode inflated the
+    corpus ~200× before the partial aggregate.
+
+    Docs with < 3 tokens have no shingles and emit no band rows
+    (Jaccard is undefined for them), matching the explode semantics.
     """
-    hashed = docs.select(
-        "doc_id", F.explode(shingle_hashes_col(text_col)).alias("h")
+    import numpy as np
+    import pandas as pd
+
+    num_hashes = bands * rows_per_band
+    params = np.array(
+        [_perm_params(i) for i in range(1, num_hashes + 1)], dtype=np.int64
     )
-    mins = []
-    for i in range(1, num_hashes + 1):
-        a, b = _perm_params(i)
-        mins.append(
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(f"m{i}")
-        )
-    sig_cols = [F.col(f"m{i}") for i in range(1, num_hashes + 1)]
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*sig_cols).alias("sig"))
+    th = (
+        f"transform(split({text_col}, ' '), "
+        f"t -> pmod(xxhash64(t), 1073741789))"
     )
+
+    def _keys(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lens = np.fromiter(
+                (len(x) for x in pdf["th"]), dtype=np.int64, count=len(pdf)
+            )
+            keep = lens >= 3
+            if not keep.any():
+                continue
+            doc_ids = pdf["doc_id"].to_numpy()[keep]
+            h = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["th"][keep]]
+            )
+            lens = lens[keep]
+            # rolling 3-gram polynomial per doc; the 2-overlap between
+            # consecutive docs' flattened windows is cut out below
+            sh = ((h[:-2] * 8191 + h[1:-1]) % _MERSENNE * 8191 + h[2:]) % _MERSENNE
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            n_sh = lens - 2
+            win_keep = np.ones(len(sh), dtype=bool)
+            for off in (2, 1):
+                idx = starts[1:] - off
+                win_keep[idx] = False
+            sh = sh[win_keep]
+            offs = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+            sig = np.empty((len(doc_ids), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                a, b = params[i]
+                sig[:, i] = np.minimum.reduceat((a * sh + b) % _MERSENNE, offs)
+            # band key: polynomial fold of the band's signature slice
+            bkeys = np.zeros((len(doc_ids), bands), dtype=np.int64)
+            for bd in range(bands):
+                acc = np.zeros(len(doc_ids), dtype=np.int64)
+                for r in range(rows_per_band):
+                    acc = (acc * 8191 + sig[:, bd * rows_per_band + r]) % _MERSENNE
+                bkeys[:, bd] = acc
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(doc_ids)),
+                    "bkey": bkeys.reshape(-1),
+                }
+            )
+
+    return docs.select(
+        "doc_id", F.expr(th).alias("th")
+    ).mapInPandas(_keys, schema="doc_id long, band int, bkey long")
 
 
 def minhash_lsh_pairs(
@@ -263,12 +293,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
-    Pipeline: exact-dedup to representatives → signature → band keys →
-    explode(bands) → bucket groupBy (shuffle keyed on band hash, so
-    only colliding reps ever meet) → distinct candidates → exact
-    string-shingle Jaccard on candidates only (shingle strings are
-    built for the few candidate rows, never the corpus — the
-    corpus-wide path is hash-only) → member-pair expansion by join.
+    Pipeline: exact-dedup to representatives → band keys (shuffle-free
+    numpy signature pass) → candidate pairs from a (band, bkey)
+    self-join (only colliding reps ever meet) → exact string-shingle
+    Jaccard on candidates only (shingle strings are built for the few
+    candidate rows, never the corpus — the corpus-wide path is
+    hash-only) → member-pair expansion by join.
 
     The representative pre-pass is the bucket bound: a bucket is a
     4-row signature collision among *distinct* texts, so mass exact
@@ -284,21 +314,7 @@ def minhash_lsh_pairs(
     reps, members = _rep_groups(docs, text_col)
     par = docs.sparkSession.sparkContext.defaultParallelism
     reps = reps.repartition(par, "doc_id")
-    # Signatures are consumed by both self-join branches; persist so the
-    # 64-aggregate pipeline runs once (the broadcast-side branch cannot
-    # share a shuffle with the streamed side via ReusedExchange).
-    sig = minhash_signatures(reps, bands * rows_per_band, text_col).persist()
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band, "
-                f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band}))) AS bkey))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    banded = minhash_band_keys(reps, bands, rows_per_band, text_col)
 
     # Candidates from band-key collisions via self-join: no per-bucket
     # collect_list, so no bucket ever has to fit one task's memory.
@@ -360,12 +376,16 @@ def simhash_fingerprints(
     """Two-word SimHash fingerprint (2 × bits 0..62 — bit 63 would
     overflow int64 under ANSI; 126 bits total) per doc: per-bit
     majority vote over two independent xxhash64 token hashes
-    (``xxhash64(t)`` and ``xxhash64(t, 1)``). Same codegen-first shape
-    as MinHash: explode tokens, one hash aggregate with 126 vote-sum
-    columns (all whole-stage-codegen'd; the per-row nested-lambda
-    formulation ran interpreted and was the operator's bottleneck),
-    then rebuild both words from the vote signs in a flat arithmetic
-    projection.
+    (``xxhash64(t)`` and ``xxhash64(t, 1)``).
+
+    Like MinHash, the fingerprint is a per-document reduction, so it
+    needs no shuffle: tokens hash JVM-side (shared xxhash64 basis —
+    the differential test recomputes fingerprints in pure Python from
+    the same hashes), then one numpy ``mapInPandas`` pass unpacks
+    hash bits (``np.unpackbits``), sums votes per doc
+    (``np.add.reduceat``), and packs the majority bits back into two
+    int64 words. This replaced an explode + 126-vote-aggregate plan
+    whose codegen unit took seconds of janino compile per JVM.
 
     Why two words: banding needs 4 exact-match chunks for the
     hamming≤3 pigeonhole, and a 63-bit fingerprint only gives 16-bit
@@ -374,38 +394,47 @@ def simhash_fingerprints(
     keys (2³¹⁺ buckets per chunk), keeping random chunk collisions —
     and therefore candidate-join fan-out — flat at billions of docs.
     """
-    hashed = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(split({text_col}, ' '), "
-                f"t -> struct(xxhash64(t) AS h0, xxhash64(t, 1) AS h1))"
+    import numpy as np
+    import pandas as pd
+
+    def _word(flat: "np.ndarray", offs: "np.ndarray", n_tok: "np.ndarray"):
+        # bit i of each token hash, little-endian across the uint64 view
+        bits_m = np.unpackbits(
+            flat.view(np.uint64).view(np.uint8).reshape(-1, 8),
+            axis=1,
+            bitorder="little",
+        ).reshape(-1, 64)[:, :bits]
+        ones = np.add.reduceat(bits_m.astype(np.int64), offs, axis=0)
+        maj = (2 * ones - n_tok[:, None]) > 0  # vote sum > 0
+        return (maj.astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum(
+            axis=1, dtype=np.uint64
+        ).astype(np.int64)
+
+    def _fp(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_tok = np.fromiter(
+                (len(x) for x in pdf["h0s"]), dtype=np.int64, count=len(pdf)
             )
-        ).alias("hh"),
-    ).select("doc_id", "hh.h0", "hh.h1")
-    votes = [
-        F.sum(
-            F.when(
-                F.shiftright(w, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"{w}_{i}")
-        for w in ("h0", "h1")
-        for i in range(bits)
-    ]
-    words = []
-    for w in ("h0", "h1"):
-        fp_expr = None
-        for i in range(bits):
-            term = F.when(
-                F.col(f"{w}_{i}") > 0, F.lit(1 << i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            fp_expr = term if fp_expr is None else fp_expr + term
-        words.append(fp_expr)
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*votes)
-        .select("doc_id", words[0].alias("sh0"), words[1].alias("sh1"))
-    )
+            offs = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for col, name in (("h0s", "sh0"), ("h1s", "sh1")):
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in pdf[col]]
+                )
+                out[name] = _word(flat, offs, n_tok)
+            yield pd.DataFrame(out)
+
+    return docs.select(
+        "doc_id",
+        F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias(
+            "h0s"
+        ),
+        F.expr(
+            f"transform(split({text_col}, ' '), t -> xxhash64(t, 1))"
+        ).alias("h1s"),
+    ).mapInPandas(_fp, schema="doc_id long, sh0 long, sh1 long")
 
 
 def simhash_pairs(
@@ -423,11 +452,11 @@ def simhash_pairs(
     """
     reps, members = _rep_groups(docs, text_col)
     par = docs.sparkSession.sparkContext.defaultParallelism
-    # Persist: both chunk self-join branches consume the fingerprints;
-    # without it the 126-aggregate vote pipeline runs once per branch.
-    fp = simhash_fingerprints(
-        reps.repartition(par, "doc_id"), text_col=text_col
-    ).persist()
+    # Both chunk self-join branches consume the fingerprints, but they
+    # shuffle on the same (chunk, ckey) keys with identical subplans,
+    # so the exchange is written once and read twice (ReusedExchange)
+    # — no persist needed.
+    fp = simhash_fingerprints(reps.repartition(par, "doc_id"), text_col=text_col)
     chunks = fp.select(
         "doc_id",
         "sh0",
