@@ -125,11 +125,10 @@ def _rep_groups(
     """
     grp = F.md5(F.col(text_col).cast("binary"))
     members = docs.select("doc_id", grp.alias("grp"))
-    # reps feeds many DAG branches (signatures, both verification text
-    # joins, group expansion); persist() marks it for materialize-once
-    # instead of re-running the corpus scan + md5 shuffle per branch.
-    # Lazy — no I/O until an action — and the ContextCleaner drops the
-    # entry when the DataFrame is garbage collected.
+    # reps feeds several DAG branches (signatures, verification text
+    # joins, group expansion); the md5 groupBy's exchange is reused
+    # across them (identical subplans), so no persist is needed — and
+    # skipping it keeps AQE free to replan every branch.
     reps = (
         docs.select("doc_id", grp.alias("grp"), text_col)
         .groupBy("grp")
@@ -137,7 +136,6 @@ def _rep_groups(
             F.min("doc_id").alias("doc_id"),
             F.first(text_col).alias(text_col),
         )
-        .persist()
     )
     return reps, members
 
@@ -152,40 +150,43 @@ def _expand_rep_pairs(
 ) -> DataFrame:
     """Expand representative-level pairs to all member pairs.
 
-    Cross-group: each rep pair (value carried through — identical
-    texts have identical sketch distances) fans out to the cartesian
-    product of its two member groups via two grp-keyed joins —
-    distributed work, and AQE's skew-join splitting handles a huge
-    group. Within-group: a grp self-join emits every identical-text
-    pair at ``within_value`` (jaccard 1.0 / hamming 0);
-    ``rep_within_filter`` excludes groups where the metric is
-    undefined (e.g. texts too short to shingle).
+    ``mem`` maps each representative doc_id to its member doc_ids (one
+    grp-keyed join, shared by both branches). Cross-group: each rep
+    pair (value carried through — identical texts have identical
+    sketch distances) fans out to the cartesian product of its two
+    member groups via two rep-keyed joins — distributed work, and
+    AQE's skew-join splitting handles a huge group. Within-group: a
+    rep-keyed self-join of ``mem`` emits every identical-text pair at
+    ``within_value`` (jaccard 1.0 / hamming 0); ``rep_within_filter``
+    excludes groups where the metric is undefined (e.g. texts too
+    short to shingle).
     """
-    ga = reps.select(F.col("doc_id").alias("doc_a"), F.col("grp").alias("ga"))
-    gb = reps.select(F.col("doc_id").alias("doc_b"), F.col("grp").alias("gb"))
-    ma = members.select(F.col("doc_id").alias("ma"), F.col("grp").alias("ga"))
-    mb = members.select(F.col("doc_id").alias("mb"), F.col("grp").alias("gb"))
+    mem = members.join(
+        reps.select("grp", F.col("doc_id").alias("rep")), "grp"
+    ).select("rep", "doc_id")
+    ma = mem.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ma"))
+    mb = mem.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("mb"))
     cross = (
-        rep_pairs.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .drop("doc_a", "doc_b")
-        .join(ma, "ga")
-        .join(mb, "gb")
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
         .select(
             F.least("ma", "mb").alias("doc_a"),
             F.greatest("ma", "mb").alias("doc_b"),
             value_col,
         )
     )
-    w = members
+    w = mem
     if rep_within_filter is not None:
-        w = members.join(
-            reps.filter(rep_within_filter).select("grp"), "grp"
+        w = mem.join(
+            reps.filter(rep_within_filter).select(
+                F.col("doc_id").alias("rep")
+            ),
+            "rep",
         )
-    wa = w.select("grp", F.col("doc_id").alias("doc_a"))
-    wb = w.select("grp", F.col("doc_id").alias("doc_b"))
+    wa = w.select("rep", F.col("doc_id").alias("doc_a"))
+    wb = w.select("rep", F.col("doc_id").alias("doc_b"))
     within = (
-        wa.join(wb, "grp")
+        wa.join(wb, "rep")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", within_value.alias(value_col))
     )
