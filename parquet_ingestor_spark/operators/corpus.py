@@ -1,0 +1,453 @@
+"""Corpus-curation operators: the cluster/filter/audit layer a
+training-data pipeline runs after per-doc signals.
+
+Reference parity: the reference engine stops at ingest
+(/root/reference/ingestor/ingestor.go) — these operators extend the
+declared north-star scope (SURVEY.md §2 extensions): duplicate
+*clusters* (not just pairs), Gopher-style repetition signals, PII
+scrubbing, benchmark-contamination audit, and global n-gram stats.
+
+Scale notes are per-operator; the shared rule: per-doc signals are
+narrow scans with codegen expressions, corpus-level structures
+(clusters, n-gram counts, contamination joins) are partial-agg
+shuffles keyed on content hashes — no collect_list, no driver-side
+data loops (the connected-components driver loop iterates *rounds*,
+not rows).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..queries import register
+from .dedup import JACCARD_THRESHOLD, _doc_shingles, exact_jaccard_pairs
+
+# Shared shingle/pair SQL for oracles that need near-dup edges
+# (mirrors the dedup_jaccard_pairs oracle).
+_PAIRS_CTE = f"""
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3 THEN list_distinct(
+                   list_transform(generate_series(1, len(toks) - 2),
+                                  i -> array_to_string(toks[i:i+2], ' ')))
+               ELSE [] END AS shingles
+        FROM t
+    ), ex AS (
+        SELECT doc_id, unnest(shingles) AS sh FROM s
+    ), sz AS (
+        SELECT doc_id, len(shingles) AS n FROM s
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        JOIN sz sa ON sa.doc_id = a.doc_id
+        JOIN sz sb ON sb.doc_id = b.doc_id
+        GROUP BY 1, 2, sa.n, sb.n
+        HAVING COUNT(*) * 1.0 / (sa.n + sb.n - COUNT(*))
+               >= {JACCARD_THRESHOLD}
+    )
+"""
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Hash-min connected components over (doc_a, doc_b) edges.
+
+    Pregel-style label propagation: every node starts with label =
+    its own id; each round replaces a node's label with the min of
+    its own and its neighbors' labels; converged when no label
+    drops. Rounds are whole-graph joins + partial-agg min — the
+    driver loop iterates O(component diameter) *rounds* (near-dup
+    clusters are shallow; ``max_iter`` guards pathological chains),
+    never rows. ``localCheckpoint`` truncates lineage each round so
+    plans don't grow with iterations; on a cluster, checkpointing to
+    reliable storage (or the large-star/small-star contraction, which
+    converges in O(log n) rounds) is the hardened variant.
+
+    Returns (id, lbl) with lbl = min doc_id reachable.
+    """
+    both = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # The edge list is re-joined every round — checkpoint it once so
+    # an expensive pair generator (shingle self-join, LSH) doesn't
+    # recompute per iteration.
+    both = both.localCheckpoint(eager=False)
+    labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl"))
+    labels = labels.localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        prop = both.join(
+            labels.select(F.col("id").alias("src"), "lbl"), "src"
+        ).select(F.col("dst").alias("id"), "lbl")
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=False)
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("lbl").alias("old")), "id"
+            )
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        )
+        SELECT c.doc_id, c.cluster_id, CAST(g.cnt AS BIGINT) AS cluster_size
+        FROM comp c
+        JOIN (SELECT cluster_id, COUNT(*) AS cnt FROM comp GROUP BY 1) g
+          USING (cluster_id)
+        ORDER BY c.doc_id
+    """,
+    doc="Near-dup clusters: connected components (hash-min label "
+    "propagation) over exact-Jaccard pair edges; cluster id = min "
+    "doc_id (the keeper).",
+    tags=("dedup", "corpus", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment — what a pipeline actually applies.
+
+    Pair lists (dedup_jaccard_pairs / dedup_minhash_lsh) aren't
+    directly actionable: chains (A~B, B~C, but A≁C) must collapse to
+    one cluster with one keeper. This entry feeds the *exact* pair
+    edges in so the DuckDB recursive-CTE oracle can hash-check the
+    clustering end-to-end; at scale the edges input is
+    minhash_lsh_pairs (same shape, LSH-bounded cost) — the operator
+    is agnostic to which pair generator it consumes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(
+        _doc_shingles(spark, sf_dir), JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(docs.select("doc_id"), edges)
+    sizes = comp.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), w AS (
+            SELECT doc_id, unnest(toks) AS tok FROM t
+        ), wc AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2
+        ), g AS (
+            SELECT doc_id, list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1]) AS grams
+            FROM t WHERE len(toks) >= 2
+        ), ge AS (
+            SELECT doc_id, unnest(grams) AS gram FROM g
+        ), gc AS (
+            SELECT doc_id, gram, COUNT(*) AS c FROM ge GROUP BY 1, 2
+        ), agg AS (
+            SELECT doc_id,
+                   SUM(c) AS n_words,
+                   COUNT(*) AS n_uniq,
+                   MAX(c) AS top_c
+            FROM wc GROUP BY 1
+        ), gagg AS (
+            SELECT doc_id, SUM(c) AS n_grams, MAX(c) AS top_gc
+            FROM gc GROUP BY 1
+        )
+        SELECT a.doc_id,
+               CAST(a.n_words AS BIGINT) AS n_words,
+               round(a.n_uniq * 1.0 / a.n_words, 4) AS uniq_frac,
+               round(a.top_c * 1.0 / a.n_words, 4) AS top_word_frac,
+               round(coalesce(g.top_gc * 1.0 / g.n_grams, 0.0), 4)
+                   AS top_bigram_frac
+        FROM agg a LEFT JOIN gagg g USING (doc_id)
+        ORDER BY a.doc_id
+    """,
+    doc="Gopher-style repetition signals per doc: unique-word "
+    "fraction, top-word fraction, top-bigram fraction.",
+    tags=("text", "quality", "corpus"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Rae et al. 2021, 'Gopher',
+    §A1.1 repetition filters — public paper).
+
+    Shape: explode tokens/bigrams → two-level partial aggregate
+    (doc × term counts, then per-doc max/sum). Both shuffles key on
+    doc_id+term — fully map-side-combinable, no skew beyond document
+    length, no window sort. The alternative per-row HOF mode()
+    computation would run interpreted per token pair; the explode
+    path stays in codegen.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    wc = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_uniq"),
+        F.max("c").alias("top_c"),
+    )
+    grams = toks.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    gagg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_grams"), F.max("c").alias("top_gc"))
+    )
+    return (
+        agg.join(gagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(F.col("n_uniq") / F.col("n_words"), 4).alias("uniq_frac"),
+            F.round(F.col("top_c") / F.col("n_words"), 4).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_gc") / F.col("n_grams"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Deliberately simple, engine-portable patterns (Java regex ∩ RE2):
+#: no lookarounds, no backrefs — they must behave identically in
+#: Spark (java.util.regex) and the DuckDB oracle (RE2).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (n_emails, n_phones, n_ips, scrubbed) columns.
+
+    Pure codegen regexp_count / regexp_replace — a narrow projection
+    with no shuffle at any scale. Patterns are intentionally
+    conservative (see PII_* notes); a production deployment swaps in
+    jurisdiction-specific pattern packs and audits counts by source.
+    """
+    out = df
+    for name, pat, repl in (
+        ("n_emails", PII_EMAIL, "<EMAIL>"),
+        ("n_phones", PII_PHONE, "<PHONE>"),
+        ("n_ips", PII_IP, "<IP>"),
+    ):
+        out = out.withColumn(
+            name, F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+        )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IP,
+        "<IP>",
+    )
+    return out.withColumn("scrubbed", scrubbed)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                   '{PII_PHONE.replace("'", "''")}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(text,
+                   '{PII_IP}')) AS BIGINT) AS n_ips,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE.replace("'", "''")}', '<PHONE>', 'g'),
+                   '{PII_IP}', '<IP>', 'g')) AS scrub_hash
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="PII scrub: email/phone/IP match counts + md5 of the "
+    "redacted text (patterns portable across Java regex and RE2).",
+    tags=("text", "privacy", "corpus"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is PII-free, so counts hash-verify at 0 —
+    the planted-PII redaction behavior is pinned by
+    tests/test_corpus.py::test_pii_scrub_redacts on synthetic rows.
+    """
+    df = scrub_pii(table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrub_hash"),
+    ).orderBy("doc_id")
+
+
+BENCH_MOD = 97  # doc_id % 97 == 0 → stand-in benchmark membership
+CONTAM_N = 8  # 8-gram overlap, the common contamination window
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= {CONTAM_N} THEN list_distinct(
+                       list_transform(
+                           generate_series(1, len(toks) - {CONTAM_N - 1}),
+                           i -> array_to_string(
+                               toks[i:i+{CONTAM_N - 1}], ' ')))
+                   ELSE [] END AS grams
+            FROM t
+        ), ex AS (
+            SELECT doc_id, unnest(grams) AS g FROM s
+        ), bench AS (
+            SELECT doc_id, g FROM ex WHERE doc_id % {BENCH_MOD} = 0
+        ), train AS (
+            SELECT doc_id, g FROM ex WHERE doc_id % {BENCH_MOD} <> 0
+        )
+        SELECT train.doc_id,
+               CAST(COUNT(DISTINCT train.g) AS BIGINT) AS n_shared_ngrams,
+               CAST(COUNT(DISTINCT bench.doc_id) AS BIGINT) AS n_bench_docs
+        FROM train JOIN bench ON train.g = bench.g
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc=f"Benchmark contamination audit: training docs sharing any "
+    f"{CONTAM_N}-gram with the benchmark set (stand-in: doc_id % "
+    f"{BENCH_MOD} = 0).",
+    tags=("text", "audit", "corpus"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-overlap decontamination audit (the GPT-3/PaLM-style
+    n-gram collision check — public methodology).
+
+    The benchmark side of the join is tiny by nature (eval suites vs
+    a 100 TB corpus), so it broadcasts: the corpus-side scan streams
+    through a broadcast-hash join with no shuffle of training
+    shingles. Shingles are exploded *distinct* n-grams per doc;
+    counts aggregate map-side. A real deployment hashes n-grams
+    (xxhash64) instead of carrying strings through the join — kept
+    as strings here so the oracle is engine-portable.
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = toks.filter(F.size("toks") >= CONTAM_N).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {CONTAM_N}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {CONTAM_N})))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_ngrams"),
+            F.count_distinct("bench_doc_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOPK_NGRAMS = 20
+
+
+@register(
+    "text_topk_ngrams",
+    oracle=f"""
+        WITH t AS (
+            SELECT string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM t WHERE len(toks) >= 2
+        )
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+        FROM g GROUP BY gram
+        ORDER BY n DESC, gram
+        LIMIT {TOPK_NGRAMS}
+    """,
+    doc=f"Global top-{TOPK_NGRAMS} bigrams by count (vocabulary/"
+    "n-gram statistics pass).",
+    tags=("text", "stats", "corpus"),
+)
+def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: explode bigrams → partial-agg count
+    → global top-k. The plan ends in TakeOrderedAndProject (no full
+    sort), and the count aggregate combines map-side, so the shuffle
+    carries one row per distinct bigram — the right shape for a
+    vocabulary pass over 100 TB. Ties break on the gram string for
+    cross-engine determinism.
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("toks")
+    )
+    grams = toks.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(TOPK_NGRAMS)
+    )

@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
     # The round-1-proven relational breadth (q27-q48) registers at the tail.
     from ..operators import (  # noqa: F401
         asof,
+        corpus,
         dedup,
         embeddings,
         multimodal,

@@ -1,0 +1,83 @@
+"""Behavioral tests for corpus-curation operators: planted PII,
+planted contamination, and cluster transitivity — the cases the clean
+synthetic corpus can't exercise through the DuckDB differential."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from parquet_ingestor_spark.operators.corpus import (
+    connected_components,
+    scrub_pii,
+)
+
+
+def test_pii_scrub_redacts(spark):
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk for details"),
+        (2, "call 555-867-5309 or +1 212.555.0199 x42"),
+        (3, "server at 10.0.0.1 and 192.168.255.254 responded"),
+        (4, "no pii here at all"),
+        (5, "mixed bob@corp.io on 10.1.2.3 dial 800 555 1234 now"),
+    ]
+    df = scrub_pii(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r.doc_id: r for r in df.collect()}
+
+    assert got[1].n_emails == 1 and "<EMAIL>" in got[1].scrubbed
+    assert "alice" not in got[1].scrubbed
+    # 555-867-5309 and 212.555.0199 match; the +1 prefix stays
+    assert got[2].n_phones == 2 and got[2].scrubbed.count("<PHONE>") == 2
+    assert got[3].n_ips == 2 and got[3].scrubbed.count("<IP>") == 2
+    assert got[4].n_emails == got[4].n_phones == got[4].n_ips == 0
+    assert got[4].scrubbed == "no pii here at all"
+    assert got[5].n_emails == 1 and got[5].n_ips == 1 and got[5].n_phones == 1
+
+
+def test_connected_components_transitive_chain(spark):
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long"
+    )
+    # chain 1-2-3 (no direct 1-3 edge), pair 4-5, singletons 6, 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.id: r.lbl for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.lbl for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_contamination_finds_planted_overlap(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        # doc_id 0 → benchmark side (0 % 97 == 0)
+        (0, bench_text, "en", "bench", len(bench_text)),
+        # copies an 8-gram run from the benchmark doc
+        (1, "intro words " + " ".join(bench_text.split()[:8]), "en", "s", 1),
+        # shares only 5 consecutive tokens — below the 8-gram window
+        (2, "other " + " ".join(bench_text.split()[:5]) + " tail", "en", "s", 1),
+        (3, "completely unrelated text with enough tokens to shingle ok", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    got = {
+        r.doc_id: (r.n_shared_ngrams, r.n_bench_docs)
+        for r in REGISTRY["benchmark_contamination"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (1, 1)}  # doc 1 contaminated, docs 2/3 clean
