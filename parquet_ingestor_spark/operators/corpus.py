@@ -451,3 +451,80 @@ def text_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(TOPK_NGRAMS)
     )
+
+
+#: Filter thresholds — tuned so both keep and drop classes are
+#: populated on the synthetic corpus (words 10..99, uniq 0.28..1.0).
+FILTER_MIN_WORDS = 30
+FILTER_MIN_UNIQ = 0.35
+FILTER_LANGS = ("de", "en", "es", "fr")
+
+
+@register(
+    "corpus_filter_pipeline",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   len(toks) AS n_words,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_frac
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(uniq_frac, 4) AS uniq_frac,
+               CAST(CASE WHEN n_words >= {FILTER_MIN_WORDS}
+                          AND uniq_frac >= {FILTER_MIN_UNIQ}
+                          AND lang IN ('de','en','es','fr')
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep,
+               concat_ws('|',
+                   CASE WHEN lang NOT IN ('de','en','es','fr')
+                        THEN 'lang' END,
+                   CASE WHEN uniq_frac < {FILTER_MIN_UNIQ}
+                        THEN 'repeat' END,
+                   CASE WHEN n_words < {FILTER_MIN_WORDS}
+                        THEN 'short' END) AS reasons
+        FROM s
+        ORDER BY doc_id
+    """,
+    doc="Composed C4/Gopher-style keep/drop filter: min length, "
+    "repetition bound, language allowlist; emits machine-readable "
+    "drop reasons.",
+    tags=("text", "quality", "corpus"),
+)
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation decision layer: compose per-doc signals into one
+    keep/drop verdict with audit-friendly reasons (C4's heuristic
+    cascade — Raffel et al. 2020 §2.2; Gopher's repetition bounds —
+    both public methodology).
+
+    One narrow scan, all codegen expressions, no shuffle except the
+    presentation sort: this is the shape a 100 TB filter sweep must
+    have — signals computed inline, not joined from N side tables.
+    The per-signal operators (text_quality, text_repetition,
+    text_lang_id) remain the audit/debug views of the same rules.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    uniq_frac = F.size(F.array_distinct(toks)) / n_words
+    lang_ok = F.col("lang").isin(*FILTER_LANGS)
+    repeat_ok = uniq_frac >= FILTER_MIN_UNIQ
+    len_ok = n_words >= FILTER_MIN_WORDS
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            F.round(uniq_frac, 4).alias("uniq_frac"),
+            (lang_ok & repeat_ok & len_ok).cast("long").alias("keep"),
+            F.concat_ws(
+                "|",
+                F.when(~lang_ok, F.lit("lang")),
+                F.when(~repeat_ok, F.lit("repeat")),
+                F.when(~len_ok, F.lit("short")),
+            ).alias("reasons"),
+        )
+        .orderBy("doc_id")
+    )
