@@ -229,3 +229,136 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_id")
     )
+
+
+KMEANS_K = 8
+KMEANS_MAX_ITER = 10
+KMEANS_TOL = 1e-6
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    max_iter: int = KMEANS_MAX_ITER,
+    tol: float = KMEANS_TOL,
+):
+    """Spherical k-means (cosine Lloyd's) fit.
+
+    Model state (k × dim centroids) lives on the driver — the MLlib
+    shape: it is O(k·dim) floats regardless of corpus size, while the
+    data-sized work stays distributed. Per iteration:
+
+    1. assignment: broadcast the k centroids, reduce each vector's k
+       cosine sims map-side via ``max(struct(csim, -c_id))`` — one
+       scalar row per vector through the shuffle, no window sort
+       (the emb_kmeans_step shape);
+    2. update: posexplode the assigned vectors and partial-aggregate
+       (c_id, dim) sums — the shuffle output is k × dim rows however
+       big the input is, and the map-side combine collapses each
+       partition to at most k × dim rows first;
+    3. driver: rebuild + L2-normalize centroids (spherical update ⇒
+       the summed cosine objective is monotone non-decreasing),
+       stop when max centroid movement < ``tol``.
+
+    Returns (centroids ndarray, assignments DataFrame, iterations).
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    dim = len(emb.select("embedding").first()[0])
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .toPandas()["embedding"]
+    )
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in init])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    unit = with_norm(emb).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)").alias(
+            "u"
+        ),
+    )
+    assigned = None
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        cdf = spark.createDataFrame(
+            [(int(i), [float(x) for x in cents[i]]) for i in range(k)],
+            "c_id int, cv array<double>",
+        )
+        csim = F.aggregate(
+            F.zip_with("u", "cv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = (
+            unit.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "u", "c_id", csim.alias("csim"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("csim"), (-F.col("c_id")).alias("nci"))
+                ).alias("best"),
+                F.first("u").alias("u"),
+            )
+            .select(
+                "vec_id", (-F.col("best.nci")).cast("int").alias("c_id"), "u"
+            )
+        )
+        sums = (
+            assigned.select("c_id", F.posexplode("u").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        new = np.zeros((k, dim))
+        for r in sums:
+            new[r.c_id, r.pos] = r.s
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        # empty cluster: keep its previous centroid
+        keep = norms[:, 0] > 0
+        new[keep] /= norms[keep]
+        new[~keep] = cents[~keep]
+        moved = float(np.abs(new - cents).max())
+        cents = new
+        if moved < tol:
+            break
+    return cents, assigned, iters
+
+
+@register(
+    "emb_kmeans_fit",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; pinned by
+    # tests: monotone spherical objective, partition invariants,
+    # run-to-run determinism.
+    doc=f"Full spherical k-means fit (k={KMEANS_K}, ≤{KMEANS_MAX_ITER} "
+    "Lloyd iterations, driver-held O(k·dim) model state): final "
+    "cluster sizes + mean within-cluster cosine.",
+    tags=("embedding", "iterative"),
+)
+def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, assigned, _ = kmeans_fit(emb)
+    cdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in cents[i]]) for i in range(KMEANS_K)],
+        "c_id int, cv array<double>",
+    )
+    csim = F.aggregate(
+        F.zip_with("u", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        assigned.join(F.broadcast(cdf), "c_id")
+        .select("c_id", csim.alias("csim"))
+        .groupBy("c_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.round(F.avg("csim"), 4).alias("mean_cosine"),
+        )
+        .orderBy("c_id")
+    )

@@ -81,3 +81,34 @@ def test_contamination_finds_planted_overlap(spark, tmp_path):
         .collect()
     }
     assert got == {1: (1, 1)}  # doc 1 contaminated, docs 2/3 clean
+
+
+def test_kmeans_fit_objective_monotone_and_deterministic(spark, sf_dir):
+    """Spherical Lloyd's: the summed-cosine objective must be
+    non-decreasing with more iterations from the same init, sizes must
+    partition the corpus, and the fit must be run-to-run stable."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.embeddings import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def objective(max_iter):
+        cents, assigned, _ = kmeans_fit(emb, max_iter=max_iter)
+        rows = assigned.select("c_id", "u").collect()
+        assert len(rows) == n
+        return sum(
+            float(np.asarray(r.u) @ cents[r.c_id]) for r in rows
+        )
+
+    objs = [objective(t) for t in (1, 2, 4)]
+    assert objs[0] <= objs[1] + 1e-9 and objs[1] <= objs[2] + 1e-9, objs
+
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    a = REGISTRY["emb_kmeans_fit"].fn(spark, sf_dir).collect()
+    b = REGISTRY["emb_kmeans_fit"].fn(spark, sf_dir).collect()
+    assert a == b
+    assert sum(r.cluster_size for r in a) == n
