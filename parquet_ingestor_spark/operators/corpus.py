@@ -101,6 +101,80 @@ def connected_components(
     return labels
 
 
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction over edge list (a, b)."""
+    if large:
+        # for every node u: link each strictly-larger neighbor to the
+        # minimum of its closed neighborhood
+        d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = d.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        out = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+    else:
+        # orient each edge toward its larger endpoint, then link that
+        # endpoint and all its smaller neighbors to their minimum
+        d = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        out = (
+            d.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        )
+    return (
+        out.filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Two-phase star contraction (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond', SoCC'14 — public algorithm).
+
+    Alternating large-star/small-star rounds contract every component
+    to a star rooted at its minimum id in O(log²) rounds worst case
+    (≈log n in practice) — the scale-hardened twin of the O(diameter)
+    hash-min loop above: a 100 TB corpus with long duplicate chains
+    pays logarithmic, not linear, round count. Each round is
+    groupBy-min + join — no collect_list, map-side combinable.
+    Convergence = edge-set fixpoint after a small-star round (checked
+    exactly via subtract, one extra job per round).
+
+    Returns the same (id, lbl) contract as connected_components.
+    """
+    e = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+    e = e.localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        e2 = _star_round(_star_round(e, large=True), large=False)
+        e2 = e2.localCheckpoint(eager=False)
+        if (
+            e2.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e2).limit(1).count() == 0
+        ):
+            e = e2
+            break
+        e = e2
+    roots = e.groupBy(F.col("a").alias("id")).agg(F.min("b").alias("root"))
+    return (
+        nodes.select(F.col("doc_id").alias("id"))
+        .join(roots, "id", "left")
+        .select("id", F.coalesce("root", F.col("id")).alias("lbl"))
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -527,4 +601,108 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reasons"),
         )
         .orderBy("doc_id")
+    )
+
+
+#: Fixed retrieval query for the BM25 entry (vocabulary words chosen
+#: to be mid-frequency in the synthetic corpus).
+BM25_TERMS = ("spark", "join", "window")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), f AS (
+            SELECT doc_id, len(toks) AS dl,
+                   len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                   len(list_filter(toks, x -> x = 'join')) AS tf1,
+                   len(list_filter(toks, x -> x = 'window')) AS tf2
+            FROM t
+        ), g AS (
+            SELECT COUNT(*) AS n, AVG(dl) AS avgdl,
+                   SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                   SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                   SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+            FROM f
+        )
+        SELECT doc_id,
+               round(
+                 ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1)
+                   * (f.tf0 * ({BM25_K1} + 1)) / (f.tf0 + {BM25_K1}
+                     * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl))
+               + ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5) + 1)
+                   * (f.tf1 * ({BM25_K1} + 1)) / (f.tf1 + {BM25_K1}
+                     * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl))
+               + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1)
+                   * (f.tf2 * ({BM25_K1} + 1)) / (f.tf2 + {BM25_K1}
+                     * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl)), 4)
+                 AS score
+        FROM f, g
+        WHERE f.tf0 + f.tf1 + f.tf2 > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    doc=f"BM25 lexical retrieval: top-{BM25_TOPK} docs for the fixed "
+    f"query {BM25_TERMS} (Lucene idf variant, k1={BM25_K1}, "
+    f"b={BM25_B}).",
+    tags=("text", "retrieval", "corpus"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical ranking (Robertson/Spärck Jones BM25, the Lucene
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) — the retrieval primitive a
+    curation stack uses for query-based corpus slicing.
+
+    Shape: term frequencies are per-row higher-order-function counts
+    (no explode, no shuffle of non-query tokens — the token stream
+    never leaves the scan stage); the corpus statistics (N, avgdl,
+    per-term document frequencies) reduce to ONE scalar row that
+    broadcasts back over the scan; the final top-k ends in
+    TakeOrderedAndProject. Two passes over a narrow projection, zero
+    wide shuffles — at 100 TB the only cross-node traffic is the
+    single stats row and the k result rows. The score sums terms in
+    fixed expression order so the 4-decimal round is bit-identical
+    across engines (a SUM() over an exploded term table would be
+    order-nondeterministic in the last ulp).
+    """
+    toks = F.split(F.col("text"), " ")
+    f = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[
+            F.size(F.filter(toks, (lambda t: lambda x: x == t)(t))).alias(
+                f"tf{i}"
+            )
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    g = f.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+            + 1
+        )
+        norm = F.col(f"tf{i}") + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        term = idf * (F.col(f"tf{i}") * (BM25_K1 + 1)) / norm
+        score = term if score is None else score + term
+    return (
+        f.crossJoin(F.broadcast(g))
+        .filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select("doc_id", F.round(score, 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
     )

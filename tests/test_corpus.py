@@ -112,3 +112,40 @@ def test_kmeans_fit_objective_monotone_and_deterministic(spark, sf_dir):
     b = REGISTRY["emb_kmeans_fit"].fn(spark, sf_dir).collect()
     assert a == b
     assert sum(r.cluster_size for r in a) == n
+
+
+def test_star_cc_equivalent_to_hashmin(spark):
+    """Two-phase star contraction must produce identical components to
+    hash-min on adversarial shapes: long chains, merged cliques,
+    random graphs, singletons."""
+    import random
+
+    from parquet_ingestor_spark.operators.corpus import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    cases = []
+    # long chain + separate triangle + singletons
+    cases.append((list(range(20)), [(i, i + 1) for i in range(14)]
+                  + [(15, 16), (16, 17), (15, 17)]))
+    # two cliques bridged by one edge
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    cases.append((list(range(16)), k1 + k2 + [(4, 10)]))
+    # random graphs
+    for _ in range(3):
+        n = 30
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cases.append((list(range(n)), edges))
+
+    for nodes_list, edge_list in cases:
+        nodes = spark.createDataFrame([(i,) for i in nodes_list], "doc_id long")
+        edges = spark.createDataFrame(edge_list or [(0, 0)], "doc_a long, doc_b long")
+        hm = {r.id: r.lbl for r in connected_components(nodes, edges).collect()}
+        st = {r.id: r.lbl for r in connected_components_star(nodes, edges).collect()}
+        assert st == hm, (edge_list, st, hm)
