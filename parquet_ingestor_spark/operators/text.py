@@ -132,24 +132,35 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text",),
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bind split(text) to a lambda variable so the tokenization runs
+    # once per row — naming it as a projected column would let
+    # CollapseProject inline (= recompute) it into each of the three
+    # stat expressions, and higher-order functions run interpreted, so
+    # duplicated passes are the dominant cost of this operator.
     stops = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    toks = "split(text, ' ')"
-    n_tokens = F.expr(f"size({toks})")
-    stop_ratio = F.round(
-        F.expr(f"size(filter({toks}, t -> t IN ({stops})))") / n_tokens, 4
-    )
-    avg_len = F.round(
-        F.expr(f"aggregate({toks}, 0, (acc, t) -> acc + length(t))") / n_tokens,
-        4,
+    st = F.expr(
+        f"transform(array(split(text, ' ')), toks -> named_struct("
+        f"'n', size(toks), "
+        f"'stops', size(filter(toks, t -> t IN ({stops}))), "
+        f"'chars', aggregate(toks, 0, (acc, t) -> acc + length(t))))[0]"
     )
     return (
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            n_tokens.cast("long").alias("n_tokens"),
             F.length("text").cast("long").alias("n_chars_actual"),
-            stop_ratio.alias("stopword_ratio"),
-            avg_len.alias("avg_token_len"),
+            st.alias("st"),
+        )
+        .select(
+            "doc_id",
+            F.col("st.n").cast("long").alias("n_tokens"),
+            "n_chars_actual",
+            F.round(F.col("st.stops") / F.col("st.n"), 4).alias(
+                "stopword_ratio"
+            ),
+            F.round(F.col("st.chars") / F.col("st.n"), 4).alias(
+                "avg_token_len"
+            ),
         )
         .withColumn(
             "quality",
