@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""End-to-end corpus curation: the full training-data pass built from
+the registered operators — quality-filter, PII-scrub, near-dup
+cluster, decontaminate, then pack the survivors into token-budget
+training packs and write a curated parquet corpus.
+
+Run: python examples/corpus_curation.py [sf_dir] [out_dir]
+
+This is the composition story: every stage is an independently
+oracle-checked operator; chaining them is plain DataFrame algebra, so
+Catalyst sees one plan per materialization and the whole pass scales
+the way the per-stage plans do (see PLANS.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+from parquet_ingestor_spark.catalog import table
+from parquet_ingestor_spark.operators.corpus import (
+    benchmark_contamination,
+    corpus_filter_pipeline,
+    dedup_clusters,
+    scrub_pii,
+)
+from parquet_ingestor_spark.operators.text import text_pack_bins
+from parquet_ingestor_spark.queries import _ensure_loaded
+from parquet_ingestor_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else tempfile.mkdtemp(prefix="curated_corpus_")
+    )
+    _ensure_loaded()
+    spark = get_spark(app_name="corpus-curation", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. quality filter (C4/Gopher heuristics) — keep==1 survivors
+    kept = corpus_filter_pipeline(spark, sf_dir).filter("keep = 1")
+
+    # 2. near-dup clusters — keep one doc (the min-id keeper) per cluster
+    keepers = dedup_clusters(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("cluster_id")
+    )
+
+    # 3. benchmark decontamination — drop docs sharing 8-grams with
+    #    the (stand-in) benchmark set
+    contaminated = benchmark_contamination(spark, sf_dir).select("doc_id")
+
+    survivors = (
+        docs.join(kept.select("doc_id"), "doc_id")
+        .join(keepers.select("doc_id"), "doc_id")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # 4. PII scrub the survivors' text
+    clean = scrub_pii(survivors).select(
+        "doc_id",
+        F.col("scrubbed").alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    # 5. write the curated corpus + its pack manifest
+    clean.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    n1 = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+    packs = text_pack_bins(spark, out_dir)
+    n_packs = packs.count()
+
+    print(f"input docs:     {n0}")
+    print(f"curated docs:   {n1}")
+    print(f"training packs: {n_packs}")
+    packs.show(10, truncate=False)
+    print(f"curated corpus at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

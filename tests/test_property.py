@@ -108,3 +108,85 @@ def test_retry_attempt_count_invariant(attempts, fail_n):
         with pytest.raises(OSError):
             policy.do(fn, sleep=lambda _: None)
         assert len(calls) == attempts
+
+
+docs_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab d"),  # tiny vocab incl. spaces
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_texts)
+def test_pack_bins_conserves_tokens(texts):
+    """Sequence packing must conserve every document and every token:
+    per-source pack sums equal the source's total token count, and doc
+    counts sum to the corpus size."""
+    from parquet_ingestor_spark.operators.text import (
+        PACK_TOKEN_BUDGET,
+        text_pack_bins,
+    )
+
+    rows = [
+        (i, t, "en", f"src{i % 2}", len(t)) for i, t in enumerate(texts)
+    ]
+    tmp = f"/tmp/pqing_prop_pack_{abs(hash(tuple(texts))) % 10**9}"
+    df = _spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = text_pack_bins(_spark, tmp).collect()
+    toks = {r[0]: len(r[1].split(" ")) for r in rows}
+    by_src = {}
+    for i, t in enumerate(texts):
+        by_src.setdefault(f"src{i % 2}", []).append(toks[i])
+    assert sum(r.n_docs for r in got) == len(rows)
+    for src, tok_counts in by_src.items():
+        assert sum(r.tok_sum for r in got if r.source == src) == sum(
+            tok_counts
+        )
+    # no pack exceeds budget + one max-doc overhang (offset packing:
+    # a doc straddling a boundary belongs to its start pack)
+    for r in got:
+        assert r.pack_id >= 0
+        if r.pack_id > 0:
+            assert r.tok_sum <= PACK_TOKEN_BUDGET + max(
+                by_src[r.source]
+            )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_texts)
+def test_repetition_signal_bounds(texts):
+    """0 < uniq_frac ≤ 1, top fractions in (0, 1], and a doc of one
+    repeated word pins top_word_frac = 1."""
+    from parquet_ingestor_spark.operators.corpus import text_repetition
+
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in enumerate(texts)
+    ] + [(10_000, "x x x x x", "en", "s", 9)]
+    tmp = f"/tmp/pqing_prop_rep_{abs(hash(tuple(texts))) % 10**9}"
+    _spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in text_repetition(_spark, tmp).collect()}
+    assert len(got) == len(rows)
+    for r in got.values():
+        assert 0 < r.uniq_frac <= 1
+        assert 0 < r.top_word_frac <= 1
+        assert 0 <= r.top_bigram_frac <= 1
+    pinned = got[10_000]
+    assert pinned.top_word_frac == 1.0 and pinned.uniq_frac == 0.2
