@@ -51,6 +51,8 @@ HEADLINE = (
     "sim_ivf_topk",
     "text_quality",
     "text_token_counts",
+    "text_bm25_topk",
+    "corpus_filter_pipeline",
 )
 
 
