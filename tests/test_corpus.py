@@ -149,3 +149,70 @@ def test_star_cc_equivalent_to_hashmin(spark):
         hm = {r.id: r.lbl for r in connected_components(nodes, edges).collect()}
         st = {r.id: r.lbl for r in connected_components_star(nodes, edges).collect()}
         assert st == hm, (edge_list, st, hm)
+
+
+def test_streaming_ingest_with_quality_filter(spark, tmp_path):
+    """Compose the curation rules with the streaming ingest pipeline:
+    the corpus filter's keep-predicate runs as the pipeline's O5
+    drop_where hook, so low-quality docs are dropped in-flight — the
+    shape a streaming training-data feed uses."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from parquet_ingestor_spark.operators.corpus import (
+        FILTER_LANGS,
+        FILTER_MIN_UNIQ,
+        FILTER_MIN_WORDS,
+    )
+    from parquet_ingestor_spark.pipeline import (
+        PipelineConfig,
+        start_stream_ingest,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    good_text = " ".join(f"w{i}" for i in range(40))  # 40 uniq words
+    docs = [
+        (0, good_text, "en"),          # keep
+        (1, "short doc", "en"),        # drop: short
+        (2, "x " * 39 + "x", "en"),    # drop: repetitive (1 uniq / 40)
+        (3, good_text, "zz"),          # drop: lang
+        (4, good_text, "fr"),          # keep
+    ]
+    with open(f"{landing}/docs.json", "w") as f:
+        for doc_id, text, lang in docs:
+            payload = json.dumps(
+                {"doc_id": doc_id, "text": text, "lang": lang}
+            )
+            f.write(json.dumps({"value": payload, "attributes": {}}) + "\n")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    langs = ", ".join(f"'{l}'" for l in FILTER_LANGS)
+    toks = "split(text, ' ')"
+    drop = (
+        f"size({toks}) < {FILTER_MIN_WORDS} "
+        f"OR size(array_distinct({toks})) / size({toks}) < {FILTER_MIN_UNIQ} "
+        f"OR lang NOT IN ({langs})"
+    )
+    q = start_stream_ingest(
+        spark,
+        landing,
+        str(tmp_path / "out"),
+        str(tmp_path / "chk"),
+        schema,
+        PipelineConfig(flush_interval="1 second", drop_where=drop),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    out = spark.read.parquet(str(tmp_path / "out" / "data"))
+    assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [0, 4]
