@@ -399,3 +399,93 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "bucket")
         .orderBy("doc_id")
     )
+
+
+BPE_MERGES = 8  # learned merge rounds for the registry entry
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich et al. 2016,
+    'Neural Machine Translation of Rare Words with Subword Units' —
+    public algorithm), the tokenizer-induction pass of a training
+    stack.
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    aggregate (map-side-combinable count per word). Everything after
+    runs on the (word, freq) vocabulary table, which Zipf bounds far
+    below corpus size — exactly how production BPE trainers work.
+    Each merge round is: explode adjacent symbol pairs weighted by
+    word freq → partial-agg sum → global top-1 (count desc, then
+    lexicographic pair for cross-run determinism) → apply the merge
+    with a codegen regexp_replace (leftmost non-overlapping — the BPE
+    convention). The driver loop iterates merge *rounds* and carries
+    only the winning pair, never data rows.
+
+    Returns (rank, left, right, pair_count) — the ordered merge table.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    # initial symbol sequence: characters + end-of-word marker,
+    # space-joined ("h e l l o </w>")
+    vocab = words.select(
+        F.concat(
+            F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w>")
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint(eager=False)
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(syms, ' ')) - 2), "
+                    "i -> struct(split(syms, ' ')[i] AS l, "
+                    "split(syms, ' ')[i + 1] AS r))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((rank, left, right, int(cnt)))
+        import re as _re
+
+        pat = (
+            f"(?<= |^){_re.escape(left)} {_re.escape(right)}(?= |$)"
+        )
+        vocab = vocab.select(
+            F.regexp_replace("syms", pat, left + right).alias("syms"),
+            "freq",
+        ).localCheckpoint(eager=False)
+
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative fixpoint over the vocab table; pinned by a
+    # bit-exact pure-Python BPE differential test instead.
+    doc=f"BPE tokenizer training: learn the top {BPE_MERGES} merges "
+    "(char-level + </w>, Sennrich-style) from corpus word "
+    "frequencies.",
+    tags=("text", "tokenizer", "iterative"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_merges(table(spark, sf_dir, "documents"))

@@ -216,3 +216,56 @@ def test_streaming_ingest_with_quality_filter(spark, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out" / "data"))
     assert sorted(r.doc_id for r in out.select("doc_id").collect()) == [0, 4]
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """Bit-exact differential against a pure-Python Sennrich-style BPE
+    trainer over the same word frequencies and tie-break rule."""
+    import collections
+
+    from parquet_ingestor_spark.operators.text import (
+        BPE_MERGES,
+        bpe_train_merges,
+    )
+    from parquet_ingestor_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    freq = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freq[w] += 1
+
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+    want = []
+    for rank in range(BPE_MERGES):
+        counts = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rank, left, right, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs).collect()
+    ]
+    assert got == want
