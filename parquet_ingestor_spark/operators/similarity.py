@@ -439,3 +439,98 @@ def srp_lsh_neardup(
         .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+PQ_SUBSPACES = 8  # M subvector groups
+PQ_CODES = 16  # K centroids per subspace (4-bit codes)
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES):
+    """Deterministic PQ codebooks: the first k vectors' subvectors per
+    subspace (the fixed-k sampling rule the IVF entry uses — k ⊥ n; a
+    production build swaps in per-subspace k-means without changing
+    the encode path)."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy("vec_id").limit(k).select("embedding").toPandas()
+    )["embedding"]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows])
+    dim = mat.shape[1]
+    d_sub = dim // m
+    return np.stack(
+        [mat[:, s * d_sub : (s + 1) * d_sub] for s in range(m)]
+    )  # (m, k, d_sub)
+
+
+def pq_encode(
+    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011, 'Product Quantization
+    for Nearest Neighbor Search' — public method): compress each
+    vector to m × log2(k) bits by L2-argmin per subspace.
+
+    The IVF-PQ pairing is the standard 100 TB ANN architecture: IVF
+    bounds which vectors a query scores; PQ bounds the bytes per
+    vector (64 float32 dims → 8 nibbles here, 64× smaller). Encoding
+    is one shuffle-free numpy ``mapInPandas`` pass with the (m, k,
+    d_sub) codebook broadcast — per batch a single einsum-style
+    distance computation, argmin, and reconstruction-error reduction.
+    Output carries a code checksum + per-vector reconstruction MSE so
+    the numpy differential test pins the full decode path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(emb, m, k)
+    b_books = emb.sparkSession.sparkContext.broadcast(books)
+
+    def _enc(batches):
+        cb = b_books.value  # (m, k, d_sub)
+        m_, k_, d_sub = cb.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            n = len(vm)
+            sub = vm.reshape(n, m_, d_sub)  # (n, m, d_sub)
+            # squared L2 distance to every code, per subspace
+            d2 = (
+                (sub[:, :, None, :] - cb[None, :, :, :]) ** 2
+            ).sum(axis=3)  # (n, m, k)
+            codes = d2.argmin(axis=2)  # (n, m)
+            recon = np.take_along_axis(
+                cb[None, :, :, :],
+                codes[:, :, None, None],
+                axis=2,
+            )[:, :, 0, :]  # (n, m, d_sub)
+            mse = ((sub - recon) ** 2).mean(axis=(1, 2))
+            weights = (k_ ** np.arange(m_, dtype=np.int64))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "code_key": (codes * weights).sum(axis=1),
+                    "recon_mse": np.round(mse, 6),
+                }
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_enc, schema="vec_id long, code_key long, recon_mse double")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "emb_pq_encode",
+    oracle=None,  # nested argmin over codebooks is impractical in SQL;
+    # pinned by a numpy differential test (bit-exact codes + mse).
+    doc=f"Product quantization: {PQ_SUBSPACES}×{PQ_CODES}-code "
+    "compression (4-bit/subspace) with reconstruction MSE — the PQ "
+    "half of the IVF-PQ scale architecture.",
+    tags=("embedding", "similarity", "approx"),
+)
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode(table(spark, sf_dir, "embeddings"))

@@ -269,3 +269,42 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         for r in bpe_train_merges(docs).collect()
     ]
     assert got == want
+
+
+def test_pq_encode_matches_numpy(spark, sf_dir):
+    """Bit-exact differential: recompute codes and reconstruction MSE
+    in plain numpy from the same codebook rule."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_SUBSPACES,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    cb = pq_codebooks(emb)
+    d_sub = cb.shape[2]
+    want = {}
+    for r in rows:
+        v = np.asarray(r.embedding, dtype=np.float64).reshape(
+            PQ_SUBSPACES, d_sub
+        )
+        codes = [
+            int(((v[s] - cb[s]) ** 2).sum(axis=1).argmin())
+            for s in range(PQ_SUBSPACES)
+        ]
+        recon = np.stack([cb[s][codes[s]] for s in range(PQ_SUBSPACES)])
+        key = sum(c * PQ_CODES**i for i, c in enumerate(codes))
+        want[r.vec_id] = (key, round(float(((v - recon) ** 2).mean()), 6))
+
+    got = {
+        r.vec_id: (r.code_key, r.recon_mse)
+        for r in pq_encode(emb).collect()
+    }
+    assert got == want
+    # codebook members must reconstruct exactly
+    assert sum(1 for k, (c, m) in got.items() if m == 0.0) >= PQ_CODES
