@@ -110,3 +110,22 @@ def test_sketch_plans_have_no_collect_list(spark, sf_dir):
     # from self-joins, never from per-bucket collect_list expansion
     for name in ("dedup_minhash_lsh", "dedup_simhash", "sim_srp_lsh_neardup"):
         assert "collect_list" not in plan_of(spark, sf_dir, name), name
+
+
+def test_bm25_single_stats_row_broadcasts_and_takeordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the corpus-stats row joins back via broadcast, never a shuffle
+    # of the corpus side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_encode_has_no_shuffle_before_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "emb_pq_encode")
+    # encode is map-only (scan → MapInPandas): the only exchange in
+    # the plan is the final presentation orderBy's range partitioning
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert all("rangepartitioning" in ln for ln in exchanges), exchanges
+    assert "MapInPandas" in plan
