@@ -706,3 +706,55 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
+
+
+POSTINGS_MIN_DF = 5  # vocabulary floor: drop hapax-ish terms
+
+
+@register(
+    "text_inverted_postings",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT term, doc_id, COUNT(*) AS tf
+            FROM w WHERE term <> '' GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT tf.term, tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+               CAST(df.df AS BIGINT) AS df
+        FROM tf JOIN df USING (term)
+        WHERE df.df >= {POSTINGS_MIN_DF}
+        ORDER BY tf.term, tf.doc_id
+    """,
+    doc=f"Inverted-index postings build: (term, doc_id, tf, df) for "
+    f"terms with df ≥ {POSTINGS_MIN_DF}, sorted for index layout.",
+    tags=("text", "retrieval", "corpus"),
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index construction: the postings table behind BM25-style
+    serving. Shape: explode terms → (term, doc) partial-agg counts
+    (one shuffle keyed on term+doc — no hot term key, since the doc
+    id spreads each term) → per-term document frequencies as a second
+    k-sized aggregate joined back broadcast → final sort IS the
+    deliverable (postings lists are stored term-ordered; at scale
+    this materializes via write.sortBy into bucketed files). No
+    collect_list: postings stay row-per-entry, never a single-task
+    array.
+    """
+    w = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") >= POSTINGS_MIN_DF)), "term")
+        .select("term", "doc_id", "tf", "df")
+        .orderBy("term", "doc_id")
+    )
