@@ -534,3 +534,90 @@ def pq_encode(
 )
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(table(spark, sf_dir, "embeddings"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k_top: int = TOPK,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes — the
+    serving half of IVF-PQ (Jégou et al. 2011 §III): each query builds
+    an (m × k) table of squared distances to every code once, and a
+    corpus vector's distance is m table lookups summed — the original
+    embeddings are never touched at query time, so the scan reads 8
+    nibbles per vector instead of 64 floats (the whole point at
+    100 TB: the hot set is the code table, not the corpus).
+
+    Scan shape: one shuffle-free numpy ``mapInPandas`` over the
+    encoded corpus with the distance tables broadcast; only per-batch
+    top-k rows leave Python; the global merge is a window over
+    (partitions × q × k) rows. Exactness contract: ADC distance ≡
+    exact L2 between the query and the PQ-*reconstructed* vector
+    (pinned bit-exact by the test) — the approximation lives entirely
+    in the quantizer, not the search.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = [r.vec_id for r in q_rows]
+    d_sub = books.shape[2]
+    # (nq, m, k) squared-distance tables, built once on the driver
+    qm = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in q_rows]
+    ).reshape(len(q_rows), m, d_sub)
+    tables = ((qm[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    b_tables = spark.sparkContext.broadcast(tables)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+
+    def _adc(batches):
+        dt = b_tables.value  # (nq, m, k)
+        qids = b_qids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["code_key"].to_numpy()
+            codes = np.stack(
+                [(keys // (k**s)) % k for s in range(m)], axis=1
+            )  # (n, m)
+            # dist[n, q] = sum_s dt[q, s, codes[n, s]]
+            dist = np.zeros((len(keys), dt.shape[0]))
+            for s in range(m):
+                dist += dt[:, s, codes[:, s]].T  # (n, nq)
+            top = min(k_top, len(keys))
+            idx = np.argpartition(dist, top - 1, axis=0)[:top]
+            vec_ids = pdf["vec_id"].to_numpy()
+            rows = []
+            for qi, qid in enumerate(qids):
+                for ri in idx[:, qi]:
+                    rows.append(
+                        (qid, int(vec_ids[ri]), float(dist[ri, qi]))
+                    )
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "dist"])
+
+    candidates = pq_encode(emb).mapInPandas(
+        _adc, schema="q_id long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc(F.round("dist", 6)), F.asc("vec_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -308,3 +308,56 @@ def test_pq_encode_matches_numpy(spark, sf_dir):
     assert got == want
     # codebook members must reconstruct exactly
     assert sum(1 for k, (c, m) in got.items() if m == 0.0) >= PQ_CODES
+
+
+def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
+    """ADC's exactness contract: its top-k must equal brute-force L2
+    against the PQ-reconstructed corpus, computed the same way (per-
+    subspace partial sums), including the (dist, vec_id) tie-break."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_CODES,
+        PQ_SUBSPACES,
+        TOPK,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb)
+    d_sub = cb.shape[2]
+    codes = {
+        r.vec_id: [
+            (r.code_key // PQ_CODES**s) % PQ_CODES
+            for s in range(PQ_SUBSPACES)
+        ]
+        for r in pq_encode(emb).collect()
+    }
+    queries = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64).reshape(
+            PQ_SUBSPACES, d_sub
+        )
+        for r in emb.filter(f"vec_id < {N_QUERIES}").collect()
+    }
+    want = {}
+    for qid, q in queries.items():
+        dists = []
+        for vid, cs in codes.items():
+            d = 0.0
+            for s in range(PQ_SUBSPACES):
+                d += float(((q[s] - cb[s][cs[s]]) ** 2).sum())
+            dists.append((round(d, 6), vid))
+        dists.sort()
+        want[qid] = [
+            (vid, d, rank + 1)
+            for rank, (d, vid) in enumerate(dists[:TOPK])
+        ]
+
+    got = {}
+    for r in pq_adc_topk(emb).collect():
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
+    assert got == want
