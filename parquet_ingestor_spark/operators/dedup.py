@@ -13,14 +13,23 @@ ladder:
 4. SimHash          126-bit (2×63) fingerprints, hamming≤3 via 4
                     ~32-bit pigeonhole chunks
 
-Both sketch tiers compose exact dedup FIRST: texts collapse to one
-representative per distinct text (md5 group, min doc_id keeper), the
-sketch runs over representatives only, and member pairs are expanded
-back by joins. That bounds sketch buckets — a degenerate corpus of a
-million byte-identical docs contributes ONE representative instead of
-a million colliding rows in a single band bucket — and makes the
-(inherently quadratic) identical-text pair output a distributed join,
-never a single-task ``collect_list`` expansion.
+Both sketch tiers route between two equivalent paths on a cheap
+distinct-ratio probe (one ``count`` + ``approx_count_distinct`` agg):
+
+- **direct** (the common, dup-free corpus): band the docs themselves —
+  no extra joins, the r1-fast shape.
+- **rep** (dup-heavy corpus): exact-dedup FIRST — texts collapse to one
+  representative per distinct text (md5 group, min doc_id keeper), the
+  sketch runs over representatives only, and member pairs are expanded
+  back by joins. That bounds sketch buckets — a degenerate corpus of a
+  million byte-identical docs contributes ONE representative instead
+  of a million colliding rows in a single band bucket — and makes the
+  (inherently quadratic) identical-text pair output a distributed
+  join, never a single-task ``collect_list`` expansion.
+
+The routing is safe because the direct path is *correct* under
+duplicates too (identical texts collide in every band → candidates →
+verified pairs); a probe mis-route costs only speed, never answers.
 
 Token hashing stays JVM-side (xxhash64 expressions); the per-document
 sketch reductions (MinHash permutation mins, SimHash bit votes) run as
@@ -46,6 +55,28 @@ _BANDS = 16
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 JACCARD_THRESHOLD = 0.8
+
+# Route to the direct (no rep pre-pass) sketch path when the corpus is
+# at least this distinct. approx_count_distinct runs at rsd=0.02, so a
+# fully distinct corpus reads ≥ ~0.96 and a dup-heavy one reads far
+# below; the margin makes mis-routes (which are a perf, not a
+# correctness, concern) vanishingly unlikely.
+_DIRECT_MIN_DISTINCT = 0.9
+
+
+def _distinct_ratio(docs: DataFrame, text_col: str = "text") -> float:
+    """Estimated fraction of distinct texts — one cheap scan+agg job.
+
+    The probe is the r2-verdict fix for the sketch-dedup bench
+    regression: on a dup-free corpus (the common production shape) the
+    rep-group pre-pass + member expansion was ~8 joins of pure
+    insurance; this one aggregate decides whether to pay for it.
+    """
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct(text_col, 0.02).alias("d"),
+    ).first()
+    return 1.0 if row["n"] == 0 else row["d"] / row["n"]
 
 
 def shingle_col(text_col: str = "text", n: int = 3) -> Column:
