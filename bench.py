@@ -82,19 +82,32 @@ def main() -> None:
     # paths; min = steady-state data-processing cost). Persisted
     # blocks a query materialized for its own DAG are dropped before
     # the next query so cache churn never bleeds across entries.
+    # All three timed runs are reported (``runs``) so a reviewer can
+    # separate load noise (one outlier run) from a plan regression
+    # (all three slow); ``load_avg`` stamps machine pressure at start
+    # and end for the same reason. SPARK_GRAFT_ONLY=a,b,c filters the
+    # headline set for local iteration.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    headline = (
+        tuple(q for q in HEADLINE if q in set(only.split(",")))
+        if only
+        else HEADLINE
+    )
+    load0 = os.getloadavg()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    runs: dict[str, list[float]] = {}
+    for name in headline:
         fn = REGISTRY[name].fn
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up failures surface in the timed run
-        best = float("inf")
+        runs[name] = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs[name])
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -105,6 +118,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "load_avg": {
+                    "start_1m": round(load0[0], 2),
+                    "end_1m": round(os.getloadavg()[0], 2),
+                },
                 "sf": sf,
             }
         )

@@ -316,38 +316,18 @@ def minhash_band_keys(
     ).mapInPandas(_keys, schema="doc_id long, band int, bkey long")
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    threshold: float = JACCARD_THRESHOLD,
-    bands: int = _BANDS,
-    rows_per_band: int = _ROWS_PER_BAND,
-    text_col: str = "text",
+def _minhash_candidate_pairs(
+    src: DataFrame,
+    threshold: float,
+    bands: int,
+    rows_per_band: int,
+    text_col: str,
 ) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
-
-    Pipeline: exact-dedup to representatives → band keys (shuffle-free
-    numpy signature pass) → candidate pairs from a (band, bkey)
-    self-join (only colliding reps ever meet) → exact string-shingle
-    Jaccard on candidates only (shingle strings are built for the few
-    candidate rows, never the corpus — the corpus-wide path is
-    hash-only) → member-pair expansion by join.
-
-    The representative pre-pass is the bucket bound: a bucket is a
-    4-row signature collision among *distinct* texts, so mass exact
-    duplication (the degenerate corpus that used to pile n docs into
-    one bucket's ``collect_list``) collapses to one row before banding
-    and re-expands afterwards through distributed joins.
-
-    At 16 bands × 4 rows the S-curve crosses ~0.77, so Jaccard ≥ 0.8
-    pairs are found with P ≈ 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9989; output is a
-    (whp equal) subset of exact_jaccard_pairs — why this entry is a
-    rows-only check for the driver and is subset-asserted in tests.
+    """Band → candidate self-join → exact-Jaccard verify over any
+    (doc_id, text) frame. Shared core of both routing paths; returns
+    UNSORTED (doc_a, doc_b, jaccard) — callers order or rep-expand.
     """
-    reps, members = _rep_groups(docs, text_col)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    reps = reps.repartition(par, "doc_id")
-    banded = minhash_band_keys(reps, bands, rows_per_band, text_col)
-
+    banded = minhash_band_keys(src, bands, rows_per_band, text_col)
     # Candidates from band-key collisions via self-join: no per-bucket
     # collect_list, so no bucket ever has to fit one task's memory.
     # Both join branches are the same subplan, so the banding shuffle
@@ -371,10 +351,10 @@ def minhash_lsh_pairs(
     # for the two sides (cheap — candidates are rare), THEN shingle.
     # Shingling after the join keeps the expensive string work
     # proportional to candidates, not corpus size.
-    ta = reps.select(
+    ta = src.select(
         F.col("doc_id").alias("doc_a"), F.col(text_col).alias("_text_a")
     )
-    tb = reps.select(
+    tb = src.select(
         F.col("doc_id").alias("doc_b"), F.col(text_col).alias("_text_b")
     )
     verified = (
@@ -386,8 +366,59 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
-    rep_pairs = verified.filter(jac >= threshold).select(
+    return verified.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+    text_col: str = "text",
+    path: str | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Routing (module docstring): a cheap distinct-ratio probe picks
+
+    - **direct**: band the docs themselves → candidates → exact-Jaccard
+      verify. The common corpus (~all texts distinct) pays zero extra
+      joins — the r1-fast shape. Still *correct* under duplicates
+      (identical texts collide in every band and verify at 1.0), just
+      quadratic inside each identical-text bucket join.
+    - **rep**: exact-dedup to representatives first → same core over
+      reps → member-pair expansion by join. A bucket is then a 4-row
+      signature collision among *distinct* texts, so mass exact
+      duplication (the degenerate corpus that used to pile n docs into
+      one bucket) collapses to one row before banding and re-expands
+      afterwards through distributed joins.
+
+    ``path`` forces ``"direct"``/``"rep"`` (tests, known corpora);
+    ``None`` runs the probe (one count+approx_count_distinct agg).
+
+    At 16 bands × 4 rows the S-curve crosses ~0.77, so Jaccard ≥ 0.8
+    pairs are found with P ≈ 1 - (1 - 0.8⁴)¹⁶ ≈ 0.9989; output is a
+    (whp equal) subset of exact_jaccard_pairs — why this entry is a
+    rows-only check for the driver and is subset-asserted in tests.
+    """
+    if path is None:
+        path = (
+            "direct"
+            if _distinct_ratio(docs, text_col) >= _DIRECT_MIN_DISTINCT
+            else "rep"
+        )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if path == "direct":
+        src = docs.repartition(par, "doc_id")
+        return _minhash_candidate_pairs(
+            src, threshold, bands, rows_per_band, text_col
+        ).orderBy("doc_a", "doc_b")
+    reps, members = _rep_groups(docs, text_col)
+    reps = reps.repartition(par, "doc_id")
+    rep_pairs = _minhash_candidate_pairs(
+        reps, threshold, bands, rows_per_band, text_col
     )
     return _expand_rep_pairs(
         rep_pairs,
@@ -430,9 +461,12 @@ def simhash_fingerprints(
     import pandas as pd
 
     def _word(flat: "np.ndarray", offs: "np.ndarray", n_tok: "np.ndarray"):
-        # bit i of each token hash, little-endian across the uint64 view
+        # bit i of each token hash; the explicit little-endian dtype
+        # makes the byte view host-endianness-independent (a bare
+        # .view(np.uint8) would silently reverse bit order on a
+        # big-endian platform and diverge from the Python oracle)
         bits_m = np.unpackbits(
-            flat.view(np.uint64).view(np.uint8).reshape(-1, 8),
+            flat.astype("<i8").view("<u8").view(np.uint8).reshape(-1, 8),
             axis=1,
             bitorder="little",
         ).reshape(-1, 64)[:, :bits]
@@ -469,26 +503,20 @@ def simhash_fingerprints(
     ).mapInPandas(_fp, schema="doc_id long, sh0 long, sh1 long")
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+def _simhash_candidate_pairs(
+    src: DataFrame, max_hamming: int, text_col: str
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash128) ≤ max_hamming.
+    """Fingerprint → pigeonhole chunk self-join → hamming filter over
+    any (doc_id, text) frame. Shared core of both routing paths;
+    returns UNSORTED (doc_a, doc_b, hamming).
 
-    Exact-dedup first (identical texts share a fingerprint — they
-    re-expand as hamming-0 pairs by join), then pigeonhole banding:
-    the 126-bit fingerprint splits into 4 ~32-bit chunks; hamming ≤ 3
+    The 126-bit fingerprint splits into 4 ~32-bit chunks; hamming ≤ 3
     ⇒ at least one chunk matches exactly, so candidates come from a
     (chunk, ckey) self-join — no per-bucket collect_list, no bucket
     bounded by one task's memory, and the banding shuffle is written
     once (both join branches share the subplan via ReusedExchange).
     """
-    reps, members = _rep_groups(docs, text_col)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    # Both chunk self-join branches consume the fingerprints, but they
-    # shuffle on the same (chunk, ckey) keys with identical subplans,
-    # so the exchange is written once and read twice (ReusedExchange)
-    # — no persist needed.
-    fp = simhash_fingerprints(reps.repartition(par, "doc_id"), text_col=text_col)
+    fp = simhash_fingerprints(src, text_col=text_col)
     chunks = fp.select(
         "doc_id",
         "sh0",
@@ -507,7 +535,7 @@ def simhash_pairs(
     ham = F.bit_count(
         F.col("cl.sh0").bitwiseXOR(F.col("cr.sh0"))
     ) + F.bit_count(F.col("cl.sh1").bitwiseXOR(F.col("cr.sh1")))
-    rep_pairs = (
+    return (
         cl.join(
             cr,
             (F.col("cl.chunk") == F.col("cr.chunk"))
@@ -521,6 +549,40 @@ def simhash_pairs(
             ham.cast("int").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash126) ≤ max_hamming.
+
+    Routing (module docstring): the distinct-ratio probe picks
+    **direct** (fingerprint the docs themselves — the common, dup-free
+    shape; identical texts still pair up at hamming 0 through chunk
+    collisions) or **rep** (exact-dedup first, sketch over
+    representatives, member pairs re-expanded by join — bounds chunk
+    buckets under mass duplication). ``path`` forces either; ``None``
+    probes.
+    """
+    if path is None:
+        path = (
+            "direct"
+            if _distinct_ratio(docs, text_col) >= _DIRECT_MIN_DISTINCT
+            else "rep"
+        )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if path == "direct":
+        src = docs.repartition(par, "doc_id")
+        return _simhash_candidate_pairs(src, max_hamming, text_col).orderBy(
+            "doc_a", "doc_b"
+        )
+    reps, members = _rep_groups(docs, text_col)
+    rep_pairs = _simhash_candidate_pairs(
+        reps.repartition(par, "doc_id"), max_hamming, text_col
     )
     return _expand_rep_pairs(
         rep_pairs,
@@ -603,9 +665,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "approx"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    return minhash_lsh_pairs(docs)
+    # plain scan in: the distinct-ratio probe aggregates at the scan
+    # (map-side partials, one row shuffled); the chosen path
+    # repartitions internally before the sketch pass.
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -617,6 +680,4 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    par = spark.sparkContext.defaultParallelism
-    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
-    return simhash_pairs(docs)
+    return simhash_pairs(table(spark, sf_dir, "documents"))

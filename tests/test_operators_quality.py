@@ -251,6 +251,38 @@ def test_degenerate_corpus_mass_dups(spark):
     assert ham0 == 499500
 
 
+def test_sketch_path_routing_and_equivalence(spark, sf_dir):
+    """The distinct-ratio probe must route a dup-free corpus to the
+    direct path and a dup-heavy one to rep, and the two paths must
+    produce identical pairs on the same (distinct) corpus."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.dedup import (
+        _DIRECT_MIN_DISTINCT,
+        _distinct_ratio,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _distinct_ratio(docs) >= _DIRECT_MIN_DISTINCT
+
+    dup_heavy = docs.limit(3).crossJoin(
+        spark.range(50).select(F.col("id").alias("_r"))
+    ).select((F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"), "text")
+    assert _distinct_ratio(dup_heavy) < _DIRECT_MIN_DISTINCT
+
+    for fn, key in ((minhash_lsh_pairs, "jaccard"), (simhash_pairs, "hamming")):
+        direct = {
+            (r.doc_a, r.doc_b, r[key])
+            for r in fn(docs, path="direct").collect()
+        }
+        rep = {
+            (r.doc_a, r.doc_b, r[key]) for r in fn(docs, path="rep").collect()
+        }
+        assert direct == rep, fn.__name__
+
+
 def test_multimodal_oracle_byte_semantics_non_ascii(spark, tmp_path):
     """The byte-indexing operators and their char-indexing oracles must
     agree on non-ASCII input (both normalize the stand-in payload to
