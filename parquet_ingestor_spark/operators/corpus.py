@@ -17,10 +17,13 @@ not rows).
 
 from __future__ import annotations
 
+import warnings
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..queries import register
 from .dedup import JACCARD_THRESHOLD, _doc_shingles, exact_jaccard_pairs
 
@@ -53,7 +56,10 @@ _PAIRS_CTE = f"""
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Hash-min connected components over (doc_a, doc_b) edges.
 
@@ -63,10 +69,15 @@ def connected_components(
     drops. Rounds are whole-graph joins + partial-agg min — the
     driver loop iterates O(component diameter) *rounds* (near-dup
     clusters are shallow; ``max_iter`` guards pathological chains),
-    never rows. ``localCheckpoint`` truncates lineage each round so
-    plans don't grow with iterations; on a cluster, checkpointing to
-    reliable storage (or the large-star/small-star contraction, which
-    converges in O(log n) rounds) is the hardened variant.
+    never rows. Lineage is truncated each round; pass
+    ``checkpoint_dir`` to switch executor-local checkpoints to
+    reliable filesystem checkpoints (survives executor loss on a
+    cluster — see ``checkpointing.truncate_lineage``).
+
+    If the loop hits ``max_iter`` without converging (a component's
+    diameter exceeds the round budget), the result would be silently
+    wrong — instead this warns and falls back to the O(log n)
+    large-star/small-star contraction, which needs no diameter bound.
 
     Returns (id, lbl) with lbl = min doc_id reachable.
     """
@@ -78,16 +89,18 @@ def connected_components(
     # The edge list is re-joined every round — checkpoint it once so
     # an expensive pair generator (shingle self-join, LSH) doesn't
     # recompute per iteration.
-    both = both.localCheckpoint(eager=False)
+    both = truncate_lineage(both, checkpoint_dir)
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl"))
-    labels = labels.localCheckpoint(eager=False)
+    labels = truncate_lineage(labels, checkpoint_dir)
+    converged = False
     for _ in range(max_iter):
         prop = both.join(
             labels.select(F.col("id").alias("src"), "lbl"), "src"
         ).select(F.col("dst").alias("id"), "lbl")
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=False)
+        new_labels = truncate_lineage(
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl")),
+            checkpoint_dir,
+        )
         changed = (
             new_labels.join(
                 labels.select("id", F.col("lbl").alias("old")), "id"
@@ -97,7 +110,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the budget); falling back to "
+            "star contraction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return connected_components_star(
+            nodes, edges, checkpoint_dir=checkpoint_dir
+        )
     return labels
 
 
@@ -137,7 +162,10 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
 
 
 def connected_components_star(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Two-phase star contraction (Kiveris et al., 'Connected
     Components in MapReduce and Beyond', SoCC'14 — public algorithm).
@@ -156,10 +184,10 @@ def connected_components_star(
     e = edges.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).filter(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
-    e = e.localCheckpoint(eager=False)
+    e = truncate_lineage(e, checkpoint_dir)
     for _ in range(max_rounds):
         e2 = _star_round(_star_round(e, large=True), large=False)
-        e2 = e2.localCheckpoint(eager=False)
+        e2 = truncate_lineage(e2, checkpoint_dir)
         if (
             e2.exceptAll(e).limit(1).count() == 0
             and e.exceptAll(e2).limit(1).count() == 0
@@ -440,13 +468,19 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-overlap decontamination audit (the GPT-3/PaLM-style
     n-gram collision check — public methodology).
 
-    The benchmark side of the join is tiny by nature (eval suites vs
-    a 100 TB corpus), so it broadcasts: the corpus-side scan streams
-    through a broadcast-hash join with no shuffle of training
-    shingles. Shingles are exploded *distinct* n-grams per doc;
-    counts aggregate map-side. A real deployment hashes n-grams
-    (xxhash64) instead of carrying strings through the join — kept
-    as strings here so the oracle is engine-portable.
+    A *real* benchmark side is tiny by nature (eval suites vs a
+    100 TB corpus) and would deserve a broadcast hint so the
+    corpus-side scan streams through a broadcast-hash join with no
+    shuffle of training shingles. This entry's stand-in benchmark
+    (doc_id % BENCH_MOD) is corpus-derived — ~1 % of the corpus's
+    distinct n-grams, which *grows with corpus size* — so the hint is
+    deliberately omitted: AQE broadcasts at runtime while the side is
+    actually small and falls back to a shuffle join when it isn't,
+    instead of OOMing a forced broadcast at scale. Shingles are
+    exploded *distinct* n-grams per doc; counts aggregate map-side.
+    A real deployment hashes n-grams (xxhash64) instead of carrying
+    strings through the join — kept as strings here so the oracle is
+    engine-portable.
     """
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
@@ -467,7 +501,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
     return (
-        train.join(F.broadcast(bench), "g")
+        train.join(bench, "g")
         .groupBy("doc_id")
         .agg(
             F.count_distinct("g").alias("n_shared_ngrams"),
@@ -738,11 +772,16 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving. Shape: explode terms → (term, doc) partial-agg counts
     (one shuffle keyed on term+doc — no hot term key, since the doc
     id spreads each term) → per-term document frequencies as a second
-    k-sized aggregate joined back broadcast → final sort IS the
-    deliverable (postings lists are stored term-ordered; at scale
-    this materializes via write.sortBy into bucketed files). No
-    collect_list: postings stay row-per-entry, never a single-task
-    array.
+    aggregate joined back → final sort IS the deliverable (postings
+    lists are stored term-ordered; at scale this materializes via
+    write.sortBy into bucketed files). No collect_list: postings stay
+    row-per-entry, never a single-task array.
+
+    The df-side join carries no broadcast hint: vocabulary size is
+    Zipf-bounded but still grows with the corpus, so forcing it into
+    executor memory is a scale hazard — both sides already shuffle on
+    ``term``, and AQE upgrades to broadcast at runtime whenever the
+    vocab side is actually small.
     """
     w = (
         table(spark, sf_dir, "documents")
@@ -754,7 +793,7 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = w.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        tf.join(F.broadcast(df.filter(F.col("df") >= POSTINGS_MIN_DF)), "term")
+        tf.join(df.filter(F.col("df") >= POSTINGS_MIN_DF), "term")
         .select("term", "doc_id", "tf", "df")
         .orderBy("term", "doc_id")
     )

@@ -260,6 +260,12 @@ def kmeans_fit(
        the summed cosine objective is monotone non-decreasing),
        stop when max centroid movement < ``tol``.
 
+    No lineage checkpointing is needed here (unlike the CC/BPE loops):
+    the only loop-carried state is the driver-held numpy centroid
+    matrix — each iteration's DataFrame is rebuilt from ``unit`` and a
+    fresh broadcast centroid table, so plans never grow with rounds,
+    and executor loss costs one iteration's recompute, not the fit.
+
     Returns (centroids ndarray, assignments DataFrame, iterations).
     """
     import numpy as np

@@ -357,7 +357,10 @@ def sim_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def srp_lsh_neardup(
-    emb: DataFrame, threshold: float = NEARDUP_TAU
+    emb: DataFrame,
+    threshold: float = NEARDUP_TAU,
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
 ) -> DataFrame:
     """The scale path for embedding near-dup detection (the exact
     twin, sim_neardup_pairs, is an all-pairs cross join — the
@@ -373,19 +376,27 @@ def srp_lsh_neardup(
     is always a subset of it. For τ = 0.4 the 16-bit bands make the
     S-curve steep near 0.9+: this operator targets *near-duplicate*
     similarity, and the recall test pins the ≥0.9 planted pairs.
-    At billions of vectors the 2¹⁶-per-band key space is the bucket
-    bound to watch — widen bands (and add bands to keep recall) the
-    same way the 126-bit SimHash chunks do.
+    At billions of vectors the per-band key space (2^(bits/bands)) is
+    the bucket bound to watch — widen bands (and add bands to keep
+    recall) via the ``bits``/``bands`` parameters, the same way the
+    126-bit SimHash chunks do. Defaults (128 bits, 8×16-bit bands)
+    fit corpora up to ~hundreds of millions of vectors; band width is
+    capped at 62 bits so keys stay within a signed long.
     """
     import numpy as np
     import pandas as pd
 
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    band_bits = bits // bands
+    if band_bits > 62:
+        raise ValueError(f"band width {band_bits} > 62 overflows long keys")
     spark = emb.sparkSession
     dim = len(emb.select("embedding").first()[0])
     rng = np.random.default_rng(SRP_SEED)
-    planes = rng.standard_normal((dim, SRP_BITS))
+    planes = rng.standard_normal((dim, bits))
     b_planes = spark.sparkContext.broadcast(planes)
-    weights = (1 << np.arange(SRP_BAND_BITS)).astype(np.int64)
+    weights = (1 << np.arange(band_bits)).astype(np.int64)
 
     def _sign(batches):
         P = b_planes.value
@@ -393,14 +404,14 @@ def srp_lsh_neardup(
             if not len(pdf):
                 continue
             vm = np.stack(pdf["embedding"].values).astype(np.float64)
-            bits = (vm @ P) > 0  # (n, SRP_BITS)
-            rows = {"vec_id": np.repeat(pdf["vec_id"].values, SRP_BANDS),
-                    "band": np.tile(np.arange(SRP_BANDS), len(pdf)),
+            sgn = (vm @ P) > 0  # (n, bits)
+            rows = {"vec_id": np.repeat(pdf["vec_id"].values, bands),
+                    "band": np.tile(np.arange(bands), len(pdf)),
                     "bkey": np.concatenate([
-                        bits[:, b * SRP_BAND_BITS:(b + 1) * SRP_BAND_BITS]
+                        sgn[:, b * band_bits:(b + 1) * band_bits]
                         @ weights
-                        for b in range(SRP_BANDS)
-                    ]).reshape(SRP_BANDS, len(pdf)).T.reshape(-1)}
+                        for b in range(bands)
+                    ]).reshape(bands, len(pdf)).T.reshape(-1)}
             yield pd.DataFrame(rows)
 
     banded = emb.select("vec_id", "embedding").mapInPandas(
@@ -516,11 +527,18 @@ def pq_encode(
                 }
             )
 
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(_enc, schema="vec_id long, code_key long, recon_mse double")
-        .orderBy("vec_id")
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _enc, schema="vec_id long, code_key long, recon_mse double"
     )
+
+
+def pq_encode_sorted(
+    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES
+) -> DataFrame:
+    """Presentation wrapper: ``pq_encode`` + a vec_id range sort. Only
+    the registered entry pays the sort; serving paths (ADC) consume
+    the unsorted map-only output directly."""
+    return pq_encode(emb, m, k).orderBy("vec_id")
 
 
 @register(
@@ -533,7 +551,7 @@ def pq_encode(
     tags=("embedding", "similarity", "approx"),
 )
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_encode(table(spark, sf_dir, "embeddings"))
+    return pq_encode_sorted(table(spark, sf_dir, "embeddings"))
 
 
 def pq_adc_topk(
@@ -551,12 +569,14 @@ def pq_adc_topk(
     100 TB: the hot set is the code table, not the corpus).
 
     Scan shape: one shuffle-free numpy ``mapInPandas`` over the
-    encoded corpus with the distance tables broadcast; only per-batch
-    top-k rows leave Python; the global merge is a window over
-    (partitions × q × k) rows. Exactness contract: ADC distance ≡
-    exact L2 between the query and the PQ-*reconstructed* vector
-    (pinned bit-exact by the test) — the approximation lives entirely
-    in the quantizer, not the search.
+    encoded corpus with the distance tables broadcast — the encode
+    feed is the *unsorted* map-only ``pq_encode`` output (the range
+    sort lives only in the ``emb_pq_encode`` presentation entry, so
+    serving never pays it); only per-batch top-k rows leave Python;
+    the global merge is a window over (partitions × q × k) rows.
+    Exactness contract: ADC distance ≡ exact L2 between the query and
+    the PQ-*reconstructed* vector (pinned bit-exact by the test) —
+    the approximation lives entirely in the quantizer, not the search.
     """
     import numpy as np
     import pandas as pd
@@ -621,3 +641,17 @@ def pq_adc_topk(
         )
         .orderBy("q_id", "rank")
     )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=None,  # PQ reconstruction + argmin are impractical in SQL;
+    # equivalence-tested: ADC ranking ≡ brute-force L2 over the
+    # PQ-reconstructed corpus, bit-exact (tests/test_corpus.py).
+    doc="ADC top-k serving over PQ codes: per-query distance tables "
+    "broadcast, corpus scanned as 8 nibbles/vector — queries never "
+    "touch the raw embeddings.",
+    tags=("embedding", "similarity", "approx"),
+)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_adc_topk(table(spark, sf_dir, "embeddings"))

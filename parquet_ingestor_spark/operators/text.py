@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..queries import register
 
 # Tiny per-language stopword profiles for the rule-based language-ID
@@ -405,7 +406,10 @@ BPE_MERGES = 8  # learned merge rounds for the registry entry
 
 
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich et al. 2016,
     'Neural Machine Translation of Rare Words with Subword Units' —
@@ -421,7 +425,10 @@ def bpe_train_merges(
     lexicographic pair for cross-run determinism) → apply the merge
     with a codegen regexp_replace (leftmost non-overlapping — the BPE
     convention). The driver loop iterates merge *rounds* and carries
-    only the winning pair, never data rows.
+    only the winning pair, never data rows. The vocab table's lineage
+    is truncated per round; pass ``checkpoint_dir`` for reliable
+    filesystem checkpoints on a cluster
+    (``checkpointing.truncate_lineage``).
 
     Returns (rank, left, right, pair_count) — the ordered merge table.
     """
@@ -433,12 +440,15 @@ def bpe_train_merges(
     )
     # initial symbol sequence: characters + end-of-word marker,
     # space-joined ("h e l l o </w>")
-    vocab = words.select(
-        F.concat(
-            F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w>")
-        ).alias("syms"),
-        "freq",
-    ).localCheckpoint(eager=False)
+    vocab = truncate_lineage(
+        words.select(
+            F.concat(
+                F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w>")
+            ).alias("syms"),
+            "freq",
+        ),
+        checkpoint_dir,
+    )
 
     merges = []
     for rank in range(n_merges):
@@ -468,10 +478,13 @@ def bpe_train_merges(
         pat = (
             f"(?<= |^){_re.escape(left)} {_re.escape(right)}(?= |$)"
         )
-        vocab = vocab.select(
-            F.regexp_replace("syms", pat, left + right).alias("syms"),
-            "freq",
-        ).localCheckpoint(eager=False)
+        vocab = truncate_lineage(
+            vocab.select(
+                F.regexp_replace("syms", pat, left + right).alias("syms"),
+                "freq",
+            ),
+            checkpoint_dir,
+        )
 
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"

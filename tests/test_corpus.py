@@ -57,6 +57,68 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_nonconvergence_falls_back(spark):
+    """A diameter past max_iter must not silently mis-cluster: the
+    hash-min loop warns and hands off to star contraction, so labels
+    are still exact."""
+    import warnings as w
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        got = {
+            r.id: r.lbl
+            for r in connected_components(nodes, edges, max_iter=2).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert any("did not converge" in str(c.message) for c in caught)
+
+
+def test_reliable_checkpoint_paths(spark, tmp_path):
+    """checkpoint_dir switches the iterative operators to reliable
+    filesystem checkpoints: results must match the localCheckpoint
+    path bit-for-bit, and checkpoint blocks must actually land in the
+    directory."""
+    from parquet_ingestor_spark.operators.corpus import (
+        connected_components_star,
+    )
+    from parquet_ingestor_spark.operators.text import bpe_train_merges
+
+    ckpt = str(tmp_path / "ckpt")
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    for fn in (connected_components, connected_components_star):
+        local = {r.id: r.lbl for r in fn(nodes, edges).collect()}
+        reliable = {
+            r.id: r.lbl
+            for r in fn(nodes, edges, checkpoint_dir=ckpt).collect()
+        }
+        assert local == reliable == {i: 0 for i in range(10)}, fn.__name__
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(20)],
+        "doc_id long, text string",
+    )
+    local = [tuple(r) for r in bpe_train_merges(docs, n_merges=3).collect()]
+    reliable = [
+        tuple(r)
+        for r in bpe_train_merges(
+            docs, n_merges=3, checkpoint_dir=ckpt
+        ).collect()
+    ]
+    assert local == reliable and len(local) == 3
+
+    import os
+
+    assert any(os.scandir(ckpt)), "no checkpoint blocks written"
+
+
 def test_contamination_finds_planted_overlap(spark, tmp_path):
     bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [

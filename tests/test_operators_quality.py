@@ -283,6 +283,30 @@ def test_sketch_path_routing_and_equivalence(spark, sf_dir):
         assert direct == rep, fn.__name__
 
 
+def test_srp_band_parameterization(spark, sf_dir):
+    """Wider bands must stay a valid LSH: a 4×32-bit configuration
+    still returns a subset of what the default 8×16 returns at the
+    same threshold (fewer, wider bands = stricter collisions), and
+    invalid shapes fail loudly."""
+    import pytest
+
+    from parquet_ingestor_spark.operators.similarity import srp_lsh_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    default = {
+        (r.vec_a, r.vec_b) for r in srp_lsh_neardup(emb, 0.9).collect()
+    }
+    wide = {
+        (r.vec_a, r.vec_b)
+        for r in srp_lsh_neardup(emb, 0.9, bits=128, bands=4).collect()
+    }
+    assert wide <= default
+    with pytest.raises(ValueError):
+        srp_lsh_neardup(emb, bits=100, bands=8)
+    with pytest.raises(ValueError):
+        srp_lsh_neardup(emb, bits=128, bands=2)
+
+
 def test_multimodal_oracle_byte_semantics_non_ascii(spark, tmp_path):
     """The byte-indexing operators and their char-indexing oracles must
     agree on non-ASCII input (both normalize the stand-in payload to

@@ -93,11 +93,22 @@ def test_asof_join_is_single_shuffle(spark, sf_dir):
     assert plan.count("Window") >= 1
 
 
-def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "benchmark_contamination")
-    # the benchmark n-gram set must broadcast; the corpus side must
-    # never shuffle its exploded shingles for this join
-    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+def test_unbounded_sides_never_force_broadcast(spark, sf_dir):
+    # the contamination stand-in benchmark and the postings vocabulary
+    # both grow with corpus size: neither may carry a broadcast *hint*
+    # (a hint overrides stats and would OOM at 100 TB). Catalyst/AQE
+    # may still pick broadcast from size estimates at toy SF — that's
+    # the point: the decision must come from stats, not a hint.
+    for name in ("benchmark_contamination", "text_inverted_postings"):
+        analyzed = (
+            REGISTRY[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in analyzed, name
+        assert "AdaptiveSparkPlan" in plan_of(spark, sf_dir, name), name
 
 
 def test_topk_ngrams_no_full_sort(spark, sf_dir):
