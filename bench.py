@@ -53,7 +53,14 @@ HEADLINE = (
     "text_token_counts",
     "text_bm25_topk",
     "corpus_filter_pipeline",
+    "corpus_line_dedup",
+    "pq_adc_topk",
 )
+# dedup_clusters_incremental is deliberately NOT a headline entry: its
+# cost at toy SF is dominated by per-micro-batch job scheduling (3
+# sequential folds, each with a CC fixpoint), which measures the
+# scheduler, not the data path; the driver's sf0.01 gate checks its
+# correctness every round.
 
 
 def main() -> None:

@@ -40,21 +40,35 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name not in TABLES:
-        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as raw int64 nanos (see
-    # spark.sql.legacy.parquet.nanosAsLong); rebuild a timestamp at µs
-    # precision. Queries format/bucket timestamps rather than emitting
-    # raw ns, so the truncation is not observable in results.
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Rebuild a µs timestamp from raw int64-nanos ``ts`` columns.
+
+    Testdata generations have stored events.ts as TIMESTAMP(NANOS)
+    (arrives as bigint nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS)
+    (arrives as a timestamp directly) — the guard on dtype makes both
+    read identically, so the engine is agnostic to which generation it
+    is pointed at. Queries format/bucket timestamps rather than
+    emitting raw ns, so the µs truncation is not observable.
+    """
     for col_name, dtype in df.dtypes:
         if col_name == "ts" and dtype == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif col_name == "ts" and dtype == "timestamp_ntz":
+            # naive-UTC semantics under the UTC session: the cast is a
+            # type-tag change, not a value change. LTZ is required by
+            # event-time operators (withWatermark rejects NTZ).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

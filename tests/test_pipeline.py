@@ -145,9 +145,9 @@ def test_batch_ingest_partition_pruning(spark, sf_dir):
     """The sink layout must enable partition pruning on read — the
     100 TB payoff of the reference's YYYY/MM/DD/HH key scheme."""
     out = tempfile.mkdtemp(prefix="pqing_prune_")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from parquet_ingestor_spark.catalog import normalize_ts
+
+    events = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ingest_batch(events, out)
     pruned = spark.read.parquet(out).filter("day = 3 AND hour = 4")
     plan = pruned._jdf.queryExecution().executedPlan().toString()

@@ -23,13 +23,13 @@ def events_stream(spark, sf_dir, tmp_path_factory):
     os.symlink(
         f"{sf_dir}/events.parquet", stream_dir / "part-0.parquet"
     )
+    from parquet_ingestor_spark.catalog import normalize_ts
+
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(str(stream_dir))
-    # events.ts arrives as int64 nanos (see catalog); both twins convert
-    ns_to_ts = lambda df: df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    return ns_to_ts(batch), ns_to_ts(stream)
+    # ts arrives as int64 nanos or a µs timestamp depending on the
+    # testdata generation; normalize_ts handles both
+    return normalize_ts(batch), normalize_ts(stream)
 
 
 def _drain_to_memory(spark, df, name, mode):

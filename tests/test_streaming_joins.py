@@ -11,15 +11,13 @@ from pyspark.sql import functions as F
 @pytest.fixture()
 def events_pair(spark, sf_dir, tmp_path):
     os.symlink(f"{sf_dir}/events.parquet", tmp_path / "p.parquet")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
-    stream = (
+    from parquet_ingestor_spark.catalog import normalize_ts
+
+    batch = normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    stream = normalize_ts(
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .parquet(str(tmp_path))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ).parquet(str(tmp_path))
     )
     return batch, stream
 
