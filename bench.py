@@ -55,6 +55,8 @@ HEADLINE = (
     "corpus_filter_pipeline",
     "corpus_line_dedup",
     "pq_adc_topk",
+    "sem_dedup",
+    "text_lm_perplexity",
 )
 # dedup_clusters_incremental is deliberately NOT a headline entry: its
 # cost at toy SF is dominated by per-micro-batch job scheduling (3

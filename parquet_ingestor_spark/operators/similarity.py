@@ -643,6 +643,126 @@ def pq_adc_topk(
     )
 
 
+SEM_TAU = 0.4  # within-cluster cosine above which docs are semantic dups
+
+
+@register(
+    "sem_dedup",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+            WHERE vec_id < {IVF_K}
+        ), a AS (
+            SELECT vec_id, c_id, v, nrm FROM (
+                SELECT n.vec_id, c.c_id, n.v, n.nrm,
+                       row_number() OVER (
+                           PARTITION BY n.vec_id
+                           ORDER BY list_sum(list_transform(
+                               generate_series(1, len(n.v)),
+                               i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn)
+                               DESC, c.c_id
+                       ) AS rn
+                FROM n CROSS JOIN c
+            ) WHERE rn = 1
+        ), removed AS (
+            SELECT DISTINCT y.vec_id
+            FROM a x JOIN a y
+              ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+            WHERE list_sum(list_transform(generate_series(1, len(x.v)),
+                  i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) >= {SEM_TAU}
+        )
+        SELECT a.vec_id, a.c_id AS cluster_id,
+               (a.vec_id NOT IN (SELECT vec_id FROM removed)) AS kept
+        FROM a ORDER BY a.vec_id
+    """,
+    doc=f"SemDeDup: assign embeddings to {IVF_K} fixed centroids, mark "
+    f"within-cluster cosine ≥ {SEM_TAU} near-dups removed (min vec_id "
+    "kept) — the cluster bound makes the quadratic local.",
+    tags=("embedding", "dedup", "similarity"),
+)
+def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup via embedding clusters (Abbas et al. 2023,
+    'SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication' — public method).
+
+    The whole point of the clustering pre-pass is the scale bound:
+    all-pairs cosine is O(n²) over the corpus, but within-cluster
+    pairs are O(Σ|cluster|²) — the self-join shuffles on the (fixed-k)
+    cluster id, so each quadratic stays inside one key's partitions
+    and AQE splits skewed clusters. Assignment reuses the
+    emb_kmeans_step shape: broadcast centroids, ``max(struct)``
+    aggregate, one scalar row per vector through the shuffle.
+    Keeper rule: a vector is removed iff a smaller-id vector in its
+    cluster has cosine ≥ τ (greedy-by-id — deterministic, oracle-
+    expressible; SemDeDup's centroid-distance keeper is a one-line
+    ORDER BY swap).
+    """
+    emb = with_norm(table(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "nrm", "c_id", csim.alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim"), (-F.col("c_id")).alias("nci"))
+            ).alias("best"),
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.nci")).cast("int").alias("cluster_id"),
+            "embedding",
+            "nrm",
+        )
+    )
+    x = assigned.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("cluster_id").alias("xc"),
+        F.col("embedding").alias("xv"),
+        F.col("nrm").alias("xn"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("drop_id"),
+        F.col("cluster_id").alias("yc"),
+        F.col("embedding").alias("yv"),
+        F.col("nrm").alias("yn"),
+    )
+    cos = _dot("xv", "yv") / (F.col("xn") * F.col("yn"))
+    removed = (
+        x.join(
+            y,
+            (F.col("xc") == F.col("yc"))
+            & (F.col("keep_id") < F.col("drop_id")),
+        )
+        .filter(cos >= SEM_TAU)
+        .select(F.col("drop_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return (
+        assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("_removed").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 @register(
     "pq_adc_topk",
     oracle=None,  # PQ reconstruction + argmin are impractical in SQL;

@@ -502,3 +502,106 @@ def bpe_train_merges(
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_perplexity",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2])
+                )) AS s
+                FROM t WHERE len(toks) >= 2
+            )
+        ), big AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        ), uni AS (
+            SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS vs FROM (
+                SELECT unnest(toks) AS w FROM t
+            )
+        )
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(AVG(-log2(
+                   (big.c12 + 1.0) / (uni.c1 + (SELECT vs FROM v))
+               )), 4) AS avg_nll
+        FROM bg
+        JOIN big USING (w1, w2)
+        JOIN uni USING (w1)
+        GROUP BY bg.doc_id
+        ORDER BY bg.doc_id
+    """,
+    doc="CCNet-style LM quality score: add-one-smoothed corpus bigram "
+    "model, per-doc mean negative log2 probability (lower = more "
+    "fluent under the corpus LM).",
+    tags=("text", "quality", "corpus"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM fluency scoring (the CCNet filter — Wenzek et al.
+    2019, 'CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data'; public methodology: score each document under a
+    corpus language model and filter/bucket on perplexity).
+
+    Train and score in one job over the corpus:
+
+    - bigram extraction is a per-row transform + explode (no
+      word-level shuffle for segmentation itself);
+    - model "training" = one map-side-combinable bigram-count
+      aggregate keyed (w1, w2) (unigram counts fold from it, never
+      re-scanning the corpus) + one scalar vocab-size row — at 100 TB both tables are Zipf-bounded far
+      below corpus size, so they carry NO broadcast hint (stats/AQE
+      decide, the same rule as text_inverted_postings);
+    - scoring joins each doc's bigrams back to the two count tables on
+      their natural keys and averages -log2 p̂(w2|w1) per doc —
+      add-one smoothing over the corpus vocab keeps unseen pairs
+      finite (here every scored pair is in-model by construction;
+      smoothing matters when scoring held-out docs against a trained
+      model, which this operator supports by swapping the count
+      tables' source).
+
+    Returns (doc_id, n_bigrams, avg_nll), lower avg_nll = more fluent.
+    """
+    toks = "split(text, ' ')"
+    bg = (
+        table(spark, sf_dir, "documents")
+        .filter(F.expr(f"size({toks}) >= 2"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size({toks}) - 2), "
+                    f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.w1", "s.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # unigram counts derive from the bigram table (sum over w2): one
+    # fewer corpus-wide explode+shuffle, identical counts by definition
+    uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vs = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(toks)).alias("w"))
+        .agg(F.count_distinct("w").alias("vs"))
+    )
+    nll = -F.log2(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))
+    )
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vs))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

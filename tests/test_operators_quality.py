@@ -382,3 +382,66 @@ def test_srp_lsh_recall_on_planted_neardups(spark):
     assert len(planted) >= 15  # noise keeps nearly all pairs ≥0.9
     found = planted & set(got)
     assert len(found) / len(planted) >= 0.9, f"{len(found)}/{len(planted)}"
+
+
+def test_sem_dedup_planted_cluster_dups(spark, tmp_path):
+    """Three near-identical vectors land in one cluster; only the
+    smallest id survives, and every removal has a smaller-id similar
+    witness in the same cluster."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.similarity import sem_dedup
+
+    base = [float(i % 7) + 1.0 for i in range(64)]
+    bump = lambda eps: [x + eps for x in base]
+    rows = [(i, bump(0.001 * i)) for i in range(30)]  # 25 centroids + dups
+    # vectors 27..29 are near-copies of vector 3's direction
+    rows += [(100 + j, [x * 2.0 for x in base]) for j in range(3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {r.vec_id: r for r in sem_dedup(spark, str(tmp_path)).collect()}
+    assert len(got) == 33
+    # scaled copies are cosine-1 to each other and to the base family:
+    # only the smallest id of each similar group in a cluster survives
+    removed = [v for v in got.values() if not v.kept]
+    assert removed, "expected at least one removal"
+    clusters = {v.vec_id: v.cluster_id for v in got.values()}
+    for v in removed:
+        assert any(
+            got[w].kept or w < v.vec_id
+            for w in got
+            if w < v.vec_id and clusters[w] == clusters[v.vec_id]
+        ), v
+    # keepers: minimum id in every cluster is always kept
+    import collections
+
+    by_cluster = collections.defaultdict(list)
+    for v in got.values():
+        by_cluster[v.cluster_id].append(v)
+    for members in by_cluster.values():
+        assert min(m.vec_id for m in members) in {
+            m.vec_id for m in members if m.kept
+        }
+
+
+def test_lm_perplexity_prefers_fluent_docs(spark, tmp_path):
+    """A doc made of the corpus's dominant bigrams must score a lower
+    avg_nll than a doc of one-off bigrams."""
+    from parquet_ingestor_spark.operators.text import text_lm_perplexity
+
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, common))  # fluent doc: all bigrams seen 21x
+    rows.append((101, "zebra quark flux oboe nematode glyph"))  # one-offs
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: r.avg_nll
+        for r in text_lm_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert got[100] < got[101]
+    assert got[100] == got[0]  # identical docs score identically
