@@ -728,27 +728,24 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nrm",
         )
     )
-    x = assigned.select(
-        F.col("vec_id").alias("keep_id"),
-        F.col("cluster_id").alias("xc"),
-        F.col("embedding").alias("xv"),
-        F.col("nrm").alias("xn"),
-    )
-    y = assigned.select(
-        F.col("vec_id").alias("drop_id"),
-        F.col("cluster_id").alias("yc"),
-        F.col("embedding").alias("yv"),
-        F.col("nrm").alias("yn"),
-    )
-    cos = _dot("xv", "yv") / (F.col("xn") * F.col("yn"))
+    # Both pair-join branches are the SAME subplan aliased twice, so
+    # the cluster-keyed shuffle of the assignment is written once and
+    # read twice (ReusedExchange) — the corpus pays the centroid
+    # assignment for the pair search once, not twice.
+    xs, ys = assigned.alias("xs"), assigned.alias("ys")
+    cos = F.expr(
+        "aggregate(zip_with(xs.embedding, ys.embedding, (x, y) -> "
+        "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    ) / (F.col("xs.nrm") * F.col("ys.nrm"))
     removed = (
-        x.join(
-            y,
-            (F.col("xc") == F.col("yc"))
-            & (F.col("keep_id") < F.col("drop_id")),
+        xs.join(
+            ys,
+            (F.col("xs.cluster_id") == F.col("ys.cluster_id"))
+            & (F.col("xs.vec_id") < F.col("ys.vec_id")),
         )
         .filter(cos >= SEM_TAU)
-        .select(F.col("drop_id").alias("vec_id"))
+        .select(F.col("ys.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("_removed", F.lit(True))
     )

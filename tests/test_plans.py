@@ -140,3 +140,28 @@ def test_pq_encode_has_no_shuffle_before_sort(spark, sf_dir):
     ]
     assert all("rangepartitioning" in ln for ln in exchanges), exchanges
     assert "MapInPandas" in plan
+
+
+def test_line_dedup_single_scan_and_line_keyed_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_line_dedup")
+    # segmentation is a per-row transform: exactly one corpus scan,
+    # then one shuffle keyed on the line for the keep-first window
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
+    # the only collect_list is the per-doc reassembly (bounded by one
+    # document's own line count), keyed on doc_id — never corpus-wide
+    import re
+
+    assert re.search(r"Aggregate\(keys=\[doc_id.*collect_list", plan)
+    assert plan.count("collect_list") == plan.count(
+        "collect_list(CASE WHEN (rn"
+    )
+
+
+def test_sem_dedup_broadcasts_centroids_never_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sem_dedup")
+    # the fixed-k centroid table broadcasts into every assignment;
+    # the within-cluster pair join must be a keyed join, not a
+    # corpus-wide cartesian
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
