@@ -238,32 +238,47 @@ def stream_dedup_clusters(
 
     State lives as parquet under ``state_dir`` (postings/, sizes/,
     labels/), versioned per epoch so a batch never overwrites the
-    files it is reading (read-epoch-N → write-epoch-N+1 — the same
-    write-then-swap discipline as the reference's
-    durable-write-before-ack commit,
+    files it is reading (the same write-then-swap discipline as the
+    reference's durable-write-before-ack commit,
     /root/reference/ingestor/ingestor.go). ``labels/<latest>`` is the
-    queryable cluster assignment at any moment. foreachBatch is the
-    documented Spark pattern for stateful maintenance that needs
-    arbitrary joins against accumulated state — the built-in stateful
-    operators (applyInPandasWithState) key state by a grouping column,
-    while cluster maintenance needs cross-key joins.
+    queryable cluster assignment at any moment.
+
+    **Replay-idempotent**: epochs are keyed by the streaming
+    ``batch_id``, and a batch reads the largest epoch *strictly
+    below* its own id — so when Structured Streaming replays a batch
+    after a crash (state written, checkpoint commit lost), the replay
+    reads the same pre-state and overwrites the same epoch instead of
+    re-applying itself on top of its own output (which would double
+    every doc's postings and corrupt Jaccard sizes). This is the
+    batch-id-keyed idempotent-sink rule the batch pipeline uses for
+    its dynamic partition overwrite (pipeline O15).
+
+    foreachBatch is the documented Spark pattern for stateful
+    maintenance that needs arbitrary joins against accumulated state —
+    the built-in stateful operators (applyInPandasWithState) key state
+    by a grouping column, while cluster maintenance needs cross-key
+    joins.
 
     Returns the StreamingQuery; callers own awaitTermination/stop.
     """
     import os
 
-    def _epoch(sub: str) -> int:
+    def _epoch_below(sub: str, bound: int) -> int:
         p = os.path.join(state_dir, sub)
         if not os.path.isdir(p):
             return -1
-        vs = [int(d.split("=")[1]) for d in os.listdir(p) if "=" in d]
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
         return max(vs, default=-1)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
-        e = _epoch("labels")
+        e = _epoch_below("labels", int(batch_id))
         state = None
         if e >= 0:
             state = tuple(
@@ -277,7 +292,7 @@ def stream_dedup_clusters(
         )
         for sub, df in (("postings", ex), ("sizes", sz), ("labels", lbl)):
             df.write.mode("overwrite").parquet(
-                os.path.join(state_dir, sub, f"epoch={e + 1}")
+                os.path.join(state_dir, sub, f"epoch={int(batch_id)}")
             )
 
     return (

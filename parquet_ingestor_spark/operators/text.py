@@ -605,3 +605,78 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "shuffle:42:"
+
+
+@register(
+    "corpus_shuffle_shard",
+    oracle=f"""
+        WITH k AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5('{SHUFFLE_SEED}' ||
+                       CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS skey
+            FROM documents
+        ), s AS (
+            SELECT doc_id, skey,
+                   CAST(skey % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+            FROM k
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY skey, doc_id
+               ) AS BIGINT) AS pos
+        FROM s
+        ORDER BY shard, pos
+    """,
+    doc=f"Deterministic global training shuffle: md5-keyed order, "
+    f"{SHUFFLE_SHARDS} shards, within-shard position — reproducible "
+    "across engines, re-runs, and task retries.",
+    tags=("text", "training", "sampling"),
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global example shuffle for training-data ordering.
+
+    Training runs need the corpus in a pseudo-random but REPRODUCIBLE
+    order (epoch seeds, resumable jobs, retry-stable shards). Key =
+    md5(seed || doc_id): a pure function of the row, so re-runs,
+    engines, and task retries agree — never rand()-per-row. Shard =
+    key mod n; position = rank of the key within the shard.
+
+    Scale shape: one narrow scan computes the key (codegen md5), the
+    single shuffle is keyed on the shard, and the per-shard sort is a
+    within-partition sort — exactly the plan
+    ``repartition(shard).sortWithinPartitions(key)`` +
+    ``write.partitionBy(shard)`` materializes at 100 TB. Shards are
+    hash-balanced (~n/shards each); the window never sees more than
+    one shard.
+    """
+    skey = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(SHUFFLE_SEED), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            skey.alias("skey"),
+        )
+        .withColumn(
+            "shard", (F.col("skey") % SHUFFLE_SHARDS).cast("int")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

@@ -68,10 +68,11 @@ _LOADED = False
 #:   - 35 q-entries (q15–q48) whose last driver row is round 1
 #: Unchanged r2-green operator entries rotate out; after r3 every
 #: entry has a driver row within the last two rounds.
-#: ROUND-4 BUDGET NOTE: sem_dedup and text_lm_perplexity were added
-#: late in r3 at the tail (no r3 driver row — local oracle only);
-#: rotate them into the window first next round, along with anything
-#: that changes, letting r3-proven q-entries rotate out.
+#: ROUND-4 BUDGET NOTE: sem_dedup, text_lm_perplexity,
+#: corpus_shuffle_shard, q51_exists_subquery, and q52_range_frame were
+#: added late in r3 at the tail (no r3 driver row — local oracle
+#: only); rotate them into the window first next round, along with
+#: anything that changes, letting r3-proven q-entries rotate out.
 _WINDOW_FIRST: tuple[str, ...] = (
     "q49_map_funcs",
     "q50_setops_all",

@@ -390,3 +390,96 @@ def q50_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy("op", "nationkey")
     )
+
+
+@register(
+    "q51_exists_subquery",
+    oracle="""
+        SELECT n.n_name,
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                       AND EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 100000))
+                    AS BIGINT) AS n_big_spenders,
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE c.c_nationkey = n.n_nationkey
+                       AND NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_custkey = c.c_custkey))
+                    AS BIGINT) AS n_orderless
+        FROM nation n
+        ORDER BY n.n_name
+    """,
+    doc="Correlated EXISTS / NOT EXISTS per nation — planned as "
+    "left-semi / left-anti joins, never per-row re-execution.",
+    tags=("relational", "subquery"),
+)
+def q51_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS compiles to a semi join and NOT EXISTS to an anti join
+    (visible in the plan as LeftSemi/LeftAnti hash joins): the
+    subquery is decorrelated once, so cost is one join per predicate
+    regardless of outer-row count — the property that survives a
+    100 TB outer table."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("_c_q51")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_o_q51")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("_n_q51")
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST((SELECT COUNT(*) FROM _c_q51 c
+                     WHERE c.c_nationkey = n.n_nationkey
+                       AND EXISTS (SELECT 1 FROM _o_q51 o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_totalprice > 100000))
+                    AS BIGINT) AS n_big_spenders,
+               CAST((SELECT COUNT(*) FROM _c_q51 c
+                     WHERE c.c_nationkey = n.n_nationkey
+                       AND NOT EXISTS (SELECT 1 FROM _o_q51 o
+                                       WHERE o.o_custkey = c.c_custkey))
+                    AS BIGINT) AS n_orderless
+        FROM _n_q51 n
+        ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "q52_range_frame",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_within_1k,
+               round(SUM(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+               ), 2) AS sum_within_1k
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    doc="Value-based RANGE window frame (1000-unit sliding price "
+    "band), deterministic under ties because RANGE includes peers.",
+    tags=("relational", "window"),
+)
+def q52_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (vs ROWS) are tie-stable — peers share a frame —
+    which is what makes a value-banded running aggregate
+    engine-portable. Partitioned by priority so no global single-task
+    window exists at scale."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("_o_q52")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_within_1k,
+               round(SUM(o_totalprice) OVER (
+                   PARTITION BY o_orderpriority ORDER BY o_totalprice
+                   RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+               ), 2) AS sum_within_1k
+        FROM _o_q52
+        ORDER BY o_orderkey
+        """
+    )

@@ -148,3 +148,27 @@ def test_stream_dedup_clusters_foreachbatch(spark, tmp_path):
     )
     got = {(r.id, r.lbl) for r in final.collect()}
     assert got == _batch_clusters(spark, docs)
+
+    # replay idempotence: a fresh checkpoint re-delivers every batch
+    # (the crash-replay worst case) against the EXISTING state dir —
+    # batch-id-keyed epochs must absorb the replay, not double-apply
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    q2 = stream_dedup_clusters(stream2, state_dir)
+    q2.awaitTermination(120)
+    epochs2 = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "labels"))
+    ]
+    final2 = spark.read.parquet(
+        os.path.join(state_dir, "labels", f"epoch={max(epochs2)}")
+    )
+    rows = final2.collect()
+    assert len(rows) == docs.count(), "replay duplicated state rows"
+    assert {(r.id, r.lbl) for r in rows} == got
