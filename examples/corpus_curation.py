@@ -29,7 +29,12 @@ from parquet_ingestor_spark.operators.corpus import (
     dedup_clusters,
     scrub_pii,
 )
-from parquet_ingestor_spark.operators.text import text_pack_bins
+from parquet_ingestor_spark.operators.lines import line_dedup
+from parquet_ingestor_spark.operators.text import (
+    corpus_shuffle_shard,
+    text_lm_perplexity,
+    text_pack_bins,
+)
 from parquet_ingestor_spark.queries import _ensure_loaded
 from parquet_ingestor_spark.session import get_spark
 
@@ -75,15 +80,40 @@ def main() -> None:
         "n_chars",
     )
 
+    # 4b. line-level boilerplate dedup (C4 keep-first rule): replace
+    #     each doc's text with its deduped reassembly
+    deduped_lines = line_dedup(clean).select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    clean = (
+        clean.drop("text")
+        .join(deduped_lines, "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
     # 5. write the curated corpus + its pack manifest
     clean.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     n1 = spark.read.parquet(f"{out_dir}/documents.parquet").count()
     packs = text_pack_bins(spark, out_dir)
     n_packs = packs.count()
 
+    # 6. fluency scores + deterministic training order over the
+    #    curated corpus (both read the written parquet, not the input)
+    lm = text_lm_perplexity(spark, out_dir)
+    mean_nll = lm.agg(F.round(F.avg("avg_nll"), 3)).first()[0]
+    shard_counts = (
+        corpus_shuffle_shard(spark, out_dir)
+        .groupBy("shard")
+        .count()
+        .orderBy("shard")
+        .collect()
+    )
+
     print(f"input docs:     {n0}")
     print(f"curated docs:   {n1}")
     print(f"training packs: {n_packs}")
+    print(f"mean doc NLL:   {mean_nll}")
+    print("shard sizes:    " + ", ".join(str(r["count"]) for r in shard_counts))
     packs.show(10, truncate=False)
     print(f"curated corpus at {out_dir}")
 

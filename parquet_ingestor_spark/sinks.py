@@ -57,3 +57,53 @@ def resolve_path(base: str, key: str) -> str:
     """O14 sink path resolution (reference: sink/sink_s3.go:151-168):
     key → full object path under the sink prefix."""
     return f"{base.rstrip('/')}/{key.lstrip('/')}"
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    codec: str = "zstd",
+) -> int:
+    """Small-file compaction — the sink-maintenance pass a streaming
+    ingest needs at scale.
+
+    Micro-batch sinks (reference flush loop; our foreachBatch writer)
+    produce files sized by *time*, not by optimal scan granularity; at
+    100 TB a reader's task count explodes and the namenode/listing
+    cost dominates. This rewrites a parquet directory into
+    ceil(total_bytes / target_mb) files: read → repartition to the
+    byte-derived file count → write to a staging sibling → atomic
+    directory swap (write-then-rename, the same durable-write-
+    before-visibility discipline as the reference's ack path —
+    ingestor commit ordering). On an object store, swap the prefix a
+    reader resolves (or run under a table format's commit protocol)
+    instead of rename.
+
+    Returns the resulting file count. Row conservation is the test's
+    contract: compaction must never change the data, only the layout.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    staging = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    df = spark.read.parquet(path)
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", codec)
+        .parquet(staging)
+    )
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return n_files

@@ -66,3 +66,35 @@ def test_resolve_path():
         resolve_path("s3a://bucket/prefix/", "/2024/01/file.parquet")
         == "s3a://bucket/prefix/2024/01/file.parquet"
     )
+
+
+def test_compact_parquet_conserves_rows_and_reduces_files(spark, tmp_path):
+    """Compaction changes layout only: same rows/values, fewer files,
+    old dir gone, staging cleaned up."""
+    import os
+
+    from parquet_ingestor_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "many")
+    spark.range(0, 10_000).selectExpr(
+        "id", "id * 2 AS v"
+    ).repartition(64).write.parquet(path)
+    before_files = sum(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+    assert before_files >= 32
+    before = spark.read.parquet(path).selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).first()
+
+    n_files = compact_parquet(spark, path, target_mb=512)
+    assert n_files == 1
+
+    after_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(after_files) == 1
+    after = spark.read.parquet(path).selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).first()
+    assert (before.n, before.s) == (after.n, after.s)
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
