@@ -85,12 +85,15 @@ def shingle_col(text_col: str = "text", n: int = 3) -> Column:
     Guarded for short texts: sequence(0, negative) would count *down* in
     Spark, so texts with < n tokens map to an empty shingle set.
     """
-    toks = f"split({text_col}, ' ')"
+    # toks binds once per row (the text_quality pattern): an inline
+    # split(...) inside slice() would re-tokenize per shingle —
+    # O(tokens²) string work on the corpus-wide verification paths
     return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"array_distinct(transform(sequence(0, size({toks}) - {n}), "
-        f"i -> concat_ws(' ', slice({toks}, i + 1, {n})))) "
-        f"ELSE array() END"
+        f"transform(array(split({text_col}, ' ')), toks -> "
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n})))) "
+        f"ELSE array() END)[0]"
     )
 
 

@@ -47,13 +47,16 @@ def segment_lines(
     """(doc_id, line_no, line, nw): consecutive ``line_words``-word
     segments per doc, built with one per-row transform + explode —
     the word array never leaves its row unsegmented."""
-    toks = f"split({text_col}, ' ')"
+    # toks binds once per row via the array()/lambda trick (the
+    # text_quality pattern): slicing an inline split(...) would
+    # re-tokenize the doc for every line
     seg = F.expr(
-        f"transform(sequence(0, CAST(ceil(size({toks}) / {line_words}.0) "
+        f"transform(array(split({text_col}, ' ')), toks -> "
+        f"transform(sequence(0, CAST(ceil(size(toks) / {line_words}.0) "
         f"AS INT) - 1), i -> struct(CAST(i AS BIGINT) AS line_no, "
-        f"concat_ws(' ', slice({toks}, i * {line_words} + 1, {line_words})) "
-        f"AS line, size(slice({toks}, i * {line_words} + 1, {line_words})) "
-        f"AS nw))"
+        f"concat_ws(' ', slice(toks, i * {line_words} + 1, {line_words})) "
+        f"AS line, size(slice(toks, i * {line_words} + 1, {line_words})) "
+        f"AS nw)))[0]"
     )
     return docs.select("doc_id", F.explode(seg).alias("s")).select(
         "doc_id", "s.line_no", "s.line", "s.nw"

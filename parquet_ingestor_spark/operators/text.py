@@ -567,16 +567,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, n_bigrams, avg_nll), lower avg_nll = more fluent.
     """
-    toks = "split(text, ' ')"
+    # Bind split(text) to a lambda variable so tokenization runs once
+    # per row — writing split(...)[i] inline would re-split the string
+    # for EVERY bigram element (O(tokens²) string work per doc; the
+    # text_quality operator documents the same pitfall).
     bg = (
         table(spark, sf_dir, "documents")
-        .filter(F.expr(f"size({toks}) >= 2"))
+        .filter(F.expr("size(split(text, ' ')) >= 2"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, size({toks}) - 2), "
-                    f"i -> struct({toks}[i] AS w1, {toks}[i + 1] AS w2))"
+                    "transform(array(split(text, ' ')), toks -> "
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))[0]"
                 )
             ).alias("s"),
         )
@@ -588,7 +592,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vs = (
         table(spark, sf_dir, "documents")
-        .select(F.explode(F.expr(toks)).alias("w"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
         .agg(F.count_distinct("w").alias("vs"))
     )
     nll = -F.log2(
