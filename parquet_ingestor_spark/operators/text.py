@@ -452,13 +452,15 @@ def bpe_train_merges(
 
     merges = []
     for rank in range(n_merges):
+        # symbol array binds once per row (split(syms)[i] inline
+        # would re-split per adjacent pair — the tokenize-once rule)
         pairs = vocab.select(
             "freq",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(split(syms, ' ')) - 2), "
-                    "i -> struct(split(syms, ' ')[i] AS l, "
-                    "split(syms, ' ')[i + 1] AS r))"
+                    "transform(array(split(syms, ' ')), ss -> "
+                    "transform(sequence(0, size(ss) - 2), "
+                    "i -> struct(ss[i] AS l, ss[i + 1] AS r)))[0]"
                 )
             ).alias("p"),
         )
