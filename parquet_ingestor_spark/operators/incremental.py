@@ -137,18 +137,23 @@ def apply_dedup_batch(
     # CC only over labels an edge actually touches (the affected
     # clusters); every untouched label maps to itself via the left
     # join — the label-graph work is proportional to this batch's
-    # merges, not the corpus
-    touched = (
-        lbl_edges.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(lbl_edges.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    remap = connected_components(
-        touched, lbl_edges, checkpoint_dir=checkpoint_dir
-    ).select(F.col("id").alias("lbl"), F.col("lbl").alias("root"))
-    labels = labels.join(remap, "lbl", "left").select(
-        "id", F.coalesce("root", F.col("lbl")).alias("lbl")
-    )
+    # merges, not the corpus. A batch with no cross-cluster edges (the
+    # common case on a mostly-distinct corpus) skips the CC fixpoint
+    # entirely: one limit(1) probe replaces the loop's join+agg+count
+    # rounds.
+    lbl_edges = truncate_lineage(lbl_edges, checkpoint_dir)
+    if lbl_edges.limit(1).count() > 0:
+        touched = (
+            lbl_edges.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(lbl_edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        remap = connected_components(
+            touched, lbl_edges, checkpoint_dir=checkpoint_dir
+        ).select(F.col("id").alias("lbl"), F.col("lbl").alias("root"))
+        labels = labels.join(remap, "lbl", "left").select(
+            "id", F.coalesce("root", F.col("lbl")).alias("lbl")
+        )
     return (
         truncate_lineage(all_ex, checkpoint_dir),
         truncate_lineage(all_sz, checkpoint_dir),
