@@ -57,6 +57,7 @@ HEADLINE = (
     "pq_adc_topk",
     "sem_dedup",
     "text_lm_perplexity",
+    "sim_ivfpq_topk",
 )
 # dedup_clusters_incremental is deliberately NOT a headline entry: its
 # cost at toy SF is dominated by per-micro-batch job scheduling (3

@@ -772,3 +772,167 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(table(spark, sf_dir, "embeddings"))
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    n_lists: int = IVF_K,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+) -> DataFrame:
+    """IVF-PQ index build: (vec_id, list_id, code_key) in ONE
+    shuffle-free numpy ``mapInPandas`` pass — coarse L2 assignment to
+    the ``n_lists`` centroids and PQ encoding share the batch, so the
+    corpus is read exactly once at index time. Centroids use the same
+    deterministic first-k rule as the codebooks (swap in k-means
+    without touching this path). At scale the output is written
+    ``partitionBy(list_id)`` so serving scans only probed lists'
+    files; here list pruning happens in the serving pass's mask.
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
+    crows = sorted(
+        emb.filter(F.col("vec_id") < n_lists)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cm = np.array([r.embedding for r in crows], dtype=np.float64)
+    b = emb.sparkSession.sparkContext.broadcast((cm, books))
+
+    def _index(batches):
+        cm, cb = b.value
+        m_, k_, d_sub = cb.shape
+        weights = k_ ** np.arange(m_, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            d2c = ((vm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+            lists = d2c.argmin(axis=1)
+            sub = vm.reshape(len(vm), m_, d_sub)
+            codes = (
+                ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2)
+                .sum(axis=3)
+                .argmin(axis=2)
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "list_id": lists.astype(np.int32),
+                    "code_key": (codes * weights).sum(axis=1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _index, schema="vec_id long, list_id int, code_key long"
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=None,  # approximate (probes 3 of 25 lists over quantized
+    # codes); pinned by an exact numpy differential: result ≡ ADC
+    # ranking restricted to the probed lists (tests/test_corpus.py).
+    doc=f"IVF-PQ serving: probe {IVF_NPROBE}/{IVF_K} coarse lists, "
+    "ADC-score 4-bit codes via broadcast distance tables — the full "
+    "billion-vector architecture (corpus read as codes, never floats).",
+    tags=("embedding", "similarity", "approx"),
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The combined IVF-PQ serving query (Jégou et al. 2011 §IV) —
+    composes the two registered halves into the shape a real ANN
+    service runs: IVF bounds WHICH vectors are scored (nprobe of
+    n_lists), PQ bounds the BYTES per scored vector (8 nibbles).
+
+    Driver state is all O(1) in the corpus: centroids (n_lists × dim),
+    the 10-query set, their probe lists, and per-query (m × k) ADC
+    tables, broadcast together. Serving is one mapInPandas over the
+    (vec_id, list_id, code_key) index — mask by probed list, ADC via
+    table lookups, per-batch top-k — then the tiny window merge.
+    Exactness contract: identical ranking to brute-force ADC over the
+    probed lists (the approximation is which lists are probed plus the
+    quantizer itself, never the search).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb)  # (m, k, d_sub)
+    m, k, d_sub = books.shape
+    crows = sorted(
+        emb.filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cm = np.array([r.embedding for r in crows], dtype=np.float64)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    q_ids = [r.vec_id for r in qrows]
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    # probe lists by L2 to coarse centroids; ADC tables per query
+    probe = np.argsort(
+        ((qm[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2),
+        axis=1,
+        kind="stable",
+    )[:, :IVF_NPROBE]
+    tables = (
+        (qm.reshape(len(q_ids), m, d_sub)[:, :, None, :] - books[None])
+        ** 2
+    ).sum(axis=3)
+    b = spark.sparkContext.broadcast((q_ids, probe, tables))
+
+    def _serve(batches):
+        q_ids, probe, dt = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["code_key"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            codes = np.stack(
+                [(keys // (k**s)) % k for s in range(m)], axis=1
+            )
+            vec_ids = pdf["vec_id"].to_numpy()
+            rows = []
+            for qi, qid in enumerate(q_ids):
+                mask = np.isin(lists, probe[qi])
+                if not mask.any():
+                    continue
+                mc = codes[mask]
+                dist = np.zeros(mc.shape[0])
+                for s in range(m):
+                    dist += dt[qi, s, mc[:, s]]
+                mv = vec_ids[mask]
+                top = min(TOPK, len(dist))
+                idx = np.argpartition(dist, top - 1)[:top]
+                rows.extend(
+                    (qid, int(mv[ri]), float(dist[ri])) for ri in idx
+                )
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "dist"])
+
+    candidates = ivfpq_index(emb).mapInPandas(
+        _serve, schema="q_id long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.asc(F.round("dist", 6)), F.asc("vec_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("dist", 6).alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -69,7 +69,8 @@ _LOADED = False
 #: Unchanged r2-green operator entries rotate out; after r3 every
 #: entry has a driver row within the last two rounds.
 #: ROUND-4 BUDGET NOTE: sem_dedup, text_lm_perplexity,
-#: corpus_shuffle_shard, q51_exists_subquery, and q52_range_frame were
+#: corpus_shuffle_shard, q51_exists_subquery, q52_range_frame, and
+#: sim_ivfpq_topk were
 #: added late in r3 at the tail (no r3 driver row — local oracle
 #: only); rotate them into the window first next round, along with
 #: anything that changes, letting r3-proven q-entries rotate out.

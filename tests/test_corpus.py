@@ -423,3 +423,62 @@ def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
     for r in pq_adc_topk(emb).collect():
         got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
     assert got == want
+
+
+def test_ivfpq_equals_probed_adc_bruteforce(spark, sf_dir):
+    """IVF-PQ serving must equal brute-force ADC restricted to the
+    probed lists — the approximation lives in list choice + quantizer,
+    never the search. Pure-numpy differential."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        N_QUERIES,
+        PQ_CODES,
+        PQ_SUBSPACES,
+        TOPK,
+        pq_codebooks,
+        sim_ivfpq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
+    )
+    vm = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    cb = pq_codebooks(emb)
+    m, k, d_sub = cb.shape
+    cm = vm[ids < IVF_K][np.argsort(ids[ids < IVF_K])]
+    lists = ((vm[:, None, :] - cm[None]) ** 2).sum(axis=2).argmin(axis=1)
+    sub = vm.reshape(len(vm), m, d_sub)
+    codes = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3).argmin(axis=2)
+
+    qm = vm[ids < N_QUERIES]
+    q_ids = ids[ids < N_QUERIES]
+    probe = np.argsort(
+        ((qm[:, None, :] - cm[None]) ** 2).sum(axis=2), axis=1, kind="stable"
+    )[:, :IVF_NPROBE]
+    tables = (
+        (qm.reshape(len(q_ids), m, d_sub)[:, :, None, :] - cb[None]) ** 2
+    ).sum(axis=3)
+
+    want = {}
+    for qi, qid in enumerate(q_ids):
+        mask = np.isin(lists, probe[qi])
+        dist = np.zeros(mask.sum())
+        mc = codes[mask]
+        for s in range(m):
+            dist += tables[qi, s, mc[:, s]]
+        order = sorted(zip(np.round(dist, 6), ids[mask]))
+        want[int(qid)] = [
+            (int(v), float(d), r + 1)
+            for r, (d, v) in enumerate(order[:TOPK])
+        ]
+
+    got = {}
+    for r in sim_ivfpq_topk(spark, sf_dir).collect():
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
+    assert got == want
