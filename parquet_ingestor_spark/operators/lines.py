@@ -165,3 +165,97 @@ def line_dedup(
 )
 def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(table(spark, sf_dir, "documents"))
+
+
+SPAN_GRAM = 15  # ExactSubstr-style duplicated-span n-gram width
+
+
+@register(
+    "text_dup_spans",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), g AS (
+            SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(len(toks) - {SPAN_GRAM} + 1),
+                    i -> struct_pack(
+                        pos := i,
+                        gram := array_to_string(
+                            toks[i + 1 : i + {SPAN_GRAM}], ' ')
+                    ))) AS s
+                FROM t WHERE len(toks) >= {SPAN_GRAM}
+            )
+        ), dup AS (
+            SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1
+        ), d AS (
+            SELECT g.doc_id, g.pos,
+                   g.pos - ROW_NUMBER() OVER (
+                       PARTITION BY g.doc_id ORDER BY g.pos
+                   ) AS grp
+            FROM g JOIN dup USING (gram)
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {SPAN_GRAM} - 1 AS BIGINT) AS span_end,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM d
+        GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start
+    """,
+    doc=f"ExactSubstr-style duplicated spans: maximal runs of "
+    f"{SPAN_GRAM}-gram positions whose gram repeats anywhere in the "
+    "corpus (gaps-and-islands merge), as token [start, end] spans.",
+    tags=("text", "dedup", "corpus"),
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring span detection (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' —
+    public methodology: remove exact substrings repeated across the
+    corpus, not just whole near-dup docs).
+
+    Shape: positioned n-grams from a tokenize-once per-row transform →
+    one corpus shuffle keyed on the gram (the repeat test is a
+    map-side-combinable count; production keys on xxhash64(gram) to
+    shrink shuffle bytes) → duplicated positions merge into maximal
+    spans with the gaps-and-islands trick (pos − row_number is
+    constant within a consecutive run), a per-doc window. Returns
+    (doc_id, span_start, span_end, n_grams); a removal pass would
+    drop exactly these token ranges.
+    """
+    grams = (
+        table(spark, sf_dir, "documents")
+        .filter(F.expr(f"size(split(text, ' ')) >= {SPAN_GRAM}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(array(split(text, ' ')), toks -> "
+                    f"transform(sequence(0, size(toks) - {SPAN_GRAM}), "
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', "
+                    f"slice(toks, i + 1, {SPAN_GRAM})) AS gram)))[0]"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    d = grams.join(dup, "gram").withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        d.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(SPAN_GRAM - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    )

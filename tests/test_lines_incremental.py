@@ -172,3 +172,37 @@ def test_stream_dedup_clusters_foreachbatch(spark, tmp_path):
     rows = final2.collect()
     assert len(rows) == docs.count(), "replay duplicated state rows"
     assert {(r.id, r.lbl) for r in rows} == got
+
+
+def test_dup_spans_planted_shared_passage(spark, tmp_path):
+    """A 20-word passage planted in two docs yields one maximal span
+    in each doc covering exactly the passage; unique text yields no
+    spans."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from parquet_ingestor_spark.operators.lines import (
+        SPAN_GRAM,
+        text_dup_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(20))
+    uniq = lambda base, n: " ".join(f"u{base}_{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, uniq(0, 30) + " " + passage + " " + uniq(1, 30)),
+            (1, passage + " " + uniq(2, 40)),
+            (2, uniq(3, 60)),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.n_grams)
+        for r in text_dup_spans(spark, str(tmp_path)).collect()
+    }
+    # doc 0: passage occupies tokens [30, 49]; duplicated 15-gram
+    # positions are 30..(50-15)=35 -> span [30, 49], 6 grams
+    assert got[0] == (30, 49, 20 - SPAN_GRAM + 1)
+    # doc 1: passage at [0, 19]
+    assert got[1] == (0, 19, 20 - SPAN_GRAM + 1)
+    assert 2 not in got
