@@ -58,6 +58,7 @@ HEADLINE = (
     "sem_dedup",
     "text_lm_perplexity",
     "sim_ivfpq_topk",
+    "text_dup_spans",
 )
 # dedup_clusters_incremental is deliberately NOT a headline entry: its
 # cost at toy SF is dominated by per-micro-batch job scheduling (3
