@@ -70,7 +70,7 @@ _LOADED = False
 #: entry has a driver row within the last two rounds.
 #: ROUND-4 BUDGET NOTE: sem_dedup, text_lm_perplexity,
 #: corpus_shuffle_shard, q51_exists_subquery, q52_range_frame, and
-#: sim_ivfpq_topk, and text_dup_spans were
+#: sim_ivfpq_topk, text_dup_spans, and q53_windowed_count_distinct were
 #: added late in r3 at the tail (no r3 driver row — local oracle
 #: only); rotate them into the window first next round, along with
 #: anything that changes, letting r3-proven q-entries rotate out.

@@ -483,3 +483,44 @@ def q52_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "q53_windowed_count_distinct",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(COUNT(DISTINCT o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_priorities_seen
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    doc="Running COUNT(DISTINCT) per window — unsupported natively in "
+    "Spark, expressed as size(collect_set() OVER w) with identical "
+    "semantics (the set is bounded by the column's cardinality).",
+    tags=("relational", "window"),
+)
+def q53_windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark rejects DISTINCT aggregates over windows; the idiomatic
+    workaround is a windowed ``collect_set`` sized — semantically
+    identical, and safe whenever the distinct domain is bounded
+    (5 priorities here; for high-cardinality columns the right tool
+    is an approx sketch per frame, not this). The frame state is the
+    set, so memory per row is O(|domain|), not O(frame)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.size(F.collect_set("o_orderpriority").over(w))
+            .cast("long")
+            .alias("n_priorities_seen"),
+        )
+        .orderBy("o_orderkey")
+    )
