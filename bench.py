@@ -122,6 +122,30 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    # Output contract (round-3 post-mortem): the driver tail-captures
+    # stdout and parses the LAST one-line JSON; round 3's single line
+    # carried per-run arrays + load_avg, outgrew the capture window,
+    # and the driver recorded "parsed": null. So: the diagnostic
+    # detail (all three runs per query, machine load) goes on its own
+    # EARLIER line and into bench_detail.json, and the final line is
+    # the compact headline contract only (total + per-query best).
+    detail = {
+        "runs": runs,
+        "load_avg": {
+            "start_1m": round(load0[0], 2),
+            "end_1m": round(os.getloadavg()[0], 2),
+        },
+        "sf": sf,
+    }
+    print(json.dumps({"bench_detail": detail}))
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail file is best-effort; the stdout contract stands
     print(
         json.dumps(
             {
@@ -129,11 +153,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                "load_avg": {
-                    "start_1m": round(load0[0], 2),
-                    "end_1m": round(os.getloadavg()[0], 2),
-                },
                 "sf": sf,
             }
         )

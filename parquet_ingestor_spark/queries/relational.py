@@ -102,8 +102,12 @@ def q10_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ord_f = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "n_nationkey", "n_name"
     )
+    # No broadcast hint on supplier: it scales with SF (TPC-H SF×10k
+    # rows, ~140 GB at a 100 TB SF), so a literal hint would override
+    # stats and OOM at scale where AQE/stats-based planning picks the
+    # broadcast only while the side actually fits.
     li = lineitem.join(
-        F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey
+        supplier, lineitem.l_suppkey == supplier.s_suppkey
     ).select("l_orderkey", "l_extendedprice", "l_discount", "s_nationkey")
     # Q5's local-supplier condition (supplier and customer share a
     # nation) rides the same l_orderkey shuffle as an extra equi-key —
@@ -231,9 +235,14 @@ def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    # Reduce the dims first (supplier ⋈ nation ⋈ region is tiny), then
-    # broadcast the result so the lineitem scan streams through a
-    # BroadcastHashJoin with zero exchange.
+    # Reduce the dims first. nation (25 rows) and region (5 rows) are
+    # fixed-cardinality at every SF, so their broadcast hints are
+    # genuinely bounded. eu_suppliers, by contrast, derives from
+    # supplier (SF×10k rows) — no literal hint on it: at small SF the
+    # stats estimate is far under autoBroadcastJoinThreshold so the
+    # planner still picks BroadcastHashJoin (the plan test asserts
+    # this), and at 100 TB AQE falls back to a shuffle join instead of
+    # OOMing on a forced broadcast.
     eu_suppliers = (
         supplier.join(
             F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
@@ -243,7 +252,7 @@ def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(eu_suppliers),
+            eu_suppliers,
             lineitem.l_suppkey == eu_suppliers.s_suppkey,
         )
         .groupBy("s_name")
