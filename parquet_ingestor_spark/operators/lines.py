@@ -22,10 +22,17 @@ per-row).
 
 Scale shape: segmentation is a per-row codegen expression (split +
 sequence + slice — no explode of words, no word-level shuffle). The
-only corpus-sized shuffle keys on the segment string (the global
-keep-first window); reassembly groups by doc_id with a per-doc
-``collect_list`` — bounded by one document's own line count, the same
-per-row bound every per-doc operator carries, never corpus-sized.
+keep-first rule is a map-side-combinable ``groupBy(line)`` aggregate
+(round-3 verdict: a ``Window.partitionBy(line)`` put every occurrence
+of a Zipf-head boilerplate line — a cookie banner seen 10⁸ times —
+into ONE window partition, and windows don't get AQE skew-splitting
+the way joins do; the partial aggregate collapses those occurrences
+map-side instead, so the shuffle carries one row per distinct line
+per map partition). The kept text and keeper position both come out
+of that one aggregate, so the corpus is never joined back on the
+skewed line key; removed counts come from a doc-keyed total.
+Reassembly groups by doc_id with a per-doc ``collect_list`` —
+bounded by one document's own line count, never corpus-sized.
 """
 
 from __future__ import annotations
@@ -75,11 +82,15 @@ def line_dedup(
 
     Keep-first = the occurrence with the smallest (doc_id, line_no)
     survives; every other occurrence of the same line text is removed
-    corpus-wide. The dedup shuffle keys on the line string — at
-    100 TB a production build keys on xxhash64(line) to shrink
-    shuffle bytes (kept as strings here so the oracle is
-    engine-portable); frequency is Zipf-shaped but the window is a
-    partial sort per key, not a collect.
+    corpus-wide. The keeper is ``min(struct(doc_id, line_no))`` per
+    line — a map-side-combinable aggregate, so a boilerplate line
+    occurring 10⁸ times collapses to one row per map partition before
+    the shuffle (no Zipf-head single-partition window; round-3
+    verdict item #4). The kept line's text rides out of the same
+    aggregate via its group key, so the corpus is never joined back
+    on the skewed line key; per-doc removed counts come from
+    subtracting kept counts from a doc-keyed total (doc_id is
+    uniform, not Zipf).
 
     Returns (doc_id, n_lines_kept, n_lines_removed, cleaned_text)
     for docs with ≥ ``min_doc_lines`` surviving lines.
@@ -87,33 +98,43 @@ def line_dedup(
     lines = segment_lines(docs, text_col, line_words).filter(
         F.col("nw") >= min_line_words
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    ranked = lines.withColumn("rn", F.row_number().over(w))
-    per_doc = ranked.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias(
-            "n_lines_kept"
-        ),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias(
-            "n_lines_removed"
-        ),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rn") == 1,
-                            F.struct("line_no", "line"),
-                        )
-                    )
-                ),
-                lambda s: s.line,
-            ),
-            " ",
-        ).alias("cleaned_text"),
+    # one row per distinct line: who keeps it (min struct), keyed on
+    # the line string so the kept text needs no join-back
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("f")
     )
+    kept_per_doc = (
+        keepers.select(
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.line_no").alias("line_no"),
+            "line",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_no", "line"))
+                    ),
+                    lambda s: s.line,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_total"))
     return (
-        per_doc.filter(F.col("n_lines_kept") >= min_doc_lines)
-        .select("doc_id", "n_lines_kept", "n_lines_removed", "cleaned_text")
+        kept_per_doc.join(totals, "doc_id")
+        .filter(F.col("n_lines_kept") >= min_doc_lines)
+        .select(
+            "doc_id",
+            "n_lines_kept",
+            (F.col("n_total") - F.col("n_lines_kept")).alias(
+                "n_lines_removed"
+            ),
+            "cleaned_text",
+        )
         .orderBy("doc_id")
     )
 
@@ -214,14 +235,22 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     public methodology: remove exact substrings repeated across the
     corpus, not just whole near-dup docs).
 
-    Shape: positioned n-grams from a tokenize-once per-row transform →
-    one corpus shuffle keyed on the gram (the repeat test is a
-    map-side-combinable count; production keys on xxhash64(gram) to
-    shrink shuffle bytes) → duplicated positions merge into maximal
-    spans with the gaps-and-islands trick (pos − row_number is
-    constant within a consecutive run), a per-doc window. Returns
-    (doc_id, span_start, span_end, n_grams); a removal pass would
-    drop exactly these token ranges.
+    Shape: positioned n-grams from a tokenize-once per-row transform,
+    hashed to ``xxhash64(gram)`` inside the same codegen stage — the
+    output is positions only, so the 15-word gram string never
+    reaches an exchange: the repeat-test groupBy and the grams⋈dup
+    join both key on the 8-byte hash (round-3 verdict item #5: the
+    string-keyed shuffle was ≈15× corpus tokens in shuffle bytes).
+    Duplicated positions then merge into maximal spans with the
+    gaps-and-islands trick (pos − row_number is constant within a
+    consecutive run), a per-doc window. Returns (doc_id, span_start,
+    span_end, n_grams); a removal pass would drop exactly these token
+    ranges.
+
+    A 64-bit hash collision can mark a unique gram as repeated
+    (P ≈ n²/2⁶⁴ — vanishing at any realistic corpus); the registered
+    DuckDB oracle stays string-keyed as the differential twin, which
+    also certifies the hash path introduces no collision at test SF.
     """
     grams = (
         table(spark, sf_dir, "documents")
@@ -232,21 +261,21 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"transform(array(split(text, ' ')), toks -> "
                     f"transform(sequence(0, size(toks) - {SPAN_GRAM}), "
-                    f"i -> struct(CAST(i AS BIGINT) AS pos, concat_ws(' ', "
-                    f"slice(toks, i + 1, {SPAN_GRAM})) AS gram)))[0]"
+                    f"i -> struct(CAST(i AS BIGINT) AS pos, xxhash64(concat_ws("
+                    f"' ', slice(toks, i + 1, {SPAN_GRAM}))) AS gh)))[0]"
                 )
             ).alias("s"),
         )
-        .select("doc_id", "s.pos", "s.gram")
+        .select("doc_id", "s.pos", "s.gh")
     )
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 1)
-        .select("gram")
+        .select("gh")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    d = grams.join(dup, "gram").withColumn(
+    d = grams.join(dup, "gh").withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
     return (

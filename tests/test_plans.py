@@ -186,20 +186,43 @@ def test_pq_encode_has_no_shuffle_before_sort(spark, sf_dir):
     assert "MapInPandas" in plan
 
 
-def test_line_dedup_single_scan_and_line_keyed_window(spark, sf_dir):
+def test_line_dedup_partial_agg_no_skewed_window(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "corpus_line_dedup")
-    # segmentation is a per-row transform: exactly one corpus scan,
-    # then one shuffle keyed on the line for the keep-first window
-    assert plan.count("FileScan parquet") == 1
-    assert "Window" in plan
-    # the only collect_list is the per-doc reassembly (bounded by one
-    # document's own line count), keyed on doc_id — never corpus-wide
+    # the keep-first rule must be a map-side-combinable aggregate on
+    # the line key (partial min before the shuffle collapses Zipf-head
+    # boilerplate lines), never a Window.partitionBy(line) — windows
+    # don't get AQE skew-splitting (round-3 verdict item #4)
     import re
 
+    assert "Window" not in plan
+    # min-of-struct buffers aren't hash-aggregable, so the partial
+    # lands in a SortAggregate — the map-side combine is the property
+    assert re.search(
+        r"(?:Hash|Sort)Aggregate\(keys?=\[line[^\]]*\], "
+        r"functions=\[partial_min",
+        plan,
+    ), plan
+    # the only collect_list is the per-doc reassembly (bounded by one
+    # document's own line count), keyed on doc_id — never corpus-wide
     assert re.search(r"Aggregate\(keys=\[doc_id.*collect_list", plan)
-    assert plan.count("collect_list") == plan.count(
-        "collect_list(CASE WHEN (rn"
+    assert plan.count("collect_list(struct(line_no") == plan.count(
+        "collect_list"
     )
+
+
+def test_dup_spans_shuffles_hashes_not_gram_strings(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_dup_spans")
+    # the 15-word gram string must be hashed in the scan-side codegen
+    # stage and never reach an exchange: the repeat-test groupBy and
+    # the grams⋈dup join key on xxhash64(gram) (8 bytes), not the
+    # string (~15× corpus tokens in shuffle bytes at 100 TB)
+    assert "xxhash64" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("gh#" in ln for ln in exchanges), exchanges
+    for ln in exchanges:  # every exchange keys on gh or doc_id, never gram
+        assert "gram" not in ln, ln
 
 
 def test_sem_dedup_broadcasts_centroids_never_cartesian(spark, sf_dir):
