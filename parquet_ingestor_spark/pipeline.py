@@ -169,6 +169,36 @@ def write_batch(
     )
 
 
+def _avro_record_schema(record_schema: T.StructType, name: str = "envelope") -> str:
+    """Minimal Avro (JSON) writer schema for an envelope record:
+    primitive fields, nullable ⇒ ["null", type] unions. Raises for
+    nested/complex Spark types — the envelope contract is flat."""
+    import json
+
+    prim = {
+        "string": "string",
+        "bigint": "long",
+        "int": "int",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+        "binary": "bytes",
+        "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    }
+    fields = []
+    for f in record_schema.fields:
+        t = prim.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"unsupported Avro envelope field type: "
+                f"{f.name} {f.dataType.simpleString()}"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return json.dumps({"type": "record", "name": name, "fields": fields})
+
+
 def parse_envelopes(
     raw: DataFrame,
     record_schema: T.StructType,
@@ -178,12 +208,24 @@ def parse_envelopes(
     """O4 + O6: decode payloads into typed records; split failures.
 
     The reference's envelope payload is ``any``
-    (source/source.go:16); this decodes the two text wire formats —
-    JSON objects and CSV lines — with identical split semantics.
-    Returns ``(good, bad)``. ``bad`` carries the raw payload plus an
-    error tag — the reference's Fail()-and-never-batch path
-    (reference: ingestor/ingestor.go:468-474) re-expressed as a
+    (source/source.go:16); this decodes the text wire formats — JSON
+    objects and CSV lines — plus binary Avro, with identical split
+    semantics. Returns ``(good, bad)``. ``bad`` carries the raw
+    payload plus an error tag — the reference's Fail()-and-never-batch
+    path (reference: ingestor/ingestor.go:468-474) re-expressed as a
     DataFrame split instead of per-message callbacks.
+
+    ``payload_format="avro"`` needs the ``spark-avro`` jar on the
+    session classpath (it ships separately from pyspark — add
+    ``spark.jars.packages=org.apache.spark:spark-avro_2.13:<spark
+    version>`` at session build, plus a schema-registry client if
+    envelopes carry Confluent-framed payloads; see ARCHITECTURE.md).
+    Without the jar this raises a clear RuntimeError at plan-build
+    time — the same import-gating contract as the boto3 SQS source.
+    Avro's PERMISSIVE mode null-fills undecodable payloads rather
+    than tagging them, so the bad-split rule is "payload present but
+    every decoded field null" — an all-null-fields legitimate record
+    is indistinguishable and lands in the DLQ by design.
     """
     corrupt = "_corrupt_record"
     schema_with_corrupt = T.StructType(
@@ -204,6 +246,42 @@ def parse_envelopes(
             ddl,
             {**opts, "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss"},
         )
+    elif payload_format == "avro":
+        try:
+            from pyspark.sql.avro.functions import from_avro
+
+            rec = from_avro(
+                F.col(payload_col),
+                _avro_record_schema(record_schema),
+                {"mode": "PERMISSIVE"},
+            )
+            parsed = raw.withColumn("_rec", rec)
+            parsed._jdf.schema()  # force analysis so a missing jar fails HERE
+        except Exception as exc:
+            if "avro" in str(exc).lower() or "ClassNotFound" in str(exc):
+                raise RuntimeError(
+                    "payload_format='avro' requires the spark-avro jar "
+                    "(org.apache.spark:spark-avro_2.13:<spark version> via "
+                    "spark.jars.packages) — it is not bundled with pyspark"
+                ) from exc
+            raise
+        decoded_null = F.lit(True)
+        for f in record_schema.fields:
+            decoded_null = decoded_null & F.col(f"_rec.{f.name}").isNull()
+        good = parsed.filter(~decoded_null).select(
+            *[
+                F.col(f"_rec.{f.name}").alias(f.name)
+                for f in record_schema.fields
+            ],
+            *[c for c in raw.columns if c != payload_col],
+        )
+        bad = parsed.filter(
+            decoded_null & F.col(payload_col).isNotNull()
+        ).select(
+            F.base64(F.col(payload_col)).alias("value"),
+            F.lit("transform_error: malformed payload").alias("error"),
+        )
+        return good, bad
     else:
         raise ValueError(f"unsupported payload_format {payload_format!r}")
     parsed = raw.withColumn("_rec", rec)

@@ -149,27 +149,52 @@ def poll_queue_once(
     return len(msgs)
 
 
-def sqs_receive_delete(queue_url: str, max_messages: int = 10, wait_seconds: int = 10):
+#: SQS hard API limits: ReceiveMessage and DeleteMessageBatch both cap
+#: at 10 messages/entries per call (the reference chunks the same way,
+#: source/source_sqs_batch_test.go:122).
+SQS_BATCH_MAX = 10
+
+
+def sqs_receive_delete(
+    queue_url: str,
+    max_messages: int = SQS_BATCH_MAX,
+    wait_seconds: int = 10,
+    client=None,
+):
     """boto3-backed (receive, delete) pair for poll_queue_once.
 
     Gated: boto3 is optional; environments without it (this container)
-    get a clear error at call time. The callables mirror the
+    get a clear error at call time — or pass ``client`` (anything with
+    the boto3 SQS ``receive_message``/``delete_message_batch``
+    surface) for dependency injection, which is how the stub-client
+    tests drive this without network. The callables mirror the
     reference's ReceiveMessage/DeleteMessageBatch usage
-    (source/source_sqs.go:249-315).
+    (source/source_sqs.go:249-315):
+
+    - receives clamp ``MaxNumberOfMessages`` to the SQS cap of 10;
+    - deletes chunk into ≤10-entry batches (the API rejects more);
+    - per-entry delete failures (the ``Failed`` list of an otherwise
+      200 response — reference source/source_sqs_batch_test.go:167)
+      are returned as the failed receipt handles, NOT raised: the
+      landing file is already durably written when delete runs, so an
+      unacked message simply redelivers after the visibility timeout
+      and the pipeline's idempotent batch commit absorbs the replay
+      (at-least-once, same as the reference's log-and-continue).
     """
-    try:
-        import boto3  # type: ignore[import-not-found]
-    except ImportError as err:  # pragma: no cover - env-dependent
-        raise RuntimeError(
-            "boto3 is not installed; pass custom receive/delete "
-            "callables to poll_queue_once instead"
-        ) from err
-    sqs = boto3.client("sqs")
+    if client is None:
+        try:
+            import boto3  # type: ignore[import-not-found]
+        except ImportError as err:  # pragma: no cover - env-dependent
+            raise RuntimeError(
+                "boto3 is not installed; pass custom receive/delete "
+                "callables to poll_queue_once instead"
+            ) from err
+        client = boto3.client("sqs")
 
     def receive():
-        resp = sqs.receive_message(
+        resp = client.receive_message(
             QueueUrl=queue_url,
-            MaxNumberOfMessages=max_messages,
+            MaxNumberOfMessages=min(max_messages, SQS_BATCH_MAX),
             WaitTimeSeconds=wait_seconds,
             MessageAttributeNames=["All"],
         )
@@ -183,12 +208,19 @@ def sqs_receive_delete(queue_url: str, max_messages: int = 10, wait_seconds: int
         ]
 
     def delete(receipts):
-        sqs.delete_message_batch(
-            QueueUrl=queue_url,
-            Entries=[
-                {"Id": str(i), "ReceiptHandle": r}
-                for i, r in enumerate(receipts)
-            ],
-        )
+        failed: list[str] = []
+        for i in range(0, len(receipts), SQS_BATCH_MAX):
+            chunk = receipts[i : i + SQS_BATCH_MAX]
+            entries = [
+                {"Id": str(j), "ReceiptHandle": r}
+                for j, r in enumerate(chunk)
+            ]
+            resp = client.delete_message_batch(
+                QueueUrl=queue_url, Entries=entries
+            )
+            failed.extend(
+                chunk[int(e["Id"])] for e in resp.get("Failed", [])
+            )
+        return failed
 
     return receive, delete

@@ -445,3 +445,73 @@ def test_lm_perplexity_prefers_fluent_docs(spark, tmp_path):
     }
     assert got[100] < got[101]
     assert got[100] == got[0]  # identical docs score identically
+
+
+def test_scaled_k_math():
+    """k derives from corpus size: ≈ n/target, clamped to [lo, hi]."""
+    from parquet_ingestor_spark.operators.similarity import (
+        TARGET_CLUSTER_SIZE,
+        scaled_k,
+    )
+
+    assert scaled_k(0) == 4  # lo clamp
+    assert scaled_k(500) == 4
+    assert scaled_k(10_000) == -(-10_000 // TARGET_CLUSTER_SIZE)
+    assert scaled_k(10**12) == 1 << 18  # hi clamp bounds broadcast state
+    ks = [scaled_k(n) for n in (10**3, 10**5, 10**7, 10**9, 10**11)]
+    assert ks == sorted(ks)  # monotone in corpus size
+
+
+def test_ivf_recall_holds_as_k_grows(spark, sf_dir):
+    """The round-3 verdict's k-sensitivity requirement: recall@5 must
+    not collapse as the list count scales up (nprobe kept at the same
+    ≈1/8 fraction, the way a scaled deployment holds the probed
+    fraction while n_lists tracks corpus size)."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import ivf_search
+
+    brute = {
+        (r.q_id, r.vec_id)
+        for r in REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+    }
+    emb = table(spark, sf_dir, "embeddings")
+    for n_lists, nprobe in ((25, 3), (50, 6), (100, 12)):
+        ivf = {
+            (r.q_id, r.vec_id)
+            for r in ivf_search(emb, n_lists=n_lists, nprobe=nprobe).collect()
+        }
+        recall = len(brute & ivf) / len(brute)
+        assert recall >= 0.7, f"n_lists={n_lists}: recall {recall}"
+    # the scaled default (n_lists=None → scaled_k(500)=4 lists here)
+    # must run end-to-end and answer every query
+    auto = ivf_search(emb, nprobe=1).collect()
+    assert {r.q_id for r in auto} == set(range(10))
+
+
+def test_sem_dedup_trained_removes_planted_dups(spark, tmp_path):
+    """The production path (k-means-trained centroids, scaled k) must
+    still remove planted near-duplicates and keep cluster minima."""
+    from parquet_ingestor_spark.operators.similarity import sem_dedup_trained
+
+    base = [float(i % 7) + 1.0 for i in range(64)]
+    rows = [(i, [x + 0.001 * i * ((i % 3) - 1) for x in base]) for i in range(40)]
+    rows += [(100 + j, [x * 2.0 for x in base]) for j in range(3)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {r.vec_id: r for r in sem_dedup_trained(emb, k=4).collect()}
+    assert len(got) == 43
+    # the scaled copies (cosine 1.0 to each other) can't all survive
+    assert not (got[101].kept and got[102].kept)
+    # minimum id in every cluster is always kept
+    import collections
+
+    by_cluster = collections.defaultdict(list)
+    for v in got.values():
+        by_cluster[v.cluster_id].append(v)
+    for members in by_cluster.values():
+        assert min(m.vec_id for m in members) in {
+            m.vec_id for m in members if m.kept
+        }

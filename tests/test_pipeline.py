@@ -191,3 +191,77 @@ def test_stream_ingest_csv_payloads(spark, dirs):
     dlq = spark.read.json(f"{out}/_dlq")
     assert dlq.count() == 60 - good
     assert set(r.value for r in dlq.select("value").collect()) == {"not-a-long,oops"}
+
+
+def _avro_varint(n: int) -> bytes:
+    """Avro zigzag varint encoding (no avro lib in the container —
+    binary encoding per the public Avro 1.x spec)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_record(a: int, b: str) -> bytes:
+    """Binary record for {a: ["null","long"], b: ["null","string"]}:
+    each nullable field is union-index 1 (the non-null branch) then
+    the value."""
+    bs = b.encode()
+    return (
+        _avro_varint(1) + _avro_varint(a)
+        + _avro_varint(1) + _avro_varint(len(bs)) + bs
+    )
+
+
+def test_parse_envelopes_avro_gated(spark):
+    """payload_format='avro' either decodes (jar present) or raises
+    the documented gate error (pyspark ships no spark-avro jar) —
+    mirroring the boto3 SQS gating contract."""
+    import pyspark.sql.types as T
+    import pytest
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [
+            (_avro_record(7, "ok"), "m1"),
+            (b"\xff\xff\xff\xff\xff", "m2"),  # truncated varint: corrupt
+        ],
+        "value binary, msg_id string",
+    )
+    try:
+        good, bad = parse_envelopes(
+            raw, schema, payload_format="avro"
+        )
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        pytest.skip("spark-avro jar absent — gate error verified")
+    rows = {r.msg_id: r for r in good.collect()}
+    assert rows["m1"].a == 7 and rows["m1"].b == "ok"
+    assert "m2" not in rows
+    assert bad.count() == 1
+
+
+def test_avro_schema_builder_rejects_nested():
+    import pyspark.sql.types as T
+    import pytest
+
+    from parquet_ingestor_spark.pipeline import _avro_record_schema
+
+    flat = T.StructType([T.StructField("x", T.LongType(), False)])
+    assert '"type": "record"' in _avro_record_schema(flat).replace("'", '"')
+    nested = T.StructType(
+        [T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)]
+    )
+    with pytest.raises(ValueError):
+        _avro_record_schema(nested)

@@ -62,6 +62,69 @@ def test_asof_join_matches_bruteforce(left, right):
 
 
 @settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=events, right=events)
+def test_asof_forward_matches_bruteforce(left, right):
+    """direction='forward' equals the quadratic definition: the right
+    row with the min ts ≥ left ts per key."""
+    right = list({(k, ts): (k, ts, i) for k, ts, i in right}.values())
+    ldf = _spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in left], "k long, ts long, l_id long"
+    )
+    rdf = _spark.createDataFrame(right, "k long, ts long, r_id long")
+    got = {
+        (r.l_id, r.r_id)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            direction="forward",
+        ).collect()
+    }
+    want = set()
+    for k, lts, lid in left:
+        nxt = [(ts, rid) for rk, ts, rid in right if rk == k and ts >= lts]
+        want.add((lid, min(nxt)[1] if nxt else None))
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=events, right=events)
+def test_asof_nearest_matches_bruteforce(left, right):
+    """direction='nearest' equals the quadratic definition: the right
+    row with the min |ts delta| per key, exact ties backward (the
+    pandas merge_asof tie rule)."""
+    right = list({(k, ts): (k, ts, i) for k, ts, i in right}.values())
+    ldf = _spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in left], "k long, ts long, l_id long"
+    )
+    rdf = _spark.createDataFrame(right, "k long, ts long, r_id long")
+    got = {
+        (r.l_id, r.r_id)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            direction="nearest",
+        ).collect()
+    }
+    want = set()
+    for k, lts, lid in left:
+        cands = [(ts, rid) for rk, ts, rid in right if rk == k]
+        if not cands:
+            want.add((lid, None))
+            continue
+        # min distance; ties -> backward (ts <= lts sorts first via
+        # the (dist, ts > lts) key)
+        best = min(cands, key=lambda c: (abs(c[0] - lts), c[0] > lts))
+        want.add((lid, best[1]))
+    assert got == want
+
+
+@settings(
     max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

@@ -209,3 +209,115 @@ def test_queue_poller_ack_after_durable_write(spark, tmp_path):
 
     poll_queue_once(lambda: batch[:2], delete_probe, str(landing))
     assert len(seen_at_delete["files"]) == 2  # first file + this one
+
+
+class _FakeSQS:
+    """Stub boto3 SQS client: scripted receive batches, recorded
+    delete batches, optional per-entry failures — the reference's
+    batch-path test doubles (source/source_sqs_batch_test.go:122,
+    :167), no network."""
+
+    def __init__(self, batches, fail_receipts=()):
+        self._batches = list(batches)
+        self._fail = set(fail_receipts)
+        self.receive_calls = []
+        self.delete_calls = []
+
+    def receive_message(self, **kw):
+        self.receive_calls.append(kw)
+        cap = kw.get("MaxNumberOfMessages", 1)  # boto3 default is 1
+        msgs = []
+        if self._batches:
+            msgs = self._batches[0][:cap]
+            rest = self._batches[0][cap:]
+            if rest:
+                self._batches[0] = rest
+            else:
+                self._batches.pop(0)
+        return {
+            "Messages": [
+                {
+                    "Body": body,
+                    "ReceiptHandle": f"rh-{body}",
+                    "MessageId": f"mid-{body}",
+                }
+                for body in msgs
+            ]
+        }
+
+    def delete_message_batch(self, *, QueueUrl, Entries):
+        assert len(Entries) <= 10, "SQS caps DeleteMessageBatch at 10"
+        self.delete_calls.append([e["ReceiptHandle"] for e in Entries])
+        return {
+            "Failed": [
+                {"Id": e["Id"], "SenderFault": False, "Code": "InternalError"}
+                for e in Entries
+                if e["ReceiptHandle"] in self._fail
+            ]
+        }
+
+
+def test_sqs_receive_clamps_batch_size_and_maps_fields():
+    from parquet_ingestor_spark.sources import sqs_receive_delete
+
+    fake = _FakeSQS(batches=[["a", "b"]])
+    receive, _ = sqs_receive_delete(
+        "https://sqs.example/q", max_messages=99, client=fake
+    )
+    msgs = receive()
+    assert fake.receive_calls[0]["MaxNumberOfMessages"] == 10  # clamped
+    assert [m["body"] for m in msgs] == ["a", "b"]
+    assert [m["receipt"] for m in msgs] == ["rh-a", "rh-b"]
+    assert msgs[0]["attributes"] == {"MessageId": "mid-a"}
+    assert receive() == []  # drained queue -> empty list, no raise
+
+
+def test_sqs_delete_chunks_at_ten_and_reports_partial_failures():
+    from parquet_ingestor_spark.sources import sqs_receive_delete
+
+    fake = _FakeSQS(batches=[], fail_receipts={"rh-7", "rh-23"})
+    _, delete = sqs_receive_delete("https://sqs.example/q", client=fake)
+    receipts = [f"rh-{i}" for i in range(25)]
+    failed = delete(receipts)
+    # 25 receipts -> 10 + 10 + 5 entry batches
+    assert [len(c) for c in fake.delete_calls] == [10, 10, 5]
+    assert [r for c in fake.delete_calls for r in c] == receipts
+    # per-entry failures map back to the right receipt handles and are
+    # returned (not raised): unacked messages redeliver and the
+    # idempotent batch commit absorbs the replay
+    assert failed == ["rh-7", "rh-23"]
+
+
+def test_queue_poller_with_stub_sqs_client(tmp_path):
+    """End-to-end poll_queue_once over the stubbed boto3 pair: the
+    landing file is durably written before any delete call."""
+    import json
+    import os
+
+    from parquet_ingestor_spark.sources import (
+        poll_queue_once,
+        sqs_receive_delete,
+    )
+
+    order = []
+    fake = _FakeSQS(batches=[[f"m{i}" for i in range(12)]])
+    receive, delete = sqs_receive_delete("https://sqs.example/q", client=fake)
+
+    def tracked_delete(receipts):
+        # the landing file must already be in place when the ack runs
+        files = [
+            f for f in os.listdir(tmp_path) if not f.startswith(".")
+        ]
+        order.append(("delete", len(files)))
+        return delete(receipts)
+
+    n = poll_queue_once(receive, tracked_delete, str(tmp_path))
+    assert n == 10  # one receive call: the SQS cap, not the 12 queued
+    assert order == [("delete", 1)]
+    (landed,) = [f for f in os.listdir(tmp_path) if not f.startswith(".")]
+    lines = [
+        json.loads(ln)
+        for ln in open(os.path.join(tmp_path, landed)).read().splitlines()
+    ]
+    assert [r["value"] for r in lines] == [f"m{i}" for i in range(10)]
+    assert lines[0]["attributes"] == {"MessageId": "mid-m0"}
