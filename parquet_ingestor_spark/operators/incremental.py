@@ -71,7 +71,22 @@ def apply_dedup_batch(
     ``state`` is (postings, sizes, labels) from the previous batch or
     None; returns the updated triple. Postings = (doc_id, sh) over all
     arrived docs, sizes = (doc_id, n), labels = (id, lbl).
+
+    Re-delivery guard: a doc_id that already arrived (at-least-once
+    sources replay on crash, and foreachBatch re-runs a batch whose
+    commit didn't land) is anti-joined out against the existing labels
+    table — a cheap keyed join against O(docs-so-far) ids — so a
+    replay can't double-count postings/sizes (which would corrupt the
+    Jaccard denominator) or duplicate label rows. Intra-batch
+    duplicate doc_ids collapse the same way via dropDuplicates.
     """
+    batch = batch.dropDuplicates(["doc_id"])
+    if state is not None:
+        batch = batch.join(
+            state[2].select(F.col("id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     sh = batch.select(
         "doc_id", shingle_col(text_col).alias("shingles")
     )

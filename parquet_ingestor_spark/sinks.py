@@ -80,12 +80,42 @@ def compact_parquet(
     reader resolves (or run under a table format's commit protocol)
     instead of rename.
 
+    The two-rename swap is not atomic as a pair: a crash between them
+    leaves the dataset stranded at ``._compact_old``. Entry therefore
+    starts with crash recovery — restore a stranded ``old``, clear
+    leftover ``old``/staging dirs — so a re-run always converges.
+    Readers racing the swap on a shared local FS can still glimpse a
+    missing path for the rename window; that (plus rename-less object
+    stores) is what the table-format commit protocol is for.
+
     Returns the resulting file count. Row conservation is the test's
     contract: compaction must never change the data, only the layout.
     """
     import math
     import os
     import shutil
+
+    # local-filesystem only: os.walk on an object-store URI yields
+    # nothing (total=0 → n_files=1) and os.rename fails AFTER the
+    # expensive rewrite — fail fast instead; object stores go through
+    # a table format's commit protocol or prefix swap (docstring).
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet is local-filesystem only, got {path!r}; "
+            "on object stores use a table-format commit or prefix swap"
+        )
+    path = path.removeprefix("file://")
+
+    staging = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # recover from a prior crashed compaction before doing anything:
+    # the two-rename swap can strand the dataset at `old`
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)  # crashed between the two renames
+    if os.path.exists(old):
+        shutil.rmtree(old)  # crashed before cleanup
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete prior staging write
 
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -94,8 +124,6 @@ def compact_parquet(
                 total += os.path.getsize(os.path.join(root, f))
     n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
 
-    staging = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     df = spark.read.parquet(path)
     (
         df.repartition(n_files)

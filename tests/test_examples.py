@@ -5,10 +5,13 @@ evolve."""
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+EXAMPLES_DIR = str(Path(__file__).resolve().parents[1] / "examples")
 
 
 def test_corpus_curation_example_runs(spark, sf_dir, tmp_path, capsys):
-    sys.path.insert(0, "/root/repo/examples")
+    sys.path.insert(0, EXAMPLES_DIR)
     import corpus_curation
 
     argv = sys.argv

@@ -206,3 +206,39 @@ def test_dup_spans_planted_shared_passage(spark, tmp_path):
     # doc 1: passage at [0, 19]
     assert got[1] == (0, 19, 20 - SPAN_GRAM + 1)
     assert 2 not in got
+
+
+def test_apply_dedup_batch_absorbs_redelivered_docs(spark):
+    """At-least-once replay: a doc_id arriving again in a later batch
+    (or twice within one batch) must not double-count postings/sizes
+    (Jaccard denominators) or duplicate label rows."""
+    from parquet_ingestor_spark.operators.incremental import (
+        apply_dedup_batch,
+    )
+
+    words = lambda lo, n: " ".join(_w(lo + i) for i in range(n))
+    b1 = spark.createDataFrame(
+        [(1, words(0, 12)), (2, words(0, 12))],  # 1 and 2 are dups
+        "doc_id long, text string",
+    )
+    state1 = apply_dedup_batch(None, b1)
+    ex1, sz1, lbl1 = (df.collect() for df in state1)
+
+    # batch 2 re-delivers doc 1 verbatim (and itself twice), plus one
+    # genuinely new doc
+    b2 = spark.createDataFrame(
+        [(1, words(0, 12)), (1, words(0, 12)), (3, words(50, 12))],
+        "doc_id long, text string",
+    )
+    ex2, sz2, lbl2 = (df.collect() for df in apply_dedup_batch(state1, b2))
+
+    assert len(lbl2) == 3  # docs 1, 2, 3 — no duplicate label rows
+    assert sorted(r.doc_id for r in sz2) == [1, 2, 3]  # one size row each
+    from collections import Counter
+
+    by_doc = Counter(r.doc_id for r in ex2)
+    by_doc1 = Counter(r.doc_id for r in ex1)
+    assert by_doc[1] == by_doc1[1]  # postings for doc 1 unchanged
+    # cluster structure intact: 1-2 merged, 3 alone
+    roots = {r.id: r.lbl for r in lbl2}
+    assert roots[1] == roots[2] != roots[3]

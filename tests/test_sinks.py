@@ -98,3 +98,55 @@ def test_compact_parquet_conserves_rows_and_reduces_files(spark, tmp_path):
     assert (before.n, before.s) == (after.n, after.s)
     assert not os.path.exists(path + "._compact_tmp")
     assert not os.path.exists(path + "._compact_old")
+
+
+def test_compact_parquet_rejects_object_store_paths(spark):
+    import pytest
+
+    from parquet_ingestor_spark.sinks import compact_parquet
+
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        compact_parquet(spark, "s3a://bucket/prefix/data")
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two swap renames strands the dataset at
+    ._compact_old; the next run must restore and converge. Leftover
+    staging/old dirs from a crash-before-cleanup must also clear."""
+    import os
+    import shutil
+
+    from parquet_ingestor_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 1000).selectExpr("id", "id * 3 AS v").repartition(
+        8
+    ).write.parquet(path)
+    want = spark.read.parquet(path).selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).first()
+
+    # crash between rename(path, old) and rename(staging, path):
+    # dataset absent from `path`, stranded at old; staging half-done
+    os.rename(path, path + "._compact_old")
+    os.makedirs(path + "._compact_tmp")
+    open(path + "._compact_tmp/part-junk.parquet", "w").write("junk")
+
+    n_files = compact_parquet(spark, path, target_mb=512)
+    assert n_files == 1
+    got = spark.read.parquet(path).selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).first()
+    assert (want.n, want.s) == (got.n, got.s)
+    assert not os.path.exists(path + "._compact_old")
+    assert not os.path.exists(path + "._compact_tmp")
+
+    # crash after both renames but before rmtree(old): old lingers
+    shutil.copytree(path, path + "._compact_old")
+    n_files = compact_parquet(spark, path, target_mb=512)
+    assert n_files == 1
+    assert not os.path.exists(path + "._compact_old")
+    got = spark.read.parquet(path).selectExpr(
+        "count(*) AS n", "sum(v) AS s"
+    ).first()
+    assert (want.n, want.s) == (got.n, got.s)
