@@ -59,6 +59,9 @@ HEADLINE = (
     "text_lm_perplexity",
     "sim_ivfpq_topk",
     "text_dup_spans",
+    "q53_windowed_count_distinct",
+    "dedup_clusters",
+    "asof_forward_click_purchase",
 )
 # dedup_clusters_incremental is deliberately NOT a headline entry: its
 # cost at toy SF is dominated by per-micro-batch job scheduling (3

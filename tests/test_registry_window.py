@@ -23,27 +23,31 @@ def test_registry_leads_with_window_order():
     assert tuple(names[: len(_WINDOW_FIRST)]) == _WINDOW_FIRST
 
 
-def test_round3_priorities_inside_the_50_window():
+def test_round4_priorities_inside_the_50_window():
     window = set(list(REGISTRY)[:50])
-    # never driver-checked before round 3
-    assert {"q49_map_funcs", "q50_setops_all"} <= window
-    # new this round
+    # the round-3 verdict's top gap: every entry that had never had a
+    # driver row, checked first this round
     assert {
-        "pq_adc_topk",
-        "corpus_line_dedup",
-        "dedup_clusters_incremental",
+        "sem_dedup",
+        "text_dup_spans",
+        "text_lm_perplexity",
+        "corpus_shuffle_shard",
+        "sim_ivfpq_topk",
+        "q51_exists_subquery",
+        "q52_range_frame",
+        "q53_windowed_count_distinct",
+        "asof_forward_click_purchase",
     } <= window
-    # changed this round
+    # r3-checked entries whose code changed in round 4
     assert {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
+        "corpus_line_dedup",
+        "asof_purchase_click",
+        "dedup_clusters_incremental",
         "dedup_clusters",
-        "benchmark_contamination",
-        "text_inverted_postings",
-        "sim_srp_lsh_neardup",
-        "emb_pq_encode",
         "bpe_train_merges",
     } <= window
+    # the window is exactly the driver's budget — no padding slack
+    assert len(_WINDOW_FIRST) == 50
 
 
 def test_every_entry_has_fn_and_consistent_oracle_contract():
