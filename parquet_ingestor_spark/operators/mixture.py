@@ -1,0 +1,426 @@
+"""Corpus-composition operators: mixture statistics, stratified
+sampling, quantile band filters, and sketch-based heavy hitters.
+
+These are the "what is in my corpus and how do I rebalance it" passes
+of a training-data pipeline (domain reweighting a la DoReMi / The Pile
+mixture tables — public methodology): per-source token accounting,
+deterministic stratified downsampling, per-language length banding,
+and frequent-token discovery with bounded memory.
+
+Scale notes (100 TB):
+- every per-document signal is a codegen expression over one narrow
+  scan; the only shuffles are per-source / per-language aggregates
+  whose cardinality is catalog-bounded (sources, langs), not
+  data-bounded;
+- sampling admission is a pure function of (doc_id, source) — never
+  ``rand()`` — so samples are reproducible across engines, re-runs,
+  and task retries;
+- heavy hitters uses a Misra-Gries summary per Arrow batch (bounded
+  memory, no full-vocabulary shuffle) and then exactly recounts only
+  the candidate set, so the output is *exact* and oracle-checkable
+  while the full-vocab groupBy a naive plan would need never happens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..queries import register
+
+__all__ = [
+    "heavy_hitters",
+    "stratified_sample",
+    "mixture_weights",
+]
+
+
+def _tokens_col(text_col: str = "text") -> Column:
+    """Non-empty whitespace tokens — the corpus-wide tokenization rule
+    (identical split semantics in Spark and DuckDB)."""
+    return F.filter(F.split(text_col, " "), lambda w: w != F.lit(""))
+
+
+# ---------------------------------------------------------------------------
+# Mixture accounting
+
+
+@register(
+    "corpus_mixture_weights",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                       t -> t != ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6)
+                   AS token_share,
+               round((1.0 / COUNT(*) OVER ())
+                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6)
+                   AS mix_weight
+        FROM s ORDER BY source
+    """,
+    doc="Per-source token accounting + sampling weights that would "
+    "rebalance the corpus to a uniform source mixture.",
+    tags=("text", "training", "mixture"),
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source document/token totals,
+    token share, and the static sampling weight that re-targets the
+    mixture to uniform-over-sources (the reweighting table a
+    DoReMi-style / Pile-style mixture pass produces; public
+    methodology).
+
+    One map-side-combinable aggregate over a narrow (source, text)
+    scan; the window functions then run over the per-source frame,
+    whose row count equals the number of sources — catalog-bounded,
+    so the unpartitioned window is a non-issue at any corpus size.
+    """
+    per_source = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(_tokens_col())).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    target = F.lit(1.0) / F.count("*").over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("mix_weight"),
+    ).orderBy("source")
+
+
+def mixture_weights(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Library form of ``corpus_mixture_weights`` over any stratum."""
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens_col())).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / F.count("*").over(w)) / share, 6).alias(
+            "mix_weight"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified (balanced) sampling
+
+
+def _admission_bucket(modulus: int) -> Column:
+    """Deterministic uniform bucket in [0, modulus) from
+    (doc_id, source) — md5-derived, identical in Spark and DuckDB,
+    stable under task retry (the corpus_weighted_sample rule)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("source"),
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % modulus
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle="""
+        WITH c AS (
+            SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+        ), m AS (
+            SELECT MIN(cnt) AS mn FROM c
+        ), r AS (
+            SELECT d.doc_id, d.source, c.cnt,
+                   ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                       || d.source), 1, 6))::BIGINT % 1000000 AS bucket
+            FROM documents d JOIN c USING (source)
+        )
+        SELECT doc_id, source FROM r, m
+        WHERE bucket * cnt < 1000000 * mn
+        ORDER BY doc_id
+    """,
+    doc="Balanced stratified downsample: admit each source at "
+    "min_count/count so every stratum lands ~the smallest stratum's "
+    "size; md5 admission keeps it deterministic.",
+    tags=("text", "training", "sampling"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling to the smallest stratum (the classic
+    'balance the domains before mixing' pass).
+
+    Per-source counts are a map-side-combinable aggregate with
+    cardinality = number of sources; joining them back is a
+    catalog-bounded dimension join (AQE broadcasts it from stats — no
+    literal hint needed, and none given). Admission compares integer
+    products (``bucket * cnt < modulus * min_cnt``), so the kept set
+    is exact, engine-independent, and retry-stable.
+    """
+    return stratified_sample(table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+def stratified_sample(docs: DataFrame, modulus: int = 1_000_000) -> DataFrame:
+    """Admit each (doc_id, source) iff its md5 bucket falls below the
+    source's equalizing fraction min_count/count. Returns
+    (doc_id, source)."""
+    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    mn = counts.agg(F.min("cnt").alias("mn"))
+    return (
+        docs.select("doc_id", "source")
+        .join(counts, "source")
+        .crossJoin(F.broadcast(mn))  # 1 row — fixed-size broadcast
+        .filter(
+            _admission_bucket(modulus) * F.col("cnt")
+            < F.lit(modulus) * F.col("mn")
+        )
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length banding
+
+
+HIST_BUCKET = 50
+
+
+@register(
+    "corpus_length_histogram",
+    oracle=f"""
+        SELECT lang,
+               CAST(n_chars // {HIST_BUCKET} * {HIST_BUCKET} AS BIGINT)
+                   AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               round(COUNT(*) * 1.0
+                   / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS share
+        FROM documents
+        GROUP BY 1, 2
+        ORDER BY lang, bucket_lo
+    """,
+    doc=f"Per-language document-length histogram ({HIST_BUCKET}-char "
+    "buckets) with within-language shares — the corpus profiling "
+    "pass behind length-filter threshold choices.",
+    tags=("text", "stats", "corpus"),
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length profile per language. The groupBy cardinality is
+    langs x buckets (both bounded), the count combines map-side, and
+    the share window runs over per-language bucket rows — never over
+    documents. One narrow (lang, n_chars) scan at any scale."""
+    bucket = (F.floor(F.col("n_chars") / HIST_BUCKET) * HIST_BUCKET).alias(
+        "bucket_lo"
+    )
+    w = Window.partitionBy("lang")
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("lang", bucket)
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            "bucket_lo",
+            "n_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("lang", "bucket_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile band filter
+
+
+QUANTILE_LO = 0.1
+QUANTILE_HI = 0.9
+
+
+@register(
+    "corpus_quantile_filter",
+    oracle=f"""
+        WITH s AS (
+            SELECT lang,
+                   quantile_cont(n_chars, {QUANTILE_LO}) AS p_lo,
+                   quantile_cont(n_chars, {QUANTILE_HI}) AS p_hi
+            FROM documents GROUP BY lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN s USING (lang)
+        WHERE d.n_chars >= s.p_lo AND d.n_chars <= s.p_hi
+        ORDER BY d.doc_id
+    """,
+    doc="Keep documents inside the per-language [p10, p90] length "
+    "band (Gopher-style outlier trimming by quantile thresholds).",
+    tags=("text", "quality", "corpus"),
+)
+def corpus_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-band trimming: drop per-language length outliers.
+
+    Exact percentiles run as one per-language aggregate (langs rows);
+    the thresholds join back as a catalog-bounded broadcast dim and
+    the band test is a codegen filter on the second scan. Both
+    engines interpolate quantiles identically (index = p*(n-1),
+    linear — NumPy 'linear' / R type 7), so the kept doc_id set is
+    deterministic. At 100 TB the exact per-group percentile is one
+    sort-based aggregate per language; swap in approx_percentile if
+    thresholds may be approximate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.percentile("n_chars", QUANTILE_LO).alias("p_lo"),
+        F.percentile("n_chars", QUANTILE_HI).alias("p_hi"),
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")  # rows = #langs, bounded
+        .filter(
+            (F.col("n_chars") >= F.col("p_lo"))
+            & (F.col("n_chars") <= F.col("p_hi"))
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries sketch + exact recount)
+
+
+#: Support threshold: report tokens with freq * HH_SUPPORT > N.
+HH_SUPPORT = 100
+#: Misra-Gries summary capacity per Arrow batch. The candidate
+#: guarantee needs capacity + 1 > HH_SUPPORT; 256 leaves headroom so
+#: near-threshold tokens also survive the sketch pass.
+HH_CAPACITY = 256
+
+_MG_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+
+def _mg_summaries(capacity: int):
+    """Per-Arrow-batch Misra-Gries compress: value_counts, subtract
+    the (capacity+1)-th largest count, keep the positive remainder.
+    Any token with batch frequency > batch_tokens/(capacity+1)
+    survives — the mergeable-summaries guarantee (Agarwal et al.
+    2012, public result)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = pdf["text"].str.split(" ").explode()
+            toks = toks[toks != ""].dropna()
+            vc = toks.value_counts()  # sorted desc
+            if len(vc) > capacity:
+                vc = vc - int(vc.iloc[capacity])
+                vc = vc[vc > 0].iloc[:capacity]
+            yield pd.DataFrame(
+                {
+                    "token": vc.index.astype(str),
+                    "cnt": vc.to_numpy(dtype="int64", copy=True),
+                }
+            )
+
+    return fn
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    support: int = HH_SUPPORT,
+    capacity: int = HH_CAPACITY,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact frequent tokens (freq * support > N) found with bounded
+    memory: Misra-Gries candidate sketch, then exact recount of the
+    candidates only.
+
+    Why not a plain groupBy over all tokens: at 100 TB the full
+    vocabulary (URLs, hashes, typos) is billions of keys and the
+    shuffle carries all of them. Here the sketch pass is embarrassingly
+    parallel (no shuffle, ≤ capacity rows out per Arrow batch), and any
+    token with global freq > N/(capacity+1) must exceed the threshold
+    in at least one batch (pigeonhole over the weighted average), so
+    the union of summaries is a superset of every true heavy hitter at
+    support < capacity + 1. The recount then filters the token stream
+    against the small candidate set (AQE broadcasts it from stats — no
+    literal hint, since its size is capacity x batches, not fixed) and
+    aggregates with map-side partials, so the only token-keyed shuffle
+    rows are candidate tokens. Output is exact, hence SQL-oracle-
+    checkable despite the sketch in the plan.
+    """
+    if support >= capacity + 1:
+        raise ValueError("need capacity + 1 > support for the guarantee")
+    toks = docs.select(F.explode(_tokens_col(text_col)).alias("token"))
+    total = docs.agg(
+        F.sum(F.size(_tokens_col(text_col))).alias("total")
+    )  # 1 row
+    candidates = (
+        docs.select(F.col(text_col).alias("text"))
+        .mapInPandas(_mg_summaries(capacity), schema=_MG_SCHEMA)
+        .select("token")
+        .distinct()
+    )
+    return (
+        toks.join(candidates, "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))  # 1 row — fixed-size broadcast
+        .filter(F.col("n") * support > F.col("total"))
+        .select("token", "n")
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), tt AS (
+            SELECT token FROM t WHERE token != ''
+        ), n AS (
+            SELECT COUNT(*) AS total FROM tt
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tt GROUP BY token
+        HAVING COUNT(*) * {HH_SUPPORT} > (SELECT total FROM n)
+        ORDER BY n DESC, token
+    """,
+    doc=f"Exact heavy hitters (freq x {HH_SUPPORT} > corpus tokens) "
+    "via a Misra-Gries candidate sketch + exact recount of "
+    "candidates only.",
+    tags=("text", "sketch", "corpus"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters(table(spark, sf_dir, "documents"))

@@ -686,3 +686,69 @@ def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+def bpe_encode_len(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol count of ``word`` after applying the ordered BPE merge
+    list (Sennrich et al. 2016 inference rule: each merge rewrites all
+    leftmost non-overlapping occurrences, in training order).
+
+    Pure codegen: the word becomes its space-joined character sequence
+    plus ``</w>`` (the exact representation ``bpe_train_merges``
+    trains on), then one boundary-guarded ``regexp_replace`` per merge
+    — the same leftmost-non-overlapping semantics as the trainer's
+    vocab rewrite, so train→encode round-trips bit-exactly.
+    """
+    import re as _re
+
+    x = F.concat(F.concat_ws(" ", F.split(word, "")), F.lit(" </w>"))
+    for left, right in merges:
+        pat = f"(?<= |^){_re.escape(left)} {_re.escape(right)}(?= |$)"
+        rep = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        x = F.regexp_replace(x, pat, rep)
+    return F.size(F.split(x, " "))
+
+
+@register(
+    "text_bpe_encode",
+    oracle=None,  # merges are learned from the corpus at runtime (an
+    # iterative fixpoint), so no static SQL can reproduce them; pinned
+    # by a bit-exact pure-Python train+encode differential instead.
+    doc=f"Apply the {BPE_MERGES} learned BPE merges to every document "
+    "and count the resulting subword tokens (tokenizer inference "
+    "over the corpus).",
+    tags=("text", "tokenizer"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference at corpus scale: train merges (one
+    Zipf-bounded job, driver keeps only the 8-row merge table), then
+    re-tokenize every document with those merges.
+
+    The encode pass is a single narrow scan with NO shuffle and NO
+    Python: the merge table is folded into a per-word codegen
+    expression (chained boundary-guarded regexp_replace), applied
+    inside a ``transform`` lambda so each word is rewritten once, and
+    summed per document with ``aggregate``. An alternative at 100 TB
+    is to pre-encode the distinct-word vocabulary and join lengths
+    back — that trades the per-occurrence regex work for a word-keyed
+    (Zipf-skewed) shuffle; the shuffle-free form here is what
+    production tokenizers do (each worker holds the merge table).
+
+    Returns (doc_id, n_words, n_bpe_tokens) ordered by doc_id.
+    """
+    merge_rows = bpe_train_merges(table(spark, sf_dir, "documents")).collect()
+    merges = [(r.left, r.right) for r in merge_rows]  # 8 rows, bounded
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_words"),
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, w: acc + bpe_encode_len(w, merges),
+            ).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -64,19 +64,26 @@ _LOADED = False
 #:     (sem_dedup, text_dup_spans, text_lm_perplexity,
 #:     corpus_shuffle_shard, sim_ivfpq_topk, q51–q53) plus the new
 #:     asof_forward_click_purchase
+#:   - 6 operators new in round 4 (mixture/sampling/heavy-hitters/
+#:     BPE-encode cohort)
 #:   - 5 r3-checked entries whose code changed this round
 #:     (corpus_line_dedup de-skew, asof_join rewrite, the
 #:     truncate_lineage/incremental guards behind the cluster ops,
 #:     bpe's lineage truncation)
-#:   - 36 entries whose last driver row is round 2 (q01–q14 and the
-#:     round-2 operator cohort), so after r4 every checked entry has
-#:     a driver row within the last two rounds
-#: ROUND-5 BUDGET NOTE: four rows-only r2-checked entries were
-#: deferred to fit the 50 (sim_bruteforce_topk_vectorized,
-#: emb_label_pca1, emb_kmeans_fit, text_winnow_fingerprints — each
-#: carries local invariant/differential tests, so the driver's
-#: rows-only probe adds the least signal there); rotate them in first
-#: next round along with anything that changes.
+#:   - 30 entries whose last driver row is round 2 (q03–q14 and the
+#:     round-2 operator cohort)
+#: ROUND-5 BUDGET NOTE: deferred to fit the 50 —
+#: (a) four rows-only r2-checked entries
+#: (sim_bruteforce_topk_vectorized, emb_label_pca1, emb_kmeans_fit,
+#: text_winnow_fingerprints — each carries local
+#: invariant/differential tests, so the driver's rows-only probe adds
+#: the least signal there); (b) six double-green (r1+r2),
+#: expression-only entries displaced by the round-4 additions
+#: (q01_project_events, q02_filter_drop, q05_time_partition_counts,
+#: q08_attr_extract, text_fingerprint, emb_normalize — no join or
+#: shuffle in any of them, so the regression risk the driver would
+#: re-probe is lowest). Rotate all ten in first next round along with
+#: anything that changes.
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",
@@ -88,6 +95,13 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q52_range_frame",
     "q53_windowed_count_distinct",
     "asof_forward_click_purchase",
+    # — new in round 4 (never driver-checked) —
+    "corpus_mixture_weights",
+    "corpus_stratified_sample",
+    "corpus_length_histogram",
+    "corpus_quantile_filter",
+    "text_heavy_hitters",
+    "text_bpe_encode",
     # — changed in round 4 —
     "corpus_line_dedup",
     "asof_purchase_click",
@@ -95,14 +109,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "bpe_train_merges",
     # — last driver row: round 2 —
-    "q01_project_events",
-    "q02_filter_drop",
     "q03_dedup_users",
     "q04_flatmap_tokens",
-    "q05_time_partition_counts",
     "q06_conservation",
     "q07_roundtrip_conservation",
-    "q08_attr_extract",
     "q09_join_groupcount",
     "q10_revenue_per_nation",
     "q11_left_join_counts",
@@ -114,7 +124,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_neardup_pairs",
-    "emb_normalize",
     "emb_quantize",
     "emb_kmeans_step",
     "multimodal_meta",
@@ -124,7 +133,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_quality",
     "text_token_counts",
     "text_repetition",
-    "text_fingerprint",
     "text_pii_scrub",
     "text_topk_ngrams",
     "text_bm25_topk",
@@ -147,6 +155,7 @@ def _ensure_loaded() -> None:
         embeddings,
         incremental,
         lines,
+        mixture,
         multimodal,
         similarity,
         skew,

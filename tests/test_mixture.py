@@ -1,0 +1,179 @@
+"""Invariant and differential tests for the corpus-composition
+operators (mixture weights, stratified sampling, quantile banding,
+heavy hitters, BPE encode) beyond the oracle rows the differential
+suite already checks."""
+
+from __future__ import annotations
+
+import collections
+
+import pyspark.sql.functions as F
+import pytest
+
+from parquet_ingestor_spark.catalog import table
+from parquet_ingestor_spark.operators.mixture import (
+    HH_CAPACITY,
+    HH_SUPPORT,
+    _mg_summaries,
+    heavy_hitters,
+    stratified_sample,
+)
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_mixture_weights_rebalance_identity(spark, sf_dir):
+    """Σ share = 1, and Σ share·weight = 1: weighted-resampling at
+    these weights yields the uniform target mixture."""
+    rows = REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2  # testdata has multiple sources
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.token_share * r.mix_weight for r in rows) - 1.0) < 1e-3
+
+
+def test_stratified_sample_balances_strata(spark, sf_dir):
+    """Every stratum keeps ~min-stratum-many docs (binomial tolerance)
+    and the admission rule is deterministic across runs."""
+    docs = table(spark, sf_dir, "documents")
+    full = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    mn = min(full.values())
+    kept = collections.Counter(
+        r.source for r in stratified_sample(docs).collect()
+    )
+    for src in full:
+        # expectation mn, sd ≤ sqrt(mn); allow 5 sd + small-n slack
+        assert abs(kept[src] - mn) <= 5 * mn**0.5 + 5, (src, kept[src], mn)
+    again = collections.Counter(
+        r.source for r in stratified_sample(docs).collect()
+    )
+    assert kept == again
+
+
+def test_quantile_filter_bounds_hold(spark, sf_dir):
+    """Kept docs sit inside their language's [p10, p90] band and the
+    kept fraction per language is ~0.8."""
+    out = REGISTRY["corpus_quantile_filter"].fn(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    per_lang_total = {
+        r.lang: r.cnt
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    kept = collections.Counter(r.lang for r in out.collect())
+    for lang, total in per_lang_total.items():
+        if total < 20:
+            continue  # band degenerates on tiny strata
+        frac = kept[lang] / total
+        assert 0.7 <= frac <= 0.95, (lang, frac)
+
+
+def test_heavy_hitters_candidate_guarantee():
+    """The Misra-Gries batch summary keeps every token whose batch
+    frequency exceeds n/(capacity+1) — checked on an adversarial batch
+    of one planted hitter drowned in unique noise."""
+    import pandas as pd
+
+    cap = 8
+    text = " ".join(["hot"] * 40 + [f"u{i}" for i in range(400)])
+    [summary] = list(_mg_summaries(cap)([pd.DataFrame({"text": [text]})]))
+    assert "hot" in set(summary["token"])
+    assert len(summary) <= cap
+
+
+def test_heavy_hitters_matches_exact(spark, sf_dir):
+    """Sketch+recount output == exact groupBy-and-threshold answer."""
+    docs = table(spark, sf_dir, "documents")
+    got = {(r.token, r.n) for r in heavy_hitters(docs).collect()}
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("token")
+    )
+    total = toks.count()
+    want = {
+        (r.token, r.n)
+        for r in toks.groupBy("token").agg(F.count("*").alias("n")).collect()
+        if r.n * HH_SUPPORT > total
+    }
+    assert got == want and got
+
+
+def test_heavy_hitters_rejects_bad_capacity(spark, sf_dir):
+    with pytest.raises(ValueError):
+        heavy_hitters(
+            table(spark, sf_dir, "documents"),
+            support=HH_CAPACITY + 1,
+            capacity=HH_CAPACITY,
+        )
+
+
+def test_bpe_encode_matches_python_reference(spark, sf_dir):
+    """Bit-exact train→encode differential: learn merges with the
+    pure-Python Sennrich trainer rule (same as the trainer test), then
+    apply them with the greedy leftmost-non-overlapping list rewrite,
+    and compare per-doc subword counts."""
+    from parquet_ingestor_spark.operators.text import BPE_MERGES
+
+    docs = table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    freq = collections.Counter()
+    for text in texts.values():
+        for w in text.split(" "):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) + ["</w>"] for w in freq}
+    merges = []
+    for _ in range(BPE_MERGES):
+        counts = collections.Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq[w]
+        if not counts:
+            break
+        (left, right), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+
+    want = {
+        doc_id: (
+            sum(1 for w in text.split(" ") if w),
+            sum(len(vocab[w]) for w in text.split(" ") if w),
+        )
+        for doc_id, text in texts.items()
+    }
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in REGISTRY["text_bpe_encode"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_bpe_encode_plan_is_shuffle_free(spark, sf_dir):
+    """The encode scan itself must not shuffle: the only Exchange in
+    the plan is the final presentation sort's range partitioning."""
+    import re
+
+    plan = (
+        REGISTRY["text_bpe_encode"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("rangepartitioning" in e.lower() for e in exchanges), exchanges

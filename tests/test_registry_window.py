@@ -38,6 +38,15 @@ def test_round4_priorities_inside_the_50_window():
         "q53_windowed_count_distinct",
         "asof_forward_click_purchase",
     } <= window
+    # operators added in round 4 — never driver-checked
+    assert {
+        "corpus_mixture_weights",
+        "corpus_stratified_sample",
+        "corpus_length_histogram",
+        "corpus_quantile_filter",
+        "text_heavy_hitters",
+        "text_bpe_encode",
+    } <= window
     # r3-checked entries whose code changed in round 4
     assert {
         "corpus_line_dedup",
