@@ -424,3 +424,181 @@ def heavy_hitters(
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+
+
+#: Target expected chunk length in tokens: a boundary fires when the
+#: token's hash lands in 1/CDC_DIVISOR of the space.
+CDC_DIVISOR = 64
+
+
+@register(
+    "text_cdc_chunks",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), p AS (
+            SELECT doc_id, pos - 1 AS pos, toks[pos] AS tok
+            FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks))) AS pos
+                  FROM t)
+            WHERE toks[pos] != ''
+        ), b AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN pos = 0 THEN 1
+                        WHEN ('0x' || substring(md5(tok), 1, 8))::BIGINT
+                             % {CDC_DIVISOR} = 0 THEN 1
+                        ELSE 0 END AS flag
+            FROM p
+        ), c AS (
+            SELECT doc_id, pos, tok,
+                   SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS chunk_idx
+            FROM b
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM c GROUP BY doc_id, chunk_idx
+        ORDER BY doc_id, chunk_idx
+    """,
+    doc=f"Content-defined chunking: split each document at tokens "
+    f"whose hash lands in 1/{CDC_DIVISOR} of the space (expected "
+    f"chunk ~{CDC_DIVISOR} tokens), emit per-chunk token counts and "
+    "fingerprints.",
+    tags=("text", "chunking", "dedup"),
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS boundary rule, public
+    methodology): chunk boundaries depend only on local content, so
+    an insertion early in a document shifts at most one chunk —
+    unlike fixed-size windows — which is what makes chunk-hash dedup
+    across document versions work.
+
+    Boundaries are a pure per-token expression (md5-derived, identical
+    in DuckDB); chunk assignment is a running sum over each document's
+    tokens — a doc-bounded window (the text_dup_spans reassembly
+    bound), never a corpus-wide one; chunk fingerprints aggregate
+    order-pinned token lists per (doc, chunk). Chunk rows then feed
+    dedup_exact on chunk_hash for sub-document dedup. Production
+    variants add min/max chunk bounds (FastCDC) — a stateful
+    per-doc rule that belongs in the same numpy ``mapInPandas`` shape
+    as the MinHash signature pass if needed.
+    """
+    p = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    flag = F.when(F.col("pos") == 0, F.lit(1)).otherwise(
+        (
+            (
+                F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+                .cast("long")
+                % CDC_DIVISOR
+                == 0
+            ).cast("int")
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = p.select(
+        "doc_id", "pos", "tok", F.sum(flag).over(w).alias("chunk_idx")
+    )
+    ordered_toks = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+        lambda s: s.tok,
+    )
+    return (
+        c.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.md5(F.array_join(ordered_toks, " ").cast("binary")).alias(
+                "chunk_hash"
+            ),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier
+
+
+@register(
+    "corpus_quality_classifier",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+                       w -> w != '') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   len(list_filter(toks, w -> w IN
+                       ('the', 'a', 'of', 'and', 'is'))) * 1.0
+                       / len(toks) AS stop_frac,
+                   len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_frac
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(floor((least(n_words, 64) / 64.0 * 0.35
+                   + least(stop_frac * 4.0, 1.0) * 0.35
+                   + uniq_frac * 0.30) * 10000) AS BIGINT) AS score_e4,
+               CAST(CASE WHEN
+                   least(n_words, 64) / 64.0 * 0.35
+                       + least(stop_frac * 4.0, 1.0) * 0.35
+                       + uniq_frac * 0.30 >= 0.55
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM f ORDER BY doc_id
+    """,
+    doc="Linear quality classifier: fixed-weight combination of "
+    "length, stopword, and diversity features with a keep threshold "
+    "(the shape a trained fastText/logistic quality model deploys as).",
+    tags=("text", "quality", "classifier"),
+)
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, deployed the way production
+    pipelines deploy it: the trained artifact reduces to a per-doc
+    linear score over cheap features, evaluated as pure codegen
+    expressions in the scan — no model server, no Python, no shuffle.
+    The literal weights stand in for trained ones (a public-corpus
+    fastText quality model distills to exactly this shape); swapping
+    weights is a config change, not a plan change. Feature extraction
+    binds the token array once per row (tokenize-once rule).
+    """
+    toks = F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    stop = F.filter(
+        F.col("toks"),
+        lambda w: w.isin("the", "a", "of", "and", "is"),
+    )
+    n_words = F.size("toks")
+    stop_frac = F.size(stop) / n_words
+    uniq_frac = F.size(F.array_distinct("toks")) / n_words
+    # score in exact ten-thousandths via floor: round() ties break
+    # differently across engines (Spark rounds the shortest decimal
+    # rendering HALF_UP), floor of the bit-identical double does not.
+    score = (
+        F.least(n_words, F.lit(64)) / 64.0 * 0.35
+        + F.least(stop_frac * 4.0, F.lit(1.0)) * 0.35
+        + uniq_frac * 0.30
+    )
+    return docs.select(
+        "doc_id",
+        F.floor(score * 10000).cast("long").alias("score_e4"),
+        (score >= 0.55).cast("long").alias("keep"),
+    ).orderBy("doc_id")

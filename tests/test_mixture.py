@@ -177,3 +177,57 @@ def test_bpe_encode_plan_is_shuffle_free(spark, sf_dir):
     )
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("rangepartitioning" in e.lower() for e in exchanges), exchanges
+
+
+def test_cdc_chunks_are_insertion_local(spark, sf_dir):
+    """The CDC property that motivates the operator: prepending text
+    to a document changes only chunks up to the first boundary after
+    the edit — every later chunk hash survives, unlike fixed-size
+    windows where one insertion shifts every subsequent chunk."""
+    from parquet_ingestor_spark.operators.mixture import text_cdc_chunks
+    import os
+    import tempfile
+
+    base = " ".join(f"w{i}x" for i in range(400))
+    edited = "zzz qqq " + base
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(0, base), (1, edited)], "doc_id long, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = text_cdc_chunks(spark, td).collect()
+    hashes = {0: [], 1: []}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        hashes[r.doc_id].append(r.chunk_hash)
+    # with ~400 tokens and divisor 64 both docs chunk several times
+    assert len(hashes[0]) >= 3 and len(hashes[1]) >= 3
+    shared = set(hashes[0]) & set(hashes[1])
+    # all chunks after the first post-edit boundary must be identical:
+    # every base chunk except (at most) its first survives in edited
+    assert len(shared) >= len(hashes[0]) - 1
+    # and the suffix order is preserved
+    k = len(hashes[0]) - 1
+    assert hashes[0][-k:] == hashes[1][-k:]
+
+
+def test_quality_classifier_orders_planted_docs(spark, sf_dir):
+    """A fluent, diverse, stopword-bearing doc must outscore a
+    repetitive low-diversity one, and keep == score >= threshold."""
+    from parquet_ingestor_spark.operators.mixture import (
+        corpus_quality_classifier,
+    )
+    import os
+    import tempfile
+
+    good = " ".join(
+        ["the quick brown", "fox is of a", "kind and the dog is calm"]
+    ) + " " + " ".join(f"word{i}" for i in range(50))
+    bad = " ".join(["spam"] * 60)
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(0, good), (1, bad)], "doc_id long, text string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        rows = {
+            r.doc_id: r for r in corpus_quality_classifier(spark, td).collect()
+        }
+    assert rows[0].score_e4 > rows[1].score_e4
+    assert rows[0].keep == 1 and rows[1].keep == 0

@@ -232,3 +232,40 @@ def test_sem_dedup_broadcasts_centroids_never_cartesian(spark, sf_dir):
     # corpus-wide cartesian
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_hints_only_the_scalar_total(spark, sf_dir):
+    # the candidate set grows with data (capacity × Arrow batches), so
+    # it must NOT carry a broadcast hint — AQE broadcasts it from
+    # stats. The only legitimate hint is the 1-row token-total.
+    analyzed = (
+        REGISTRY["text_heavy_hitters"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    subtrees = _hinted_subtrees(analyzed)
+    assert len(subtrees) == 1, "exactly one hint: the scalar total"
+    assert "total" in subtrees[0]
+    # recount aggregates with map-side partials so only candidate
+    # tokens cross the exchange
+    plan = plan_of(spark, sf_dir, "text_heavy_hitters")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_stratified_sample_hints_only_the_scalar_min(spark, sf_dir):
+    # per-source counts are catalog-bounded but derived from the
+    # growing corpus — stats/AQE decide; the only hint is the 1-row
+    # global minimum.
+    analyzed = (
+        REGISTRY["corpus_stratified_sample"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    subtrees = _hinted_subtrees(analyzed)
+    assert len(subtrees) == 1, "exactly one hint: the scalar min"
+    assert "mn" in subtrees[0]

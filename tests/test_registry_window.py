@@ -46,6 +46,8 @@ def test_round4_priorities_inside_the_50_window():
         "corpus_quantile_filter",
         "text_heavy_hitters",
         "text_bpe_encode",
+        "text_cdc_chunks",
+        "corpus_quality_classifier",
     } <= window
     # r3-checked entries whose code changed in round 4
     assert {
