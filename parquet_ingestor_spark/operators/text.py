@@ -752,3 +752,81 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_ppl_buckets",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), bg AS (
+            SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM (
+                SELECT doc_id, unnest(list_transform(
+                    range(len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i + 1], w2 := toks[i + 2])
+                )) AS s
+                FROM t WHERE len(toks) >= 2
+            )
+        ), big AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+        ), uni AS (
+            SELECT w1, SUM(c12) AS c1 FROM big GROUP BY 1
+        ), v AS (
+            SELECT COUNT(DISTINCT w) AS vs FROM (
+                SELECT unnest(toks) AS w FROM t
+            )
+        ), ppl AS (
+            SELECT bg.doc_id,
+                   round(AVG(-log2(
+                       (big.c12 + 1.0) / (uni.c1 + (SELECT vs FROM v))
+                   )), 4) AS avg_nll
+            FROM bg
+            JOIN big USING (w1, w2)
+            JOIN uni USING (w1)
+            GROUP BY bg.doc_id
+        ), th AS (
+            SELECT quantile_cont(avg_nll, 1.0/3) AS t1,
+                   quantile_cont(avg_nll, 2.0/3) AS t2
+            FROM ppl
+        )
+        SELECT doc_id, avg_nll,
+               CASE WHEN avg_nll <= t1 THEN 'head'
+                    WHEN avg_nll <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ppl, th
+        ORDER BY doc_id
+    """,
+    doc="CCNet head/middle/tail corpus partitioning: tercile buckets "
+    "of per-doc LM perplexity (head = most fluent third).",
+    tags=("text", "quality", "corpus"),
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet selection rule downstream of text_lm_perplexity
+    (Wenzek et al. 2019 §4.4: split each language's corpus into
+    head/middle/tail by LM-perplexity terciles; train on head/middle,
+    audit tail — public methodology).
+
+    Composition, not recomputation: the per-doc scores come from the
+    text_lm_perplexity plan; the tercile thresholds are ONE exact
+    2-value percentile aggregate over the per-doc score table (rows =
+    documents, but only (doc_id, avg_nll) wide), broadcast back as a
+    single row. No global sort, no ntile window over the whole corpus
+    — the classic pitfall here is ntile(3) OVER (ORDER BY ppl), which
+    funnels every row through one partition; threshold-join keeps the
+    bucketing embarrassingly parallel.
+    """
+    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    th = ppl.agg(
+        F.percentile("avg_nll", 1.0 / 3).alias("t1"),
+        F.percentile("avg_nll", 2.0 / 3).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ppl.crossJoin(F.broadcast(th))  # 1 row — fixed-size broadcast
+        .select("doc_id", "avg_nll", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

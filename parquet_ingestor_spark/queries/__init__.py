@@ -64,27 +64,27 @@ _LOADED = False
 #:     (sem_dedup, text_dup_spans, text_lm_perplexity,
 #:     corpus_shuffle_shard, sim_ivfpq_topk, q51–q53) plus the new
 #:     asof_forward_click_purchase
-#:   - 8 operators new in round 4 (mixture/sampling/heavy-hitters/
-#:     BPE-encode/CDC-chunking/quality-classifier cohort)
+#:   - 9 operators new in round 4 (mixture/sampling/heavy-hitters/
+#:     BPE-encode/CDC-chunking/quality-classifier/ppl-buckets cohort)
 #:   - 5 r3-checked entries whose code changed this round
 #:     (corpus_line_dedup de-skew, asof_join rewrite, the
 #:     truncate_lineage/incremental guards behind the cluster ops,
 #:     bpe's lineage truncation)
-#:   - 28 entries whose last driver row is round 2 (q04–q14 and the
+#:   - 27 entries whose last driver row is round 2 (q04–q14 and the
 #:     round-2 operator cohort)
 #: ROUND-5 BUDGET NOTE: deferred to fit the 50 —
 #: (a) four rows-only r2-checked entries
 #: (sim_bruteforce_topk_vectorized, emb_label_pca1, emb_kmeans_fit,
 #: text_winnow_fingerprints — each carries local
 #: invariant/differential tests, so the driver's rows-only probe adds
-#: the least signal there); (b) eight double-green (r1+r2),
+#: the least signal there); (b) nine double-green (r1+r2),
 #: expression-only entries displaced by the round-4 additions
 #: (q01_project_events, q02_filter_drop, q03_dedup_users,
 #: q05_time_partition_counts, q08_attr_extract, text_fingerprint,
-#: text_lang_id, emb_normalize — no corpus-scale join or shuffle risk
-#: in any of them, so the regression risk the driver would re-probe
-#: is lowest). Rotate all twelve in first next round along with
-#: anything that changes.
+#: text_lang_id, emb_normalize, emb_quantize — no corpus-scale join
+#: or shuffle risk in any of them, so the regression risk the driver
+#: would re-probe is lowest). Rotate all thirteen in first next round
+#: along with anything that changes.
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",
@@ -105,6 +105,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_bpe_encode",
     "text_cdc_chunks",
     "corpus_quality_classifier",
+    "text_ppl_buckets",
     # — changed in round 4 —
     "corpus_line_dedup",
     "asof_purchase_click",
@@ -126,7 +127,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sim_bruteforce_topk",
     "sim_ivf_topk",
     "sim_neardup_pairs",
-    "emb_quantize",
     "emb_kmeans_step",
     "multimodal_meta",
     "multimodal_frame_sample",

@@ -48,6 +48,7 @@ def test_round4_priorities_inside_the_50_window():
         "text_bpe_encode",
         "text_cdc_chunks",
         "corpus_quality_classifier",
+        "text_ppl_buckets",
     } <= window
     # r3-checked entries whose code changed in round 4
     assert {
