@@ -30,10 +30,15 @@ from parquet_ingestor_spark.operators.corpus import (
     scrub_pii,
 )
 from parquet_ingestor_spark.operators.lines import line_dedup
+from parquet_ingestor_spark.operators.mixture import (
+    heavy_hitters,
+    mixture_weights,
+)
 from parquet_ingestor_spark.operators.text import (
     corpus_shuffle_shard,
     text_lm_perplexity,
     text_pack_bins,
+    text_ppl_buckets,
 )
 from parquet_ingestor_spark.queries import _ensure_loaded
 from parquet_ingestor_spark.session import get_spark
@@ -97,10 +102,24 @@ def main() -> None:
     packs = text_pack_bins(spark, out_dir)
     n_packs = packs.count()
 
-    # 6. fluency scores + deterministic training order over the
-    #    curated corpus (both read the written parquet, not the input)
+    # 5b. composition report over the curated corpus: per-source
+    #     mixture weights (what to resample to reach uniform) and the
+    #     corpus-wide frequent tokens (boilerplate candidates)
+    curated = spark.read.parquet(f"{out_dir}/documents.parquet")
+    mix = mixture_weights(curated).orderBy("source").collect()
+    hot = heavy_hitters(curated, support=50).limit(5).collect()
+
+    # 6. fluency scores + CCNet head/middle/tail split + deterministic
+    #    training order (all read the written parquet, not the input)
     lm = text_lm_perplexity(spark, out_dir)
     mean_nll = lm.agg(F.round(F.avg("avg_nll"), 3)).first()[0]
+    buckets = (
+        text_ppl_buckets(spark, out_dir)
+        .groupBy("bucket")
+        .count()
+        .orderBy("bucket")
+        .collect()
+    )
     shard_counts = (
         corpus_shuffle_shard(spark, out_dir)
         .groupBy("shard")
@@ -113,6 +132,18 @@ def main() -> None:
     print(f"curated docs:   {n1}")
     print(f"training packs: {n_packs}")
     print(f"mean doc NLL:   {mean_nll}")
+    print(
+        "ppl buckets:    "
+        + ", ".join(f"{r['bucket']}={r['count']}" for r in buckets)
+    )
+    print(
+        "mixture:        "
+        + ", ".join(f"{r['source']}×{r['mix_weight']}" for r in mix)
+    )
+    print(
+        "hot tokens:     "
+        + ", ".join(f"{r['token']}({r['n']})" for r in hot)
+    )
     print("shard sizes:    " + ", ".join(str(r["count"]) for r in shard_counts))
     packs.show(10, truncate=False)
     print(f"curated corpus at {out_dir}")
