@@ -253,3 +253,37 @@ def test_repetition_signal_bounds(texts):
         assert 0 <= r.top_bigram_frac <= 1
     pinned = got[10_000]
     assert pinned.top_word_frac == 1.0 and pinned.uniq_frac == 0.2
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries candidate guarantee (pure pandas — no Spark needed)
+
+_token = st.sampled_from([f"t{i}" for i in range(30)])
+_batch = st.lists(_token, min_size=0, max_size=300)
+
+
+@settings(max_examples=60, deadline=None)
+@given(batches=st.lists(_batch, min_size=1, max_size=5), cap=st.integers(4, 32))
+def test_mg_summaries_candidate_superset(batches, cap):
+    """For ANY batch split and capacity, the union of per-batch
+    Misra-Gries summaries contains every token whose global frequency
+    exceeds N/(capacity+1) — the invariant heavy_hitters' exactness
+    rests on (the recount fixes counts, but only for candidates that
+    survived the sketch)."""
+    import collections
+
+    import pandas as pd
+
+    from parquet_ingestor_spark.operators.mixture import _mg_summaries
+
+    pdfs = [pd.DataFrame({"text": [" ".join(b)]}) for b in batches]
+    candidates = set()
+    for out in _mg_summaries(cap)(iter(pdfs)):
+        candidates |= set(out["token"])
+        assert len(out) <= cap
+
+    freq = collections.Counter(t for b in batches for t in b)
+    n = sum(freq.values())
+    for tok, c in freq.items():
+        if c * (cap + 1) > n:
+            assert tok in candidates, (tok, c, n, cap)
