@@ -44,5 +44,11 @@ def purchase_click_attribution(
 
 def enrich_stream_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static join: the static side re-resolves per micro-batch
-    (picks up dim updates), broadcasts when small — no state at all."""
-    return stream.join(F.broadcast(dim), on, "left")
+    (picks up dim updates), broadcasts when small — no state at all.
+
+    No literal broadcast hint: ``dim`` is caller-supplied and may grow
+    (the q10-hint lesson — a hint overrides stats and OOMs where AQE
+    would choose right). Stats-based planning broadcasts small dims
+    anyway; callers with a known-bounded dim can pass
+    ``F.broadcast(dim)`` themselves."""
+    return stream.join(dim, on, "left")
