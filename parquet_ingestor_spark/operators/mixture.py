@@ -602,3 +602,64 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(score * 10000).cast("long").alias("score_e4"),
         (score >= 0.55).cast("long").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Train / validation split
+
+
+#: Per-mille admitted to validation.
+VAL_PER_MILLE = 50
+
+
+@register(
+    "corpus_train_val_split",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                        || ':split'), 1, 6))::BIGINT % 1000
+                        < {VAL_PER_MILLE}
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc=f"Deterministic {VAL_PER_MILLE}/1000 validation holdout: "
+    "md5-of-doc_id assignment, stable across runs, engines, and "
+    "corpus growth.",
+    tags=("text", "training", "sampling"),
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout assignment done the only way that survives a living
+    corpus: as a pure function of the document key. Re-runs,
+    task retries, engine swaps, and corpus appends never move a
+    document across the split boundary (appending docs only adds new
+    assignments) — the property rand()-based splits silently lack,
+    and the precondition for leak-free eval when the corpus and the
+    pipeline both evolve. One codegen expression, no shuffle but the
+    presentation sort."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":split")
+                    ).cast("binary")
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.when(bucket < VAL_PER_MILLE, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )

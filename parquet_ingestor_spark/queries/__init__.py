@@ -83,8 +83,11 @@ _LOADED = False
 #: q05_time_partition_counts, q08_attr_extract, text_fingerprint,
 #: text_lang_id, emb_normalize, emb_quantize — no corpus-scale join
 #: or shuffle risk in any of them, so the regression risk the driver
-#: would re-probe is lowest). Rotate all thirteen in first next round
-#: along with anything that changes.
+#: would re-probe is lowest); (c) the two smallest round-4 additions
+#: (q54_event_funnel, corpus_train_val_split — both locally
+#: oracle-green at sf0.001 and sf0.01, registered at the tail after
+#: the window was full). Rotate all fifteen in first next round along
+#: with anything that changes, (c) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",

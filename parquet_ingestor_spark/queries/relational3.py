@@ -524,3 +524,78 @@ def q53_windowed_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "q54_event_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t1
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+            GROUP BY e.user_id
+        )
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS viewed,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS clicked_after_view,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+                   AS purchased_after_funnel
+    """,
+    doc="Ordered-sequence funnel: users reaching view → click → "
+    "purchase, each stage at-or-after the previous stage's first "
+    "event.",
+    tags=("relational", "window", "sequence"),
+)
+def q54_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel/sequence detection (the MATCH_RECOGNIZE-shaped ask)
+    as two stacked window layers instead of stage self-joins: the
+    oracle's join formulation re-shuffles events once per stage
+    (k-stage funnel = k shuffles), while both window layers here share
+    ONE user-keyed sort — the per-user event stream is shuffled and
+    sorted once, and each additional funnel stage is another window
+    expression over the same frame, not another exchange.
+
+    Stage rule: an event advances the funnel iff an earlier-or-equal
+    timestamp reached the previous stage (the default window frame,
+    RANGE UNBOUNDED PRECEDING..CURRENT ROW, is tie-inclusive, which
+    keeps the rule deterministic under timestamp ties; (user_id, ts)
+    is unique in this data either way).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    staged = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max((F.col("event_type") == "view").cast("int"))
+        .over(w)
+        .alias("seen_view"),
+    )
+    qual_click = (F.col("event_type") == "click") & (F.col("seen_view") == 1)
+    staged2 = staged.select(
+        "user_id",
+        "event_type",
+        "seen_view",
+        F.max(qual_click.cast("int")).over(w).alias("seen_qual_click"),
+    )
+    qual_purchase = (F.col("event_type") == "purchase") & (
+        F.col("seen_qual_click") == 1
+    )
+    return staged2.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("viewed"),
+        F.countDistinct(F.when(qual_click, F.col("user_id"))).alias(
+            "clicked_after_view"
+        ),
+        F.countDistinct(F.when(qual_purchase, F.col("user_id"))).alias(
+            "purchased_after_funnel"
+        ),
+    )
