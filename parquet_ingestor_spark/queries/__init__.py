@@ -86,8 +86,11 @@ _LOADED = False
 #: would re-probe is lowest); (c) the two smallest round-4 additions
 #: (q54_event_funnel, corpus_train_val_split — both locally
 #: oracle-green at sf0.001 and sf0.01, registered at the tail after
-#: the window was full). Rotate all fifteen in first next round along
-#: with anything that changes, (c) before (a)/(b).
+#: the window was full), plus (d) the eight TPC-H-shaped
+#: join/subquery entries added later in round 4 (q55–q62 in
+#: relational4.py — locally oracle-green, plan-tested). Rotate all
+#: of these in first next round along with anything that changes,
+#: (c)/(d) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",
@@ -170,6 +173,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         aggregates,
     )
 

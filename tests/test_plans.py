@@ -269,3 +269,43 @@ def test_stratified_sample_hints_only_the_scalar_min(spark, sf_dir):
     subtrees = _hinted_subtrees(analyzed)
     assert len(subtrees) == 1, "exactly one hint: the scalar min"
     assert "mn" in subtrees[0]
+
+
+def test_tpch_shape_subqueries_decorrelate(spark, sf_dir):
+    # the EXISTS / NOT EXISTS / IN subqueries must plan as semi/anti
+    # joins (one keyed pass each), never as per-row re-execution
+    plan = plan_of(spark, sf_dir, "q60_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q61_large_volume_customers")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q62_dormant_high_balance")
+
+
+def test_disjunctive_bands_stay_equijoin(spark, sf_dir):
+    # the OR of (brand, size, quantity) bands shares the partkey
+    # conjunct — the join must remain a single equi-join with the
+    # disjunction as a post-join filter, never degrade to a
+    # nested-loop over the fact table
+    plan = plan_of(spark, sf_dir, "q59_disjunctive_bands")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_shapes_carry_no_hints(spark, sf_dir):
+    # every dimension arm in the Q7/Q8/Q9 shapes is broadcast-eligible
+    # from STATS (pre-filtered nation/region, nationkey-only
+    # supplier/customer arms) — no literal hint anywhere, so a 100 TB
+    # run re-decides from real sizes
+    for name in (
+        "q55_volume_shipping",
+        "q56_market_share",
+        "q57_profit_by_nation_year",
+    ):
+        analyzed = (
+            REGISTRY[name]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in analyzed, name
+        assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
