@@ -63,6 +63,8 @@ HEADLINE = (
     "dedup_clusters",
     "asof_forward_click_purchase",
     "text_heavy_hitters",
+    "q56_market_share",
+    "q60_waiting_suppliers",
 )
 # text_bpe_encode is deliberately NOT a headline entry: the registered
 # end-to-end retrains the merge table each call (8 driver-looped vocab

@@ -830,3 +830,136 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "avg_nll", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   string_split(text, chr(10)) AS lines,
+                   length(text)
+                     - length(replace(text, '#', '')) AS n_hash,
+                   (length(text)
+                     - length(replace(text, '...', ''))) / 3 AS n_ell
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   list_sum(list_transform(toks, w -> length(w)))
+                       * 1.0 / len(toks) AS mean_wl,
+                   (n_hash + n_ell) * 1.0 / len(toks) AS sym_ratio,
+                   len(list_filter(lines,
+                       l -> left(l, 1) IN ('-', '*', '•')))
+                       * 1.0 / len(lines) AS bullet_ratio,
+                   len(list_filter(lines, l -> right(l, 3) = '...'))
+                       * 1.0 / len(lines) AS ell_line_ratio,
+                   len(list_filter(toks,
+                       w -> regexp_matches(w, '[A-Za-z]')))
+                       * 1.0 / len(toks) AS alpha_ratio,
+                   len(list_filter(
+                       ['the','be','to','of','and','that','have','with'],
+                       s -> list_contains(toks, s))) AS stop_hits
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               round(mean_wl, 4) AS mean_word_len,
+               round(sym_ratio, 4) AS symbol_word_ratio,
+               round(bullet_ratio, 4) AS bullet_line_ratio,
+               round(ell_line_ratio, 4) AS ellipsis_line_ratio,
+               round(alpha_ratio, 4) AS alpha_word_ratio,
+               CAST(stop_hits AS INTEGER) AS stop_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_wl BETWEEN 3 AND 10
+                AND sym_ratio < 0.1
+                AND bullet_ratio < 0.9
+                AND ell_line_ratio < 0.3
+                AND alpha_ratio >= 0.8
+                AND stop_hits >= 2) AS keep
+        FROM m
+        ORDER BY doc_id
+    """,
+    doc="Gopher quality rules (Rae et al. 2021, App. A): word-count "
+    "band, mean word length, symbol/bullet/ellipsis ratios, "
+    "alphabetic-word share, stop-word presence — the published "
+    "web-corpus filter set as one codegen scan.",
+    tags=("text", "quality", "corpus"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MassiveText/Gopher quality-filter rule set (public
+    methodology: Rae et al. 2021 "Scaling Language Models", Appendix
+    A1.1), emitted as per-doc metrics plus the conjunctive keep flag
+    so downstream pipelines can re-threshold without re-scanning.
+
+    Scale shape: a single narrow parquet scan (doc_id, text) with
+    every metric an expression over ONE split() per axis — the token
+    array and line array are each bound once in a transform() lambda
+    (the text_quality operator documents the CollapseProject
+    recompute pitfall this avoids). No shuffle, no UDF, no join: the
+    filter's 100 TB cost is exactly one codegen pass, and the keep
+    flag compares unrounded count ratios (integer-over-integer IEEE
+    division), so the decision is bit-identical across engines.
+    """
+    stats = F.expr(
+        "transform(array(split(text, ' ')), toks -> named_struct("
+        "'n', size(toks), "
+        "'chars', aggregate(toks, 0, (acc, w) -> acc + length(w)), "
+        "'alpha', size(filter(toks, w -> w rlike '[A-Za-z]')), "
+        "'stops', size(filter("
+        "array('the','be','to','of','and','that','have','with'), "
+        "s -> array_contains(toks, s)))))[0]"
+    )
+    line_stats = F.expr(
+        "transform(array(split(text, '\\n')), ls -> named_struct("
+        "'n', size(ls), "
+        "'bullet', size(filter(ls, l -> left(l, 1) IN ('-', '*', '•'))), "
+        "'ell', size(filter(ls, l -> right(l, 3) = '...'))))[0]"
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    m = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            stats.alias("st"),
+            line_stats.alias("ln"),
+            n_hash.alias("n_hash"),
+            n_ell.alias("n_ell"),
+        )
+        .select(
+            "doc_id",
+            F.col("st.n").cast("long").alias("n_words"),
+            (F.col("st.chars") / F.col("st.n")).alias("mean_wl"),
+            ((F.col("n_hash") + F.col("n_ell")) / F.col("st.n")).alias(
+                "sym_ratio"
+            ),
+            (F.col("ln.bullet") / F.col("ln.n")).alias("bullet_ratio"),
+            (F.col("ln.ell") / F.col("ln.n")).alias("ell_line_ratio"),
+            (F.col("st.alpha") / F.col("st.n")).alias("alpha_ratio"),
+            F.col("st.stops").cast("int").alias("stop_hits"),
+        )
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_wl").between(3, 10)
+        & (F.col("sym_ratio") < 0.1)
+        & (F.col("bullet_ratio") < 0.9)
+        & (F.col("ell_line_ratio") < 0.3)
+        & (F.col("alpha_ratio") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_wl", 4).alias("mean_word_len"),
+        F.round("sym_ratio", 4).alias("symbol_word_ratio"),
+        F.round("bullet_ratio", 4).alias("bullet_line_ratio"),
+        F.round("ell_line_ratio", 4).alias("ellipsis_line_ratio"),
+        F.round("alpha_ratio", 4).alias("alpha_word_ratio"),
+        "stop_hits",
+        keep.alias("keep"),
+    ).orderBy("doc_id")

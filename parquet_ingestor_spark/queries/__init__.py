@@ -88,7 +88,8 @@ _LOADED = False
 #: oracle-green at sf0.001 and sf0.01, registered at the tail after
 #: the window was full), plus (d) the eight TPC-H-shaped
 #: join/subquery entries added later in round 4 (q55–q62 in
-#: relational4.py — locally oracle-green, plan-tested). Rotate all
+#: relational4.py — locally oracle-green, plan-tested) and
+#: text_gopher_rules (oracle + planted per-axis test). Rotate all
 #: of these in first next round along with anything that changes,
 #: (c)/(d) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (

@@ -515,3 +515,39 @@ def test_sem_dedup_trained_removes_planted_dups(spark, tmp_path):
         assert min(m.vec_id for m in members) in {
             m.vec_id for m in members if m.kept
         }
+
+
+def test_gopher_rules_each_axis_rejects(spark, tmp_path):
+    """One planted doc per Gopher rule axis, each violating exactly
+    that rule, plus one doc passing all seven — the keep flag must
+    isolate each axis."""
+    from parquet_ingestor_spark.operators.text import text_gopher_rules
+
+    good_words = ("the and of quick brown words appear here plus filler "
+                  + "word " * 50).split()
+    good = " ".join(good_words)  # ~60 words, stopwords, mean len 3-10
+    rows = [
+        (0, good),                                         # passes all
+        (1, "too few words here the and"),                 # n_words < 50
+        (2, " ".join(["#" * 1 + w for w in good_words])),  # symbol ratio
+        (3, "\n".join("- " + good for _ in range(4))),     # all bullet lines
+        (4, "\n".join([good + "...", good + "...", good, good])),  # ellipses
+        (5, " ".join(["123"] * 40 + good_words[:20])),     # alpha < 0.8
+        (6, " ".join(f"w{i:02d}xx" for i in range(60))),   # no stopwords
+        (7, "the and " + " ".join(["x" * 15] * 58)),       # mean len > 10
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r.doc_id: r for r in text_gopher_rules(spark, str(tmp_path)).collect()}
+    assert got[0].keep
+    for d in range(1, 8):
+        assert not got[d].keep, f"doc {d} should fail"
+    assert got[1].n_words < 50
+    assert got[2].symbol_word_ratio >= 0.1
+    assert got[3].bullet_line_ratio >= 0.9
+    assert got[4].ellipsis_line_ratio >= 0.3
+    assert got[5].alpha_word_ratio < 0.8
+    assert got[6].stop_hits < 2
+    assert got[7].mean_word_len > 10
