@@ -963,3 +963,72 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stop_hits",
         keep.alias("keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_unicode_clean",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, text,
+                   nfc_normalize(trim(regexp_replace(regexp_replace(
+                       text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F' ||
+                       '\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+                       '[ \\t]+', ' ', 'g'))) AS text_clean
+            FROM documents
+        )
+        SELECT doc_id, text_clean, text_clean <> text AS changed
+        FROM c
+        ORDER BY doc_id
+    """,
+    doc="Unicode/whitespace canonicalization: strip control and "
+    "zero-width characters, collapse horizontal whitespace, trim, "
+    "NFC-normalize — the standard pre-dedup text canonical form.",
+    tags=("text", "corpus"),
+)
+def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization pass run before any hash-keyed dedup (exact,
+    line, MinHash): byte-identical text is the contract those
+    operators key on, and invisible-codepoint or NFC/NFD variance
+    silently defeats them.
+
+    Scale shape: the control/zero-width strip and whitespace collapse
+    are codegen `regexp_replace` in the scan stage. NFC itself has no
+    Spark SQL builtin, so it is the one honest Python step — an
+    Arrow-batched ``mapInPandas`` using ``Series.str.normalize``
+    (never a row-at-a-time UDF), map-only: no shuffle anywhere in the
+    plan, output partitioning = input partitioning. ASCII-clean
+    batches pass through NFC unchanged, so the Python cost is paid
+    only for rows that survive a cheap nonascii pre-flag... kept
+    unconditional here: branch-per-batch beats branch-per-row, and the
+    normalize is O(bytes) either way.
+    """
+    import pandas as pd  # noqa: F401 — Arrow batch surface
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"),
+                "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                "\\u200B-\\u200D\\uFEFF]",
+                "",
+            ),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    pre = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", cleaned.alias("text_clean")
+    )
+
+    def nfc(batches):
+        for pdf in batches:
+            pdf["text_clean"] = pdf["text_clean"].str.normalize("NFC")
+            yield pdf
+
+    out = pre.mapInPandas(nfc, schema=pre.schema)
+    return out.select(
+        "doc_id",
+        "text_clean",
+        (F.col("text_clean") != F.col("text")).alias("changed"),
+    ).orderBy("doc_id")

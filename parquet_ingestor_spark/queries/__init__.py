@@ -89,7 +89,8 @@ _LOADED = False
 #: the window was full), plus (d) the eight TPC-H-shaped
 #: join/subquery entries added later in round 4 (q55–q62 in
 #: relational4.py — locally oracle-green, plan-tested) and
-#: text_gopher_rules (oracle + planted per-axis test). Rotate all
+#: text_gopher_rules and text_unicode_clean (oracles + planted
+#: tests). Rotate all
 #: of these in first next round along with anything that changes,
 #: (c)/(d) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (

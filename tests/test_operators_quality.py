@@ -551,3 +551,38 @@ def test_gopher_rules_each_axis_rejects(spark, tmp_path):
     assert got[5].alpha_word_ratio < 0.8
     assert got[6].stop_hits < 2
     assert got[7].mean_word_len > 10
+
+
+def test_unicode_clean_planted_non_ascii(spark, tmp_path):
+    """Decomposed NFC input, zero-width/control chars, and whitespace
+    runs must all canonicalize — and the Spark plan must agree with
+    the DuckDB oracle on the same planted rows."""
+    import duckdb
+
+    from parquet_ingestor_spark.testing import duck_canon, spark_canon
+
+    decomposed = "café menu"          # e + combining acute
+    zw = "he​llo‍ world﻿"    # zero-width chars
+    ctl = "tab\tand\x07bell  spaced"        # control char + runs
+    rows = [(0, decomposed), (1, zw), (2, ctl), (3, "already clean")]
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + f") t(doc_id, text)) TO '{tmp_path}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    q = REGISTRY["text_unicode_clean"]
+    assert spark_canon(q.fn(spark, str(tmp_path))) == duck_canon(
+        con, q.oracle
+    )
+    got = {r.doc_id: r for r in q.fn(spark, str(tmp_path)).collect()}
+    assert got[0].text_clean == "café menu" and got[0].changed
+    assert got[1].text_clean == "hello world" and got[1].changed
+    assert got[2].text_clean == "tab and\x07bell spaced".replace("\x07", "") \
+        and got[2].changed
+    assert got[3].text_clean == "already clean" and not got[3].changed
