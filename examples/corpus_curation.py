@@ -36,9 +36,11 @@ from parquet_ingestor_spark.operators.mixture import (
 )
 from parquet_ingestor_spark.operators.text import (
     corpus_shuffle_shard,
+    gopher_rules,
     text_lm_perplexity,
     text_pack_bins,
     text_ppl_buckets,
+    unicode_clean,
 )
 from parquet_ingestor_spark.queries import _ensure_loaded
 from parquet_ingestor_spark.session import get_spark
@@ -58,8 +60,33 @@ def main() -> None:
     docs = table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. quality filter (C4/Gopher heuristics) — keep==1 survivors
+    # 0. Unicode canonicalization — dedup keys hash the canonical
+    #    bytes, not whatever codepoint variant the crawler emitted
+    canon = (
+        unicode_clean(docs.select("doc_id", "text"))
+        .select("doc_id", F.col("text_clean").alias("text"))
+        .join(docs.drop("text"), "doc_id")
+    )
+
+    # 1. quality filter (C4/Gopher heuristics) — keep==1 survivors,
+    #    intersected with the Gopher rule metrics. The operator emits
+    #    per-axis metrics exactly so a pipeline can re-threshold
+    #    without re-scanning: this synthetic vocabulary carries only
+    #    one of Gopher's eight function words, so the published
+    #    stop_hits>=2 bound is relaxed to >=1 here; the other axes
+    #    keep their published thresholds.
     kept = corpus_filter_pipeline(spark, sf_dir).filter("keep = 1")
+    gopher_ok = (
+        gopher_rules(canon)
+        .filter(
+            "n_words BETWEEN 50 AND 100000"
+            " AND mean_word_len BETWEEN 3 AND 10"
+            " AND symbol_word_ratio < 0.1"
+            " AND alpha_word_ratio >= 0.8"
+            " AND stop_hits >= 1"
+        )
+        .select("doc_id")
+    )
 
     # 2. near-dup clusters — keep one doc (the min-id keeper) per cluster
     keepers = dedup_clusters(spark, sf_dir).filter(
@@ -71,7 +98,8 @@ def main() -> None:
     contaminated = benchmark_contamination(spark, sf_dir).select("doc_id")
 
     survivors = (
-        docs.join(kept.select("doc_id"), "doc_id")
+        canon.join(kept.select("doc_id"), "doc_id")
+        .join(gopher_ok, "doc_id")
         .join(keepers.select("doc_id"), "doc_id")
         .join(contaminated, "doc_id", "left_anti")
     )

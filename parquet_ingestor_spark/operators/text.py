@@ -888,10 +888,15 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "corpus"),
 )
 def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_rules(table(spark, sf_dir, "documents"))
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
     """The MassiveText/Gopher quality-filter rule set (public
     methodology: Rae et al. 2021 "Scaling Language Models", Appendix
     A1.1), emitted as per-doc metrics plus the conjunctive keep flag
     so downstream pipelines can re-threshold without re-scanning.
+    Composable form: takes any (doc_id, text, …) DataFrame.
 
     Scale shape: a single narrow parquet scan (doc_id, text) with
     every metric an expression over ONE split() per axis — the token
@@ -922,7 +927,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
     ) / 3
     m = (
-        table(spark, sf_dir, "documents")
+        docs
         .select(
             "doc_id",
             stats.alias("st"),
@@ -987,10 +992,17 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "corpus"),
 )
 def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unicode_clean(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def unicode_clean(docs: DataFrame) -> DataFrame:
     """Canonicalization pass run before any hash-keyed dedup (exact,
     line, MinHash): byte-identical text is the contract those
     operators key on, and invisible-codepoint or NFC/NFD variance
-    silently defeats them.
+    silently defeats them. Composable form: takes any
+    (doc_id, text) DataFrame.
 
     Scale shape: the control/zero-width strip and whitespace collapse
     are codegen `regexp_replace` in the scan stage. NFC itself has no
@@ -1017,9 +1029,7 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         )
     )
-    pre = table(spark, sf_dir, "documents").select(
-        "doc_id", "text", cleaned.alias("text_clean")
-    )
+    pre = docs.select("doc_id", "text", cleaned.alias("text_clean"))
 
     def nfc(batches):
         for pdf in batches:
