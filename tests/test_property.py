@@ -287,3 +287,42 @@ def test_mg_summaries_candidate_superset(batches, cap):
     for tok, c in freq.items():
         if c * (cap + 1) > n:
             assert tok in candidates, (tok, c, n, cap)
+
+
+texts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**6),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),  # no lone surrogates
+                max_codepoint=0x2FFF,
+            ),
+            max_size=60,
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=texts)
+def test_unicode_clean_idempotent(rows):
+    """Canonicalization is a projection: clean(clean(x)) == clean(x),
+    and a canonical text never reports changed=True on a second pass.
+    The property that makes re-running the pass on an already-curated
+    corpus a no-op rather than a rewrite."""
+    from parquet_ingestor_spark.operators.text import unicode_clean
+
+    docs = _spark.createDataFrame(rows, "doc_id long, text string")
+    once = unicode_clean(docs).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    twice = unicode_clean(once)
+    for r in twice.collect():
+        assert not r.changed, rows
