@@ -92,6 +92,18 @@ def connected_components(
     both = truncate_lineage(both, checkpoint_dir)
     labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl"))
     labels = truncate_lineage(labels, checkpoint_dir)
+
+    # Convergence probe: labels are monotonically non-increasing (each
+    # round takes a min), so the GLOBAL label sum strictly drops iff
+    # any label changed — one decimal-exact single-row aggregate per
+    # round instead of a full old⋈new compare join (which re-shuffled
+    # the whole label table every round just to count changes).
+    # decimal(38,0) keeps the sum exact far past int64 (1e11 ids ×
+    # 1e11 rows overflows bigint).
+    def _lbl_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+
+    cur_sum = _lbl_sum(labels)
     converged = False
     for _ in range(max_iter):
         prop = both.join(
@@ -101,17 +113,12 @@ def connected_components(
             labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl")),
             checkpoint_dir,
         )
-        changed = (
-            new_labels.join(
-                labels.select("id", F.col("lbl").alias("old")), "id"
-            )
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
+        new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == cur_sum:
             converged = True
             break
+        cur_sum = new_sum
     if not converged:
         warnings.warn(
             f"connected_components did not converge in {max_iter} rounds "
