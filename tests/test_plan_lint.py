@@ -1,0 +1,53 @@
+"""Registry-wide plan lint: every registered entry's physical plan is
+screened for the two anti-patterns that are *never* acceptable at
+100 TB, regardless of operator family:
+
+- ``CartesianProduct`` — an unkeyed shuffle-side cross join. Fixed
+  small-side crosses plan as BroadcastNestedLoopJoin (allowed, and
+  separately pinned per-operator in test_plans); a CartesianProduct
+  means a join lost its keys.
+- ``BatchEvalPython`` — a row-at-a-time Python UDF. The repo's
+  Python surface is exclusively Arrow-vectorized
+  (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas), so any
+  BatchEvalPython is a regression.
+
+The targeted tests in test_plans.py pin per-operator plan shapes;
+this sweep guarantees no *new* entry quietly ships either
+anti-pattern without a dedicated test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+#: Entries whose fn() drives a multi-job iterative loop at build time
+#: (CC fixpoints, k-means, BPE training, incremental replay) — their
+#: final-stage plans are covered by their own tests; re-running the
+#: loops here would triple the suite's wall time for no new signal.
+_ITERATIVE = {
+    "dedup_clusters",
+    "dedup_clusters_incremental",
+    "bpe_train_merges",
+    "text_bpe_encode",
+    "emb_kmeans_fit",
+    "sem_dedup_trained",
+}
+
+_NAMES = sorted(n for n in REGISTRY if n not in _ITERATIVE)
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_no_cartesian_no_row_udf(spark, sf_dir, name):
+    plan = (
+        REGISTRY[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, f"{name}: unkeyed cross join"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
