@@ -187,6 +187,49 @@ def asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_nearest_view_purchase",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, ts, event_id AS view_id FROM events
+            WHERE event_type = 'view'
+        ), p AS (
+            SELECT user_id, ts, event_id AS purchase_id FROM events
+            WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT v.view_id, v.user_id, p.purchase_id,
+                   row_number() OVER (
+                       PARTITION BY v.view_id
+                       ORDER BY abs(epoch(p.ts) - epoch(v.ts)),
+                                CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END
+                   ) AS rn
+            FROM v LEFT JOIN p ON v.user_id = p.user_id
+        )
+        SELECT view_id, user_id, purchase_id
+        FROM ranked WHERE rn = 1
+        ORDER BY view_id
+    """,
+    doc="Nearest as-of join: each view attributed to the user's "
+    "closest-in-time purchase (exact-distance ties resolve backward) "
+    "— same single merge-as-of shuffle+sort; the oracle's all-pairs "
+    "rank formulation is the quadratic definition.",
+    tags=("join", "asof"),
+)
+def asof_nearest_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    return (
+        asof_join(views, purchases, on="user_id", direction="nearest")
+        .select("view_id", "user_id", "purchase_id")
+        .orderBy("view_id")
+    )
+
+
 #: Deterministic value bands for the range-join demo (lo inclusive,
 #: hi exclusive) — covers events.value (0, 500).
 BANDS: tuple[tuple[str, float, float], ...] = (

@@ -90,7 +90,7 @@ _LOADED = False
 #: join/subquery entries added later in round 4 (q55–q62 in
 #: relational4.py — locally oracle-green, plan-tested) and
 #: text_gopher_rules and text_unicode_clean (oracles + planted
-#: tests). Rotate all
+#: tests) and asof_nearest_view_purchase. Rotate all
 #: of these in first next round along with anything that changes,
 #: (c)/(d) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
