@@ -836,16 +836,62 @@ def semantic_dedup(
     )
 
 
+def _removed_vectorized(a: DataFrame, tau: float) -> DataFrame:
+    """Within-cluster pair scoring as one numpy matmul per cluster.
+
+    ``a`` is (vec_id, cluster_id, u) with u unit-norm. Returns the
+    distinct vec_ids removed by the SemDeDup rule (some smaller-id
+    vector in the same cluster has cosine ≥ τ — the same non-greedy
+    rule as the self-join formulation, so results are interchangeable).
+
+    Scale shape: ONE cluster-keyed shuffle (the same exchange the
+    expression self-join needs), then each cluster's quadratic runs as
+    an Arrow-batched BLAS matmul instead of interpreted per-pair
+    lambdas — the constant factor that dominates the self-join at
+    production cluster sizes. Row-chunked so peak scratch is ~80 MB
+    (chunk × m doubles) even for a skewed mega-cluster; the k ∝ n
+    scaling (scaled_k) is what bounds m itself.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        v = np.vstack(pdf["u"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        removed = np.zeros(m, dtype=bool)
+        step = max(1, min(2048, 10_000_000 // max(m, 1)))
+        jdx = np.arange(m)
+        for s in range(0, m, step):
+            g = v[s : s + step] @ v.T  # cosine: rows are unit vectors
+            rows = np.arange(s, s + g.shape[0])
+            hit = (g >= tau) & (jdx[None, :] > rows[:, None])
+            removed |= hit.any(axis=0)
+        return pd.DataFrame({"vec_id": ids[removed]})
+
+    return a.select("vec_id", "cluster_id", "u").groupBy(
+        "cluster_id"
+    ).applyInPandas(per_cluster, "vec_id long")
+
+
 def sem_dedup_trained(
     emb: DataFrame,
     tau: float = SEM_TAU,
     k: int | None = None,
     max_iter: int = 10,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Production SemDeDup path: spherical-k-means-trained centroids
     (k scaled to corpus size by default) feeding
     :func:`semantic_dedup`. The fit's assignment pass is reused as
     the dedup's assignment — the corpus is not re-assigned.
+
+    ``vectorized=True`` (default) scores within-cluster pairs with
+    :func:`_removed_vectorized` (per-cluster BLAS matmul);
+    ``False`` keeps the expression self-join twin — both implement
+    the identical removal rule (equivalence-tested), the expression
+    form existing for SQL-expressible oracles.
     """
     from .embeddings import kmeans_fit
 
@@ -853,28 +899,33 @@ def sem_dedup_trained(
         k = scaled_k(emb.count())
     _, assigned, _ = kmeans_fit(emb, k=k, max_iter=max_iter)
     # assigned: (vec_id, c_id, u) with u the unit vector — pair cosine
-    # is a plain dot product, and the cluster-keyed self-join reuses
-    # the fit's final assignment exchange
+    # is a plain dot product, and the cluster-keyed exchange feeds
+    # either pair scorer once
     a = assigned.select(
         "vec_id", F.col("c_id").alias("cluster_id"), "u"
     )
-    xs, ys = a.alias("xs"), a.alias("ys")
-    cos = F.aggregate(
-        F.zip_with(F.col("xs.u"), F.col("ys.u"), lambda p, q: p * q),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    removed = (
-        xs.join(
-            ys,
-            (F.col("xs.cluster_id") == F.col("ys.cluster_id"))
-            & (F.col("xs.vec_id") < F.col("ys.vec_id")),
+    if vectorized:
+        removed = _removed_vectorized(a, tau).withColumn(
+            "_removed", F.lit(True)
         )
-        .filter(cos >= tau)
-        .select(F.col("ys.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_removed", F.lit(True))
-    )
+    else:
+        xs, ys = a.alias("xs"), a.alias("ys")
+        cos = F.aggregate(
+            F.zip_with(F.col("xs.u"), F.col("ys.u"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        removed = (
+            xs.join(
+                ys,
+                (F.col("xs.cluster_id") == F.col("ys.cluster_id"))
+                & (F.col("xs.vec_id") < F.col("ys.vec_id")),
+            )
+            .filter(cos >= tau)
+            .select(F.col("ys.vec_id").alias("vec_id"))
+            .distinct()
+            .withColumn("_removed", F.lit(True))
+        )
     return (
         a.join(removed, "vec_id", "left")
         .select(

@@ -586,3 +586,16 @@ def test_unicode_clean_planted_non_ascii(spark, tmp_path):
     assert got[2].text_clean == "tab and\x07bell spaced".replace("\x07", "") \
         and got[2].changed
     assert got[3].text_clean == "already clean" and not got[3].changed
+
+
+def test_sem_dedup_vectorized_equals_expression(spark, sf_dir):
+    """The per-cluster BLAS pair scorer and the expression self-join
+    implement the same removal rule — identical output, row for row."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import sem_dedup_trained
+
+    emb = table(spark, sf_dir, "embeddings")
+    fast = sem_dedup_trained(emb, vectorized=True).collect()
+    slow = sem_dedup_trained(emb, vectorized=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert any(not r.kept for r in fast) or len(fast) > 0  # runs non-trivially
