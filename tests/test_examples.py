@@ -25,3 +25,23 @@ def test_corpus_curation_example_runs(spark, sf_dir, tmp_path, capsys):
     assert "training packs:" in out
     assert "mean doc NLL:" in out
     assert "shard sizes:" in out
+
+
+def test_run_query_cli_list(capsys):
+    """The CLI's --list path prints the full registered inventory
+    (no Spark session needed) — README points users at it."""
+    tools_dir = str(Path(__file__).resolve().parents[1] / "tools")
+    sys.path.insert(0, tools_dir)
+    import run_query
+
+    argv = sys.argv
+    sys.argv = ["run_query.py", "--list", ""]
+    try:
+        run_query.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "q10_revenue_per_nation" in out
+    assert "text_gopher_rules" in out
+    assert "[oracle]" in out and "[rows-only]" in out
+    assert len(out.strip().splitlines()) >= 120
