@@ -309,3 +309,60 @@ def test_tpch_shapes_carry_no_hints(spark, sf_dir):
         )
         assert "ResolvedHint" not in analyzed, name
         assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The architecture's skew story is two-layer: content-hash
+    salting for aggregations (skew_salted_agg) and AQE skew-join for
+    joins. This pins the second layer actually firing: a Zipf-headed
+    join key (92% of rows on one key) must come out of AQE with the
+    hot partition split — `SortMergeJoin(skew=true)` in the final
+    plan — not one straggler task doing 92% of the work.
+    """
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        # thresholds scaled down so the toy dataset crosses them the
+        # way a real hot key crosses the 256 MB default at 100 TB
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "131072",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        left = spark.range(2_000_000).select(
+            F.when(F.col("id") % 50 < 46, F.lit(0))
+            .otherwise((F.col("id") % 50) - 45)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(500).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("rid")
+        )
+        agg = left.join(right, "k").agg(F.count("*").alias("n"))
+        assert agg.collect()[0].n > 0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:800]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
