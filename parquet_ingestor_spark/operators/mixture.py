@@ -104,6 +104,77 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@register(
+    "corpus_temperature_weights",
+    oracle="""
+        WITH s AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                       t -> t != ''))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), p AS (
+            SELECT source, n_tokens,
+                   n_tokens * 1.0 / SUM(n_tokens) OVER () AS share
+            FROM s
+        )
+        SELECT source, n_tokens,
+               round(share, 6) AS token_share,
+               round(pow(share, 0.3) / SUM(pow(share, 0.3)) OVER (), 6)
+                   AS temp_share,
+               round((pow(share, 0.3) / SUM(pow(share, 0.3)) OVER ())
+                     / share, 6) AS temp_weight
+        FROM p ORDER BY source
+    """,
+    doc="Temperature-based mixture reweighting (α=0.3): q_i ∝ p_i^α "
+    "— the published up-sampling rule for low-resource strata "
+    "(multilingual MLM training; DoReMi's initialization).",
+    tags=("text", "training", "mixture"),
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over source shares (public methodology:
+    Conneau & Lample 2019 §3.1 / XLM-R — sample stratum i with
+    q_i = p_i^α / Σ p_j^α, α<1 flattening the head and up-weighting
+    the tail; α=1 keeps the natural mixture, α=0 is uniform).
+
+    ``temp_weight`` = q_i / p_i is the per-stratum resampling factor a
+    curation pass multiplies into its admission probability —
+    composable with corpus_weighted_sample's md5 admission rule.
+
+    Same scale shape as corpus_mixture_weights: ONE
+    map-side-combinable token aggregate; every window after that runs
+    over the per-source frame (rows = catalog-bounded source count).
+    """
+    return temperature_weights(table(spark, sf_dir, "documents"))
+
+
+def temperature_weights(
+    docs: DataFrame, stratum_col: str = "source", alpha: float = 0.3
+) -> DataFrame:
+    """Library form of ``corpus_temperature_weights`` for any stratum
+    column and temperature ``alpha``."""
+    per = docs.groupBy(stratum_col).agg(
+        F.sum(F.size(_tokens_col())).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    # two window layers (share, then the pow-normalizer) — both run
+    # over the catalog-bounded per-stratum frame, not the corpus
+    shared = per.select(
+        stratum_col,
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w)).alias("share"),
+    )
+    q = F.pow("share", F.lit(alpha)) / F.sum(
+        F.pow("share", F.lit(alpha))
+    ).over(w)
+    return shared.select(
+        stratum_col,
+        "n_tokens",
+        F.round("share", 6).alias("token_share"),
+        F.round(q, 6).alias("temp_share"),
+        F.round(q / F.col("share"), 6).alias("temp_weight"),
+    ).orderBy(stratum_col)
+
+
 def mixture_weights(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
     """Library form of ``corpus_mixture_weights`` over any stratum."""
     per = docs.groupBy(stratum_col).agg(

@@ -231,3 +231,28 @@ def test_quality_classifier_orders_planted_docs(spark, sf_dir):
         }
     assert rows[0].score_e4 > rows[1].score_e4
     assert rows[0].keep == 1 and rows[1].keep == 0
+
+
+def test_temperature_weights_invariants(spark, sf_dir):
+    """The published α-sampling identities: shares and temp shares
+    each sum to 1; α=1 is the natural mixture (all weights 1); for
+    α<1 the resampling weight q/p = p^(α-1)/Σp^α is strictly
+    decreasing in share (tail strata up-weighted relative to head
+    strata); α=0 is uniform-over-strata."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.mixture import temperature_weights
+
+    docs = table(spark, sf_dir, "documents")
+    rows = temperature_weights(docs, alpha=0.3).collect()
+    n = len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r.token_share)
+    weights = [r.temp_weight for r in by_share]
+    assert weights == sorted(weights, reverse=True), weights
+
+    natural = temperature_weights(docs, alpha=1.0).collect()
+    assert all(abs(r.temp_weight - 1.0) < 1e-4 for r in natural)
+
+    uniform = temperature_weights(docs, alpha=0.0).collect()
+    assert all(abs(r.temp_share - 1.0 / n) < 1e-4 for r in uniform)
