@@ -33,6 +33,7 @@ from parquet_ingestor_spark.operators.lines import line_dedup
 from parquet_ingestor_spark.operators.mixture import (
     heavy_hitters,
     mixture_weights,
+    temperature_weights,
 )
 from parquet_ingestor_spark.operators.text import (
     corpus_shuffle_shard,
@@ -135,6 +136,7 @@ def main() -> None:
     #     corpus-wide frequent tokens (boilerplate candidates)
     curated = spark.read.parquet(f"{out_dir}/documents.parquet")
     mix = mixture_weights(curated).orderBy("source").collect()
+    temp = temperature_weights(curated, alpha=0.3).orderBy("source").collect()
     hot = heavy_hitters(curated, support=50).limit(5).collect()
 
     # 6. fluency scores + CCNet head/middle/tail split + deterministic
@@ -167,6 +169,11 @@ def main() -> None:
     print(
         "mixture:        "
         + ", ".join(f"{r['source']}×{r['mix_weight']}" for r in mix)
+    )
+    print(
+        "temp (a=0.3):   "
+        + ", ".join(f"{r['source']}×{r['temp_weight']}" for r in temp[:5])
+        + ", …"
     )
     print(
         "hot tokens:     "
