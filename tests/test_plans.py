@@ -366,3 +366,47 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
+    """Spark's runtime Bloom-filter injection is the engine-native
+    cross-join membership pre-filter (the "Bloom dedup prefilter" a
+    hand-rolled pipeline would build): when one join side is made
+    selective by a filter, the optimizer builds a bloom_filter_agg
+    over the selective side's keys and pushes might_contain into the
+    other side's scan — rows that cannot match die before the
+    shuffle. Default-on; at production sizes the 10 GB
+    application-side threshold passes naturally, here both
+    thresholds are scaled down the same way the skew test scales its
+    thresholds.
+    """
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: conf.get(k) for k in keys}
+    try:
+        conf.set(keys[0], "50MB")
+        conf.set(keys[1], "10KB")
+        conf.set(keys[2], "-1")
+        spark.range(500_000).select(
+            "id", F.md5(F.col("id").cast("string")).alias("pay")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/fact")
+        spark.range(500_000).select(
+            "id", (F.col("id") % 7).alias("grp")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/dim")
+        fact = spark.read.parquet(f"{tmp_path}/fact")
+        dim = spark.read.parquet(f"{tmp_path}/dim").filter(F.col("grp") == 3)
+        agg = fact.join(dim, "id").agg(F.count("*").alias("n"))
+        assert agg.collect()[0].n > 0
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
