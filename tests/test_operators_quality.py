@@ -599,3 +599,19 @@ def test_sem_dedup_vectorized_equals_expression(spark, sf_dir):
     slow = sem_dedup_trained(emb, vectorized=False).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert any(not r.kept for r in fast) or len(fast) > 0  # runs non-trivially
+
+
+def test_semantic_dedup_vectorized_equals_expression(spark, sf_dir):
+    """The registered sem_dedup path (vectorized pair scorer) and its
+    expression self-join twin agree row-for-row — the identity that
+    licenses serving the oracle-checked entry from the BLAS scorer."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        IVF_K,
+        semantic_dedup,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    fast = semantic_dedup(emb, k=IVF_K, vectorized=True).collect()
+    slow = semantic_dedup(emb, k=IVF_K, vectorized=False).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
