@@ -497,6 +497,142 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(table(spark, sf_dir, "documents"))
 
 
+def mg_merge_batch(
+    state: tuple[DataFrame, DataFrame] | None,
+    batch_docs: DataFrame,
+    capacity: int = HH_CAPACITY,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch fold of the mergeable Misra-Gries summary
+    (Agarwal et al. 2012, 'Mergeable Summaries' — public method):
+    merge-by-token-sum, then subtract the (capacity+1)-th largest
+    count from every entry and keep the positive remainders. Each
+    such decrement of d is charged against d×(capacity+1) true
+    occurrences, so across any number of merges every token's
+    undercount stays ≤ n_total/(capacity+1) — the same ε-guarantee
+    as a single-pass MG over the union, independent of how the
+    stream was batched.
+
+    ``state`` is (summary(token, cnt), total 1-row) or None. All
+    frames stay summary-sized (≤ capacity + per-Arrow-batch
+    candidates); lineage is truncated per fold so the plan does not
+    grow with the number of batches.
+    """
+    from ..checkpointing import truncate_lineage
+
+    batch_sum = (
+        batch_docs.select(F.col(text_col).alias("text"))
+        .mapInPandas(_mg_summaries(capacity), schema=_MG_SCHEMA)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    batch_total = batch_docs.agg(
+        F.sum(F.size(_tokens_col(text_col))).alias("total")
+    )
+    if state is None:
+        merged, total = batch_sum, batch_total
+    else:
+        prev_sum, prev_total = state
+        merged = (
+            prev_sum.unionByName(batch_sum)
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        total = (
+            prev_total.unionByName(batch_total)
+            .agg(F.sum("total").alias("total"))
+        )
+    # prune to capacity: the (capacity+1)-th largest becomes the
+    # decrement (0 when the summary already fits)
+    kth = (
+        merged.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(capacity + 1)
+        .agg(
+            F.when(F.count("*") > capacity, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .alias("dec")
+        )
+    )
+    pruned = (
+        merged.crossJoin(F.broadcast(kth))  # 1 row — fixed-size
+        .select("token", (F.col("cnt") - F.col("dec")).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    return truncate_lineage(pruned), truncate_lineage(total)
+
+
+def incremental_heavy_hitters(
+    batches,
+    corpus: DataFrame,
+    support: int = HH_SUPPORT,
+    capacity: int = HH_CAPACITY,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold :func:`mg_merge_batch` over micro-batches, then exact-
+    recount the folded candidates against ``corpus`` — output equals
+    the batch :func:`heavy_hitters` over the union (the mergeability
+    guarantee makes the folded candidate set a superset of every
+    true heavy hitter at support < capacity + 1), so the same SQL
+    oracle checks it.
+    """
+    if support >= capacity + 1:
+        raise ValueError("need capacity + 1 > support for the guarantee")
+    state = None
+    for batch in batches:
+        state = mg_merge_batch(state, batch, capacity, text_col)
+    if state is None:
+        raise ValueError("no batches")
+    candidates = state[0].select("token").distinct()
+    toks = corpus.select(F.explode(_tokens_col(text_col)).alias("token"))
+    total = corpus.agg(F.sum(F.size(_tokens_col(text_col))).alias("total"))
+    return (
+        toks.join(candidates, "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))  # 1 row — fixed-size broadcast
+        .filter(F.col("n") * support > F.col("total"))
+        .select("token", "n")
+        .orderBy(F.desc("n"), F.asc("token"))
+    )
+
+
+HH_N_BATCHES = 3
+
+
+@register(
+    "text_heavy_hitters_incremental",
+    oracle=f"""
+        WITH t AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), tt AS (
+            SELECT token FROM t WHERE token != ''
+        ), n AS (
+            SELECT COUNT(*) AS total FROM tt
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tt GROUP BY token
+        HAVING COUNT(*) * {HH_SUPPORT} > (SELECT total FROM n)
+        ORDER BY n DESC, token
+    """,
+    doc=f"Incremental heavy hitters: documents arrive in "
+    f"{HH_N_BATCHES} micro-batches (doc_id mod {HH_N_BATCHES}); a "
+    "mergeable Misra-Gries summary folds per batch, candidates are "
+    "exact-recounted — output ≡ the one-shot sketch (same oracle).",
+    tags=("text", "sketch", "corpus", "streaming"),
+)
+def text_heavy_hitters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return incremental_heavy_hitters(
+        (
+            docs.filter(F.pmod("doc_id", F.lit(HH_N_BATCHES)) == i)
+            for i in range(HH_N_BATCHES)
+        ),
+        docs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking
 

@@ -256,3 +256,48 @@ def test_temperature_weights_invariants(spark, sf_dir):
 
     uniform = temperature_weights(docs, alpha=0.0).collect()
     assert all(abs(r.temp_share - 1.0 / n) < 1e-4 for r in uniform)
+
+
+def test_mg_merge_fold_bounds_and_superset(spark, sf_dir):
+    """Mergeable-summaries guarantee (Agarwal et al. 2012) for the
+    folded state itself, before any recount: every folded count is an
+    undercount by at most n_total/(capacity+1), so every token with
+    true frequency above that bound survives the fold — regardless of
+    how the stream was batched."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.mixture import (
+        _tokens_col,
+        mg_merge_batch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    capacity = 64
+    for n_batches in (2, 4):
+        state = None
+        for i in range(n_batches):
+            state = mg_merge_batch(
+                state,
+                docs.filter(F.pmod("doc_id", F.lit(n_batches)) == i),
+                capacity=capacity,
+            )
+        folded = {r.token: r.cnt for r in state[0].collect()}
+        n_total = state[1].collect()[0].total
+        exact = {
+            r.token: r.n
+            for r in docs.select(
+                F.explode(_tokens_col()).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert n_total == sum(exact.values())
+        bound = n_total / (capacity + 1)
+        for tok, cnt in folded.items():
+            assert cnt <= exact[tok], tok  # never an overcount
+            assert exact[tok] - cnt <= bound, tok  # bounded undercount
+        for tok, n in exact.items():  # superset of true heavy tokens
+            if n > bound:
+                assert tok in folded, tok
