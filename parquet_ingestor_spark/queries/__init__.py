@@ -86,11 +86,14 @@ _LOADED = False
 #: would re-probe is lowest); (c) the two smallest round-4 additions
 #: (q54_event_funnel, corpus_train_val_split — both locally
 #: oracle-green at sf0.001 and sf0.01, registered at the tail after
-#: the window was full); and (d) the eleven late-round-4 additions:
-#: the eight TPC-H-shaped join/subquery entries (q55–q62 in
-#: relational4.py — locally oracle-green, plan-tested),
+#: the window was full); and (d) the thirteen late-round-4
+#: additions: the eight TPC-H-shaped join/subquery entries (q55–q62
+#: in relational4.py — locally oracle-green, plan-tested),
 #: text_gopher_rules and text_unicode_clean (oracles + planted
-#: tests), and asof_nearest_view_purchase (all-pairs rank oracle).
+#: tests), asof_nearest_view_purchase (all-pairs rank oracle),
+#: corpus_temperature_weights (oracle + α identities), and
+#: text_heavy_hitters_incremental (exact oracle + mergeability
+#: bounds).
 #: Rotate all of these in first next round along with anything that
 #: changes, (c)/(d) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
