@@ -633,6 +633,75 @@ def text_heavy_hitters_incremental(
     )
 
 
+def stream_heavy_hitters(
+    stream_docs: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    capacity: int = HH_CAPACITY,
+    query_name: str = "heavy_hitters_maintenance",
+):
+    """Structured-Streaming wrapper: maintain the mergeable MG
+    summary from a streaming (doc_id, text) source via
+    ``foreachBatch``. Same epoch discipline as
+    :func:`~.incremental.stream_dedup_clusters`: state parquet under
+    ``state_dir`` (summary/, total/) keyed by streaming batch_id, a
+    batch reads the largest epoch STRICTLY below its own id, so a
+    crash-replay re-reads the same pre-state and overwrites the same
+    epoch instead of double-counting (replay-idempotent).
+
+    ``summary/<latest>`` is queryable at any moment: every token with
+    true stream frequency > n_total/(capacity+1) is present, counts
+    undercount by at most that bound (mergeable-summaries guarantee —
+    mg_merge_batch). State stays summary-sized regardless of stream
+    length.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _epoch_below(sub: str, bound: int) -> int:
+        p = os.path.join(state_dir, sub)
+        if not os.path.isdir(p):
+            return -1
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
+        return max(vs, default=-1)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _epoch_below("summary", int(batch_id))
+        state = None
+        if e >= 0:
+            state = tuple(
+                spark.read.parquet(
+                    os.path.join(state_dir, sub, f"epoch={e}")
+                )
+                for sub in ("summary", "total")
+            )
+        summary, total = mg_merge_batch(
+            state, batch_df, capacity=capacity, text_col=text_col
+        )
+        for sub, df in (("summary", summary), ("total", total)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(state_dir, sub, f"epoch={int(batch_id)}")
+            )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking
 

@@ -301,3 +301,88 @@ def test_mg_merge_fold_bounds_and_superset(spark, sf_dir):
         for tok, n in exact.items():  # superset of true heavy tokens
             if n > bound:
                 assert tok in folded, tok
+
+
+def test_stream_heavy_hitters_foreachbatch(spark, tmp_path):
+    """The streaming MG wrapper reaches the same guarantee state via
+    file-stream micro-batches + parquet state epochs, and absorbs a
+    full crash-replay without double-counting."""
+    import os
+    import shutil
+
+    from parquet_ingestor_spark.operators.mixture import (
+        _tokens_col,
+        stream_heavy_hitters,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    state_dir = str(tmp_path / "state")
+    capacity = 64
+    q = stream_heavy_hitters(stream, state_dir, capacity=capacity)
+    q.awaitTermination(120)
+
+    epochs = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "summary"))
+    ]
+    assert len(epochs) >= 2, "expected multiple micro-batches"
+    last = max(epochs)
+    folded = {
+        r.token: r.cnt
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "summary", f"epoch={last}")
+        ).collect()
+    }
+    n_total = (
+        spark.read.parquet(os.path.join(state_dir, "total", f"epoch={last}"))
+        .collect()[0]
+        .total
+    )
+    exact = {
+        r.token: r.n
+        for r in docs.select(F.explode(_tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert n_total == sum(exact.values())
+    bound = n_total / (capacity + 1)
+    for tok, cnt in folded.items():
+        assert cnt <= exact[tok] and exact[tok] - cnt <= bound, tok
+    for tok, n in exact.items():
+        if n > bound:
+            assert tok in folded, tok
+
+    # crash-replay: new checkpoint, same state dir — epochs absorb it
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_heavy_hitters(stream2, state_dir, capacity=capacity)
+    q2.awaitTermination(120)
+    epochs2 = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "summary"))
+    ]
+    n_total2 = (
+        spark.read.parquet(
+            os.path.join(state_dir, "total", f"epoch={max(epochs2)}")
+        )
+        .collect()[0]
+        .total
+    )
+    assert n_total2 == n_total, "replay double-counted the stream"
