@@ -179,6 +179,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         aggregates,
     )
 

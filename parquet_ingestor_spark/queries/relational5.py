@@ -1,0 +1,319 @@
+"""Q63+ — the last classic decision-support shapes: correlated scalar
+aggregates and argmin join-backs (TPC-H Q17, Q15, Q11, Q12, Q2, Q20
+shapes), adapted to the testdata's columns (no partsupp table, so the
+part-supply shapes key on lineitem's observed supplier prices).
+
+Each again targets a *distinct optimizer obligation*:
+
+- Q17: a correlated scalar AVG per outer key — must decorrelate into
+  ONE pre-aggregation joined back, not a per-row subquery.
+- Q15: equality against the MAX of an aggregate — the revenue
+  aggregation must be computed once and reused for both the ranking
+  and the final rows (a window max avoids the second scan entirely).
+- Q11: HAVING against a fraction of a GLOBAL scalar — the scalar is a
+  one-row broadcast, never a re-scan per group.
+- Q12: conditional two-class counts over a fact⋈dim join — one pass,
+  map-side combinable.
+- Q2: per-group argmin with join-back — min-struct aggregation, no
+  self-join on the raw rows.
+- Q20: nested IN subqueries (IN over an aggregate over an IN) — both
+  levels decorrelate to semi joins that shrink before shuffling.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from . import register
+
+
+@register(
+    "q63_small_qty_revenue",
+    oracle="""
+        SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey
+          )
+    """,
+    doc="TPC-H Q17 shape: revenue lost to small-quantity orders of one "
+    "brand — correlated scalar AVG per part, decorrelated to a "
+    "pre-aggregation join.",
+    tags=("relational", "subquery", "tpch-shape"),
+)
+def q63_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-decorrelated: the per-part average is ONE map-side-
+    combinable aggregation over lineitem (2 columns read), joined back
+    on l_partkey. The brand filter shrinks the part dim before its
+    join, and AQE broadcasts both small sides — lineitem shuffles at
+    most once, for the partkey agg whose exchange the join then
+    reuses. A naive per-row subquery would rescan lineitem per match.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        li.join(brand, li.l_partkey == brand.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_key"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q64_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1995-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly "
+    "revenue — aggregate view + MAX scalar equality.",
+    tags=("relational", "subquery", "window", "tpch-shape"),
+)
+def q64_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference formulation computes the revenue view twice (once
+    for MAX, once for the equality). Here an empty-frame window MAX
+    over the single aggregated relation (SF×100 rows, one per
+    supplier) replaces the second scan — the date filter is pushed to
+    the parquet scan and lineitem is read exactly once.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("max_rev"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sup.join(top, sup.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q65_important_parts",
+    oracle="""
+        SELECT l_partkey AS ps_partkey,
+               round(SUM(l_extendedprice), 2) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice) > (
+            SELECT 0.002 * SUM(l_extendedprice) FROM lineitem
+        )
+        ORDER BY part_value DESC, ps_partkey
+    """,
+    doc="TPC-H Q11 shape: parts whose traded value exceeds a fraction "
+    "of the global total — HAVING against a one-row global scalar.",
+    tags=("relational", "subquery", "tpch-shape"),
+)
+def q65_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global total folds from the per-part partials (a second
+    aggregation over SF×200 part rows, not a second lineitem scan) and
+    joins back as a one-row broadcast cross join — lineitem is scanned
+    once and shuffled once, on the partkey agg.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per_part = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("l_extendedprice").alias("raw_value")
+    )
+    total = per_part.agg((0.002 * F.sum("raw_value")).alias("cut"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("raw_value") > F.col("cut"))
+        .select(
+            "ps_partkey", F.round(F.col("raw_value"), 2).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("ps_partkey"))
+    )
+
+
+@register(
+    "q66_priority_by_returnflag",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape: high- vs low-priority line counts per return "
+    "flag (return flag stands in for the reference schema's ship "
+    "mode) — conditional two-class counts over one fact⋈fact join.",
+    tags=("relational", "join", "conditional-agg", "tpch-shape"),
+)
+def q66_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass: both counts are conditional sums in a single
+    aggregation (never two filtered scans), the date band is pushed to
+    the lineitem scan, and orders carries only (o_orderkey,
+    o_orderpriority) into the join.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    ords = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        ords.join(li, ords.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q67_cheapest_supplier",
+    oracle="""
+        WITH offer AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS unit_price
+            FROM lineitem
+            WHERE l_quantity > 0
+            GROUP BY l_partkey, l_suppkey
+        )
+        , best AS (
+            SELECT l_partkey AS best_key, MIN(unit_price) AS best_unit
+            FROM offer GROUP BY l_partkey
+        )
+        SELECT p_partkey, p_name, s_name,
+               round(unit_price, 2) AS best_price
+        FROM offer
+        JOIN best ON offer.l_partkey = best_key AND unit_price = best_unit
+        JOIN part ON p_partkey = offer.l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        WHERE p_size >= 40
+        ORDER BY p_partkey, s_name
+    """,
+    doc="TPC-H Q2 shape: the cheapest observed supplier per large "
+    "part — per-group argmin with attribute join-back (lineitem's "
+    "observed unit price stands in for the missing partsupp "
+    "supplycost).",
+    tags=("relational", "subquery", "argmin", "tpch-shape"),
+)
+def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin via min-struct: per (part, supplier) offers reduce
+    map-side, then ONE more partkey aggregation takes
+    ``min(struct(price, suppkey))`` — no join of the offer relation
+    back to itself and no window over skewed keys. Ties resolve to
+    every minimal supplier via the equality join on (partkey, price),
+    matching the IN-tuple oracle. The p_size filter shrinks part
+    before its broadcast join.
+    """
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    offer = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    best = offer.groupBy(F.col("l_partkey").alias("best_key")).agg(
+        F.min("unit_price").alias("best_unit")
+    )
+    parts = (
+        table(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 40)
+        .select("p_partkey", "p_name")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        offer.join(
+            best,
+            (offer.l_partkey == F.col("best_key"))
+            & (offer.unit_price == F.col("best_unit")),
+        )
+        .join(parts, offer.l_partkey == parts.p_partkey)
+        .join(sup, offer.l_suppkey == sup.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_price", 2).alias("best_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@register(
+    "q68_bulk_part_suppliers",
+    oracle="""
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE '%_1%'
+            )
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 400
+        )
+        ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape: suppliers who moved bulk volume of a "
+    "name-filtered part family — an IN over an aggregate over an "
+    "inner IN, both levels decorrelating to semi joins.",
+    tags=("relational", "subquery", "tpch-shape"),
+)
+def q68_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Written as SQL so Catalyst decorrelates both IN levels: the
+    inner one becomes a semi join of lineitem against the name-
+    filtered part dim (broadcast), the outer one a semi join of
+    supplier against the post-HAVING aggregate (tiny after the volume
+    cut). The fact table shuffles once, for the suppkey aggregation.
+    """
+    for name in ("supplier", "nation", "lineitem", "part"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"_{name}_q68")
+    return spark.sql(
+        """
+        SELECT s_name, n_name
+        FROM _supplier_q68 JOIN _nation_q68 ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM _lineitem_q68
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM _part_q68 WHERE p_name LIKE '%_1%'
+            )
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 400
+        )
+        ORDER BY s_name
+        """
+    )

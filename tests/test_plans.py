@@ -311,6 +311,39 @@ def test_tpch_shapes_carry_no_hints(spark, sf_dir):
         assert "BroadcastHashJoin" in plan_of(spark, sf_dir, name), name
 
 
+def test_correlated_scalar_aggs_decorrelate_to_one_agg(spark, sf_dir):
+    # Q17/Q15/Q11 shapes: the correlated/scalar aggregate must appear
+    # as ONE pre-aggregation in the plan (HashAggregate + join back),
+    # never per-row subquery re-execution, and never a cartesian
+    # except q65's deliberate one-row scalar cross join
+    for name in ("q63_small_qty_revenue", "q64_top_supplier"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "HashAggregate" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan65 = plan_of(spark, sf_dir, "q65_important_parts")
+    assert "HashAggregate" in plan65
+    # the scalar side is a single-row broadcast — a BNLJ over one row
+    # is the correct physical form for a scalar cross join
+    assert "CartesianProduct" not in plan65
+
+
+def test_argmin_joinback_has_no_window_or_self_nlj(spark, sf_dir):
+    # Q2 shape: argmin resolves via min-aggregation + equality join —
+    # no rank-window over the offer relation (skewed partkeys would
+    # single-partition) and no nested-loop self-join
+    plan = plan_of(spark, sf_dir, "q67_cheapest_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_nested_in_decorrelates_to_semi_joins(spark, sf_dir):
+    # Q20 shape: both IN levels become semi joins
+    plan = plan_of(spark, sf_dir, "q68_bulk_part_suppliers")
+    assert plan.count("LeftSemi") >= 2
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The architecture's skew story is two-layer: content-hash
     salting for aggregations (skew_salted_agg) and AQE skew-join for
