@@ -1,0 +1,256 @@
+"""Corpus-level statistical profiling: Zipf law fit, unigram entropy,
+normalized exact dedup, and cross-source n-gram overlap.
+
+These are the corpus diagnostics a training-data curation run computes
+before and after filtering — distributional health (Zipf slope flattens
+when boilerplate dominates; entropy collapses on template spam),
+near-exact duplication that survives whitespace/punctuation jitter, and
+inter-source contamination (how much 8-gram mass two ingest sources
+share, e.g. two crawls of overlapping sites).
+
+Scale design:
+- Every operator's corpus-side work is a single token/gram explode
+  feeding a map-side-combinable aggregation; nothing here joins the
+  corpus to itself row-wise.
+- The Zipf fit ranks only a ``TOP_FIT`` head (TakeOrderedAndProject —
+  no global sort over the vocabulary, which grows with corpus size
+  under Heaps' law); the OLS runs over that driver-bounded head.
+- Source overlap self-joins the *distinct (source, gram-hash)* set,
+  not the corpus: exchanges carry 32-byte md5 keys, never the 8-word
+  gram strings (the same hash-not-strings rule as text_dup_spans),
+  and the pair aggregate is bounded by |sources|² rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..catalog import table
+from ..queries import register
+
+#: Zipf OLS fit runs over the TOP_FIT most frequent tokens — the
+#: standard practice (the law holds in the head; the tail bends), and
+#: what keeps the rank assignment a top-k problem instead of a global
+#: sort over an ever-growing vocabulary.
+TOP_FIT = 256
+
+#: Overlap gram width — matches benchmark_contamination's 8-gram rule.
+OVERLAP_GRAM = 8
+
+
+def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, count) over the whitespace-token stream — one explode,
+    partial aggregation before the token-keyed shuffle."""
+    return (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        freqs AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
+        ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+                   FROM freqs ORDER BY c DESC, w LIMIT {TOP_FIT})
+        SELECT round(regr_slope(log2(c), log2(r)), 4) AS zipf_slope,
+               round(regr_intercept(log2(c), log2(r)), 4) AS zipf_intercept,
+               CAST(COUNT(*) AS BIGINT) AS n_fit
+        FROM ranked
+    """,
+    doc="OLS fit of log2(freq) against log2(rank) over the top-256 "
+    "token head — the Zipf exponent as a corpus-health scalar "
+    "(healthy text ≈ -1; boilerplate-heavy corpora flatten).",
+    tags=("text", "profiling"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus contributes ONE aggregated pass (token counts with
+    map-side partials). Rank assignment happens on the top-k head
+    only: ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-
+    partition heaps, no vocabulary-wide sort), and the row_number
+    window then runs over k driver-bounded rows. Ties rank
+    deterministically via the (count DESC, token) order so the fit is
+    engine-independent.
+    """
+    freqs = _unigram_counts(spark, sf_dir)
+    top = freqs.orderBy(F.col("c").desc(), F.col("w")).limit(TOP_FIT)
+    ranked = top.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))),
+    )
+    lc, lr = F.log2("c"), F.log2("r")
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.count("*").alias("n_fit"),
+    )
+
+
+@register(
+    "text_unigram_entropy",
+    oracle="""
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        SELECT round(entropy(w), 4) AS unigram_entropy_bits,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM w
+    """,
+    doc="Shannon entropy (bits) of the corpus unigram distribution "
+    "plus vocabulary size — collapses toward 0 on template/spam "
+    "corpora, rises with genuine lexical diversity.",
+    tags=("text", "profiling"),
+)
+def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H = log2(N) - Σ c·log2(c) / N folds entirely from the (token,
+    count) aggregate — one corpus pass, one vocabulary-sized second
+    aggregation, no second scan for the probabilities (p = c/N never
+    materializes per token).
+    """
+    freqs = _unigram_counts(spark, sf_dir)
+    n = F.sum("c")
+    return freqs.agg(
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("unigram_entropy_bits"),
+        F.count("*").alias("vocab_size"),
+        n.alias("n_tokens"),
+    )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+        SELECT md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+                   ' +', ' ', 'g'))) AS norm_hash,
+               CAST(COUNT(*) AS BIGINT) AS copies,
+               MIN(doc_id) AS keeper_doc_id
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Near-exact dedup on a canonical form (lowercase, punctuation "
+    "and whitespace collapsed) — catches the re-encoded/re-wrapped "
+    "copies byte-exact dedup misses, before the fuzzy sketches run.",
+    tags=("dedup",),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical shape to dedup_exact (md5-keyed group, min-doc_id
+    keeper, map-side partials); the canonicalization is three codegen
+    string expressions inside the scan, so the normalized form never
+    shuffles — only its 32-byte hash does.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
+        .agg(
+            F.count("*").alias("copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("norm_hash")
+    )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+        WITH t AS (SELECT source, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT source,
+                     md5(unnest(list_transform(
+                         generate_series(1, len(toks) - {OVERLAP_GRAM - 1}),
+                         i -> array_to_string(
+                             toks[i:i+{OVERLAP_GRAM - 1}], ' ')))) AS gh
+              FROM t WHERE len(toks) >= {OVERLAP_GRAM}),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM g GROUP BY source),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                         CAST(COUNT(*) AS BIGINT) AS common
+                  FROM g a JOIN g b
+                    ON a.gh = b.gh AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT source_a, source_b, sa.n AS grams_a, sb.n AS grams_b,
+               common,
+               round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b
+        ORDER BY source_a, source_b
+    """,
+    doc="Pairwise 8-gram Jaccard between ingest sources — the "
+    "cross-source contamination matrix (two crawls of overlapping "
+    "sites show up as a hot pair before any dedup decision).",
+    tags=("corpus", "profiling", "dedup"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus contributes one gram explode reduced to the DISTINCT
+    (source, md5-of-gram) set — tokenize-once via a bound lambda, and
+    the distinct's exchange carries fixed-width hashes, never the
+    8-word strings. The self-join then runs on that vocabulary-sized
+    relation and rides the hash partitioning the distinct just
+    produced; its output aggregates to ≤ |sources|² rows, so the pair
+    matrix and the size join are both trivially broadcastable.
+    """
+    k = OVERLAP_GRAM
+    grams = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.expr(
+                # bind split(text) once per row; slice is 1-based like
+                # the oracle's toks[i:i+7]
+                "explode(flatten(transform(array(split(text, ' ')), toks -> "
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> md5(cast(array_join(slice(toks, i, {k}), ' ') as binary))) "
+                "ELSE array() END)))"
+            ).alias("gh"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.select(
+        F.col("source").alias("source_a"), F.col("gh").alias("gh_a")
+    )
+    b = grams.select(
+        F.col("source").alias("source_b"), F.col("gh").alias("gh_b")
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("gh_a") == F.col("gh_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("sa_key"), F.col("n").alias("grams_a"))
+    sb = sizes.select(F.col("source").alias("sb_key"), F.col("n").alias("grams_b"))
+    return (
+        inter.join(sa, F.col("source_a") == F.col("sa_key"))
+        .join(sb, F.col("source_b") == F.col("sb_key"))
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("grams_a") + F.col("grams_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
         lines,
         mixture,
         multimodal,
+        profiling,
         similarity,
         skew,
         text,

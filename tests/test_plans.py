@@ -344,6 +344,25 @@ def test_nested_in_decorrelates_to_semi_joins(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2
 
 
+def test_zipf_fit_ranks_topk_not_global_sort(spark, sf_dir):
+    # the vocabulary grows with corpus size (Heaps' law): the rank
+    # assignment must be a top-k heap (TakeOrderedAndProject), and the
+    # only Sort/Window may run over the k-row head after the limit
+    plan = plan_of(spark, sf_dir, "text_zipf_fit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_source_overlap_shuffles_hashes_not_gram_strings(spark, sf_dir):
+    # same rule as text_dup_spans: the 8-word gram is md5'd inside the
+    # scan-side codegen stage; every exchange carries the 32-byte hash
+    # (or the tiny source/pair keys), never the gram string
+    plan = plan_of(spark, sf_dir, "corpus_source_overlap")
+    assert "md5" in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "toks" not in ln and "slice" not in ln, ln
+
+
 def test_aqe_splits_skewed_join_at_runtime(spark):
     """The architecture's skew story is two-layer: content-hash
     salting for aggregations (skew_salted_agg) and AQE skew-join for

@@ -1,0 +1,112 @@
+"""Planted-corpus behavior tests for the statistical profiling
+operators (Zipf fit, unigram entropy, normalized dedup, source
+overlap) — the semantic checks the DuckDB differential can't express."""
+
+from __future__ import annotations
+
+import math
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def _zipf_corpus():
+    """Token t{r} appears floor(C/r) times — an exact Zipf(1) head."""
+    c = 1024
+    words = []
+    for r in range(1, 65):
+        words += [f"t{r:03d}"] * (c // r)
+    # spread across a few docs; token totals are what the fit sees
+    third = len(words) // 3
+    return [
+        (0, " ".join(words[:third]), "s"),
+        (1, " ".join(words[third : 2 * third]), "s"),
+        (2, " ".join(words[2 * third :]), "s"),
+    ]
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path, _zipf_corpus())
+    row = REGISTRY["text_zipf_fit"].fn(spark, sf).collect()[0]
+    assert row.n_fit == 64
+    # numpy twin over the same deterministic (count DESC, token) ranking
+    counts = sorted(
+        ((1024 // r, f"t{r:03d}") for r in range(1, 65)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    xs = [math.log2(r) for r in range(1, 65)]
+    ys = [math.log2(c) for c, _ in counts]
+    mx, my = sum(xs) / 64, sum(ys) / 64
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(row.zipf_slope - round(slope, 4)) < 1e-9
+    # the planted law is Zipf(1); floor() discretization bends the tail
+    assert -1.05 < row.zipf_slope < -0.9
+
+
+def test_entropy_uniform_equals_log2_vocab(spark, tmp_path):
+    sf = _write_docs(
+        spark, tmp_path, [(0, " ".join(f"w{i}" for i in range(32)), "s")]
+    )
+    row = REGISTRY["text_unigram_entropy"].fn(spark, sf).collect()[0]
+    assert row.vocab_size == 32 and row.n_tokens == 32
+    assert row.unigram_entropy_bits == 5.0  # log2(32), exact under round(4)
+
+
+def test_entropy_collapses_on_template_spam(spark, tmp_path):
+    sf = _write_docs(
+        spark, tmp_path, [(0, " ".join(["spam"] * 999 + ["rare"]), "s")]
+    )
+    row = REGISTRY["text_unigram_entropy"].fn(spark, sf).collect()[0]
+    assert row.vocab_size == 2
+    assert 0.0 < row.unigram_entropy_bits < 0.02  # ≪ log2(2) = 1 bit
+
+
+def test_normalized_dedup_groups_planted_variants(spark, tmp_path):
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, "Hello, World!", "s"),
+            (11, "hello world", "s"),
+            (12, "HELLO   world.", "s"),
+            (20, "something else entirely", "s"),
+        ],
+    )
+    rows = REGISTRY["dedup_exact_normalized"].fn(spark, sf).collect()
+    by_copies = {r.copies: r for r in rows}
+    assert len(rows) == 2
+    assert by_copies[3].keeper_doc_id == 10  # keep-first = min doc_id
+    assert by_copies[1].keeper_doc_id == 20
+    # byte-exact dedup would NOT have grouped the variants
+    exact = REGISTRY["dedup_exact"].fn(spark, sf).collect()
+    assert len(exact) == 4
+
+
+def test_source_overlap_flags_planted_shared_passage(spark, tmp_path):
+    shared = " ".join(f"p{i}" for i in range(12))  # 12 tokens → 5 8-grams
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, shared + " uniq_a0 uniq_a1 uniq_a2 uniq_a3 uniq_a4 uniq_a5 uniq_a6 uniq_a7", "srcA"),
+            (1, shared + " uniq_b0 uniq_b1 uniq_b2 uniq_b3 uniq_b4 uniq_b5 uniq_b6 uniq_b7", "srcB"),
+            (2, "totally disjoint words one two three four five six seven", "srcC"),
+        ],
+    )
+    rows = REGISTRY["corpus_source_overlap"].fn(spark, sf).collect()
+    # only the (A, B) pair overlaps; C never appears
+    assert [(r.source_a, r.source_b) for r in rows] == [("srcA", "srcB")]
+    r = rows[0]
+    assert r.common == 5  # exactly the shared passage's 8-grams
+    assert r.grams_a == r.grams_b == 13  # 20 tokens → 13 distinct 8-grams
+    assert r.jaccard == round(5 / (13 + 13 - 5), 4)
