@@ -65,6 +65,10 @@ HEADLINE = (
     "text_heavy_hitters",
     "q56_market_share",
     "q60_waiting_suppliers",
+    "q63_small_qty_revenue",
+    "q67_cheapest_supplier",
+    "corpus_source_overlap",
+    "text_zipf_fit",
 )
 # text_bpe_encode is deliberately NOT a headline entry: the registered
 # end-to-end retrains the merge table each call (8 driver-looped vocab

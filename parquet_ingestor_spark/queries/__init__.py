@@ -93,9 +93,14 @@ _LOADED = False
 #: tests), asof_nearest_view_purchase (all-pairs rank oracle),
 #: corpus_temperature_weights (oracle + α identities), and
 #: text_heavy_hitters_incremental (exact oracle + mergeability
-#: bounds).
+#: bounds); plus (e) the ten end-of-round-4 additions, all
+#: locally oracle-green at sf0.001/sf0.01 and plan-tested: the six
+#: remaining decision-support shapes (q63–q68 in relational5.py —
+#: TPC-H Q17/Q15/Q11/Q12/Q2/Q20) and the four profiling operators
+#: (text_zipf_fit, text_unigram_entropy, dedup_exact_normalized,
+#: corpus_source_overlap in operators/profiling.py).
 #: Rotate all of these in first next round along with anything that
-#: changes, (c)/(d) before (a)/(b).
+#: changes, (c)/(d)/(e) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",

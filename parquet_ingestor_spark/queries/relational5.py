@@ -219,7 +219,7 @@ def q66_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM offer GROUP BY l_partkey
         )
         SELECT p_partkey, p_name, s_name,
-               round(unit_price, 2) AS best_price
+               unit_price AS best_price
         FROM offer
         JOIN best ON offer.l_partkey = best_key AND unit_price = best_unit
         JOIN part ON p_partkey = offer.l_partkey
@@ -267,7 +267,12 @@ def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             "s_name",
-            F.round("unit_price", 2).alias("best_price"),
+            # raw double, not round(2): the quotient is bit-identical
+            # IEEE division in both engines, but round-to-2 diverges at
+            # .005 boundaries (Spark rounds the exact decimal expansion,
+            # DuckDB multiplies-then-rounds) — quotients of 2-decimal
+            # prices by integral quantities hit those boundaries often
+            F.col("unit_price").alias("best_price"),
         )
         .orderBy("p_partkey", "s_name")
     )
