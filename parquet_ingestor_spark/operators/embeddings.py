@@ -368,3 +368,44 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_id")
     )
+
+
+@register(
+    "emb_dim_stats",
+    oracle="""
+        SELECT i AS dim,
+               round(avg(embedding[i]), 4) + 0.0 AS dim_mean,
+               round(var_pop(embedding[i]), 4) AS dim_var
+        FROM embeddings
+        CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+        GROUP BY i
+        ORDER BY i
+    """,
+    doc="Per-dimension mean and population variance over the embedding "
+    "matrix — the whitening/normalization statistics (a collapsed or "
+    "exploded dimension shows up before any index is built). "
+    "Dimension ids are 1-based to match SQL array indexing.",
+    tags=("embedding", "profiling"),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode feeds a (dim)-keyed aggregation: partial sums reduce
+    map-side, so the shuffle carries dim×partitions partial rows (a
+    few thousand), not n×dim element rows. Rounded to 4 decimals —
+    distributed summation order differs from the oracle's sequential
+    fold, so raw doubles would differ in low-order bits (contrast the
+    raw-quotient rule for single-division outputs).
+    """
+    return (
+        table(spark, sf_dir, "embeddings")
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"),
+                F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (a tiny negative mean
+            # rounds to -0.0 in one engine and 0.0 in the other)
+            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("dim_mean"),
+            F.round(F.var_pop("x"), 4).alias("dim_var"),
+        )
+        .orderBy("dim")
+    )

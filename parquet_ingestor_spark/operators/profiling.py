@@ -1,5 +1,6 @@
 """Corpus-level statistical profiling: Zipf law fit, unigram entropy,
-normalized exact dedup, and cross-source n-gram overlap.
+normalized exact dedup, cross-source n-gram overlap, per-document
+novelty scoring, and salient-term extraction.
 
 These are the corpus diagnostics a training-data curation run computes
 before and after filtering — distributional health (Zipf slope flattens
@@ -37,6 +38,28 @@ TOP_FIT = 256
 
 #: Overlap gram width — matches benchmark_contamination's 8-gram rule.
 OVERLAP_GRAM = 8
+
+
+def _gram_hashes(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+    """DISTINCT (key, md5-of-8-gram) over documents — grams are hashed
+    inside the scan-side codegen stage (bound-lambda tokenize-once;
+    slice is 1-based like the oracles' toks[i:i+7]), so no exchange
+    ever carries the 8-word strings."""
+    k = OVERLAP_GRAM
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            key,
+            F.expr(
+                "explode(flatten(transform(array(split(text, ' ')), toks -> "
+                f"CASE WHEN size(toks) >= {k} THEN "
+                f"transform(sequence(1, size(toks) - {k - 1}), "
+                f"i -> md5(cast(array_join(slice(toks, i, {k}), ' ') as binary))) "
+                "ELSE array() END)))"
+            ).alias("gh"),
+        )
+        .distinct()
+    )
 
 
 def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,23 +225,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced; its output aggregates to ≤ |sources|² rows, so the pair
     matrix and the size join are both trivially broadcastable.
     """
-    k = OVERLAP_GRAM
-    grams = (
-        table(spark, sf_dir, "documents")
-        .select(
-            "source",
-            F.expr(
-                # bind split(text) once per row; slice is 1-based like
-                # the oracle's toks[i:i+7]
-                "explode(flatten(transform(array(split(text, ' ')), toks -> "
-                f"CASE WHEN size(toks) >= {k} THEN "
-                f"transform(sequence(1, size(toks) - {k - 1}), "
-                f"i -> md5(cast(array_join(slice(toks, i, {k}), ' ') as binary))) "
-                "ELSE array() END)))"
-            ).alias("gh"),
-        )
-        .distinct()
-    )
+    grams = _gram_hashes(spark, sf_dir, "source")
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
     a = grams.select(
         F.col("source").alias("source_a"), F.col("gh").alias("gh_a")
@@ -253,4 +260,118 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "text_novelty_score",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id,
+                     md5(unnest(list_transform(
+                         generate_series(1, len(toks) - {OVERLAP_GRAM - 1}),
+                         i -> array_to_string(
+                             toks[i:i+{OVERLAP_GRAM - 1}], ' ')))) AS gh
+              FROM t WHERE len(toks) >= {OVERLAP_GRAM}),
+        df AS (SELECT gh, COUNT(*) AS ndocs FROM g GROUP BY gh)
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS shared_grams,
+               SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                   AS dup_fraction
+        FROM g JOIN df USING (gh)
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    doc="Per-document novelty: the fraction of a doc's distinct "
+    "8-grams that also occur in some other document — the doc-level "
+    "memorization-risk / boilerplate profile (dup_fraction 1.0 = "
+    "nothing in this doc is unique to it). Docs under 8 tokens have "
+    "no grams and are omitted.",
+    tags=("text", "profiling", "dedup"),
+)
+def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregations over the DISTINCT (doc_id, gram-hash) set: the
+    gram document-frequency (gh-keyed, map-side combinable) and the
+    per-doc fold after joining it back — the join rides the gh hash
+    partitioning the DF aggregate just produced, and exchanges carry
+    only 32-byte hashes and doc ids. dup_fraction is the raw quotient
+    (engine-identical IEEE division of two ints), not a round():
+    round-at-boundary semantics differ across engines.
+    """
+    g = _gram_hashes(spark, sf_dir, "doc_id")
+    df = g.groupBy("gh").agg(F.count("*").alias("ndocs"))
+    shared = F.sum((F.col("ndocs") > 1).cast("long"))
+    return (
+        g.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            shared.alias("shared_grams"),
+            (shared / F.count("*")).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: Salient terms reported per document.
+TOP_TERMS = 3
+
+
+@register(
+    "text_tfidf_terms",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+        tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+        df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, w, tf.tf * n_docs * 1.0 / df.df AS score
+                   FROM tf JOIN df USING (w) CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+                   FROM scored)
+        SELECT doc_id, w AS term, CAST(rk AS BIGINT) AS rk, score
+        FROM ranked WHERE rk <= {TOP_TERMS}
+        ORDER BY doc_id, rk
+    """,
+    doc="Per-document salient terms: top-3 by tf·(N/df) — linear "
+    "inverse document frequency (tf-idf's ordering with idf = N/df "
+    "instead of log(N/df): every score is then a ratio of exact "
+    "integers, so ranking and values are engine-bit-identical, where "
+    "log-idf ranking could flip on libm ulp differences).",
+    tags=("text", "profiling", "retrieval"),
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequencies aggregate per (doc, term) with map-side
+    partials; document frequency folds from that relation (never a
+    second corpus scan); N is a one-row broadcast. The top-3 window
+    partitions by doc_id — per-doc key, bounded frame, no Zipf-head
+    skew (contrast corpus_line_dedup's de-skewed line key).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= TOP_TERMS)
+        .select("doc_id", F.col("w").alias("term"), "rk", "score")
+        .orderBy("doc_id", "rk")
     )

@@ -352,15 +352,16 @@ def test_zipf_fit_ranks_topk_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_source_overlap_shuffles_hashes_not_gram_strings(spark, sf_dir):
+def test_gram_profiling_shuffles_hashes_not_gram_strings(spark, sf_dir):
     # same rule as text_dup_spans: the 8-word gram is md5'd inside the
     # scan-side codegen stage; every exchange carries the 32-byte hash
-    # (or the tiny source/pair keys), never the gram string
-    plan = plan_of(spark, sf_dir, "corpus_source_overlap")
-    assert "md5" in plan
-    for ln in plan.splitlines():
-        if "Exchange hashpartitioning" in ln:
-            assert "toks" not in ln and "slice" not in ln, ln
+    # (or the tiny source/doc keys), never the gram string
+    for name in ("corpus_source_overlap", "text_novelty_score"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "md5" in plan, name
+        for ln in plan.splitlines():
+            if "Exchange hashpartitioning" in ln:
+                assert "toks" not in ln and "slice" not in ln, (name, ln)
 
 
 def test_aqe_splits_skewed_join_at_runtime(spark):

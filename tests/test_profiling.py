@@ -1,6 +1,7 @@
 """Planted-corpus behavior tests for the statistical profiling
 operators (Zipf fit, unigram entropy, normalized dedup, source
-overlap) — the semantic checks the DuckDB differential can't express."""
+overlap, novelty score, tf-idf terms, embedding dimension stats) —
+the semantic checks the DuckDB differential can't express."""
 
 from __future__ import annotations
 
@@ -110,3 +111,57 @@ def test_source_overlap_flags_planted_shared_passage(spark, tmp_path):
     assert r.common == 5  # exactly the shared passage's 8-grams
     assert r.grams_a == r.grams_b == 13  # 20 tokens → 13 distinct 8-grams
     assert r.jaccard == round(5 / (13 + 13 - 5), 4)
+
+
+def test_novelty_score_planted_shared_doc(spark, tmp_path):
+    shared = " ".join(f"n{i}" for i in range(8))  # exactly one 8-gram
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, shared, "s"),                       # 1 gram, shared
+            (1, shared + " extra0 extra1 extra2 extra3 extra4 extra5 extra6 extra7", "s"),
+            (2, "u0 u1 u2 u3 u4 u5 u6 u7 u8", "s"),  # 2 grams, unique
+            (3, "too short", "s"),                   # < 8 tokens: omitted
+        ],
+    )
+    rows = {r.doc_id: r for r in REGISTRY["text_novelty_score"].fn(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_grams == 1 and rows[0].dup_fraction == 1.0
+    assert rows[1].n_grams == 9 and rows[1].shared_grams == 1
+    assert rows[1].dup_fraction == 1 / 9
+    assert rows[2].shared_grams == 0 and rows[2].dup_fraction == 0.0
+
+
+def test_tfidf_terms_rank_planted_salient_word(spark, tmp_path):
+    # 'rare' appears only in doc 0; 'common' in every doc
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "common rare common filler", "s"),
+            (1, "common filler other words", "s"),
+            (2, "common more words here", "s"),
+        ],
+    )
+    rows = REGISTRY["text_tfidf_terms"].fn(spark, sf).collect()
+    top0 = next(r for r in rows if r.doc_id == 0 and r.rk == 1)
+    # tf=1 × N/df = 3/1 = 3.0 beats common's 2 × 3/3 = 2.0
+    assert top0.term == "rare" and top0.score == 3.0
+    assert all(len([r for r in rows if r.doc_id == d]) <= 3 for d in (0, 1, 2))
+    for d in (0, 1, 2):  # ranks are dense from 1, scores non-increasing
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rk) if r.doc_id == d]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_dim_stats_planted_constant_and_known_dims(spark, tmp_path):
+    rows = [(i, [1.5] * 3 + [float(i)] * 61) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r.dim: r for r in REGISTRY["emb_dim_stats"].fn(spark, str(tmp_path)).collect()}
+    assert len(got) == 64
+    for d in (1, 2, 3):  # constant dims: exact mean, zero variance
+        assert got[d].dim_mean == 1.5 and got[d].dim_var == 0.0
+    # dims 4..64 hold vec_id ∈ {0,1,2,3}: mean 1.5, var_pop 1.25
+    assert got[10].dim_mean == 1.5 and got[10].dim_var == 1.25
