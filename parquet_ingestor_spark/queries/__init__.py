@@ -98,9 +98,12 @@ _LOADED = False
 #: remaining decision-support shapes (q63–q68 in relational5.py —
 #: TPC-H Q17/Q15/Q11/Q12/Q2/Q20) and the four profiling operators
 #: (text_zipf_fit, text_unigram_entropy, dedup_exact_normalized,
-#: corpus_source_overlap in operators/profiling.py).
+#: corpus_source_overlap in operators/profiling.py); and (f) the
+#: five TPC-H-completion shapes (q69–q73 in relational6.py — Q4/Q6/
+#: Q10/Q14/Q16 adapted, locally oracle-green at sf0.001 and sf0.01,
+#: plan-tested).
 #: Rotate all of these in first next round along with anything that
-#: changes, (c)/(d)/(e) before (a)/(b).
+#: changes, (c)/(d)/(e)/(f) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",
@@ -186,6 +189,7 @@ def _ensure_loaded() -> None:
         relational3,
         relational4,
         relational5,
+        relational6,
         aggregates,
     )
 

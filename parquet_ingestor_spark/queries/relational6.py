@@ -1,0 +1,278 @@
+"""Q69+ — the five TPC-H shapes that complete the 22-query
+decision-support surface (Q4, Q6, Q10, Q14, Q16), adapted to the
+testdata's columns (no l_commitdate/l_receiptdate, so Q4's "late
+delivery" predicate becomes a shipping-lag test against o_orderdate;
+no partsupp, so Q16 counts suppliers observed on lineitem).
+
+Each targets a distinct plan obligation the earlier entries don't:
+
+- Q4: EXISTS with a *non-equi* residual (date-lag) on top of the
+  orderkey equi-pair — must stay a LeftSemi hash join with the lag as
+  the join residual, not a per-row subquery or a cartesian.
+- Q6: the canonical single-scan filter-aggregate — EVERY predicate
+  must reach the parquet reader (PushedFilters), and the scan must
+  read exactly 4 columns; zero shuffles beyond the 1-row final agg.
+- Q10: fact-side selective filter (returnflag) → agg → dim join-back
+  → global top-k with deterministic tie-break; the customer dim joins
+  AFTER aggregation so the shuffle carries group rows, not lineitems.
+- Q14: two conditional sums over one fact⋈dim join, one pass — the
+  CASE split must not become two scans.
+- Q16: COUNT(DISTINCT) per 3-column group with dim-side exclusion
+  predicates — the distinct expands map-side (partial aggregation on
+  (group, suppkey)) rather than shipping raw rows per group.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from . import register
+
+
+@register(
+    "q69_priority_lag",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: orders per priority with at least one "
+    "long-lag shipment — EXISTS decorrelated to a LeftSemi join "
+    "with a non-equi date residual.",
+    tags=("relational", "subquery", "tpch-shape"),
+)
+def q69_priority_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The date window prunes orders at the scan; the semi join keys
+    on l_orderkey (equi) and carries the 60-day lag as a residual, so
+    Spark plans a LeftSemi SortMergeJoin/hash join — one shuffle each
+    side, lineitem reduced to 2 columns. EXISTS-then-count means the
+    aggregate sees each qualifying order once regardless of how many
+    late lines it has."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.date_add(orders.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q70_forecast_revenue",
+    oracle="""
+        SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-scan filter aggregate; every "
+    "predicate pushes to the parquet reader.",
+    tags=("relational", "agg", "pushdown", "tpch-shape"),
+)
+def q70_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole query is one parquet scan (4 columns in ReadSchema,
+    all four predicates in PushedFilters — row groups whose min/max
+    stats miss the bands never leave disk) feeding a partial+final
+    1-row aggregate. At 100 TB this is the shape whose cost is pure
+    I/O: no shuffle carries more than 32 partial sums."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q71_returned_items",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-04-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer "
+    "in one quarter — selective fact filters, agg before the dim "
+    "join-back, deterministic top-20.",
+    tags=("relational", "join", "topk", "tpch-shape"),
+)
+def q71_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both selective predicates (returnflag, the order-date quarter)
+    push to their scans before the orderkey join. Revenue aggregates
+    per custkey FIRST — the customer and nation dims join onto group
+    rows (≤ |customer|), not onto lineitems, so the only fact-sized
+    shuffle is the orderkey join. nation is constant-size (25 rows):
+    broadcast. The final top-20 is TakeOrderedAndProject with
+    (revenue DESC, c_custkey) so ties never make the result
+    run-dependent. Revenue sums integer CENTS (per-row rounding, then
+    BIGINT sum) — float accumulation order differs between engines
+    and partitionings, and a one-cent drift at the top-20 boundary
+    would make the result nondeterministic; integer addition is
+    associative, so any shuffle/merge order yields the same total."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg((F.sum(cents) / 100.0).alias("revenue"))
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q72_promo_revenue",
+    oracle="""
+        SELECT round(
+                 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4
+               ) AS promo_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    doc="TPC-H Q14 shape: promo share of one month's revenue — two "
+    "conditional sums in one pass over the fact⋈dim join.",
+    tags=("relational", "join", "agg", "tpch-shape"),
+)
+def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One month of lineitem (shipdate pushed to the scan) joins part
+    on partkey — part is the SF-scaled side, so no broadcast hint:
+    AQE decides from observed post-filter sizes. Both the PROMO and
+    total sums come from the same join output in a single partial+
+    final aggregate; the CASE split costs nothing extra."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q73_supplier_relationship",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: distinct suppliers observed per "
+    "(brand, type, size) with dim-side exclusions — COUNT(DISTINCT) "
+    "expanded map-side (no partsupp table: suppliers counted from "
+    "lineitem).",
+    tags=("relational", "join", "distinct", "tpch-shape"),
+)
+def q73_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three exclusion predicates evaluate on the part scan (the
+    IN-list prunes ~84% of parts before the join). COUNT(DISTINCT)
+    plans as the two-phase expand: partial distinct on (group,
+    suppkey) combines map-side, so the group-key shuffle carries one
+    row per observed (brand,type,size,suppkey), never raw lineitems.
+    Skew-safe: the heaviest group is bounded by |supplier|, not by
+    lineitem fan-in."""
+    part = (
+        table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )

