@@ -939,3 +939,161 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights
+
+
+#: Hashed n-gram feature space (DSIR §3: unigrams+bigrams hashed into a
+#: fixed bucket count). 1024 buckets is the toy-SF setting; production
+#: uses ~10k — the bucket table stays a broadcastable constant either
+#: way, independent of corpus size.
+DSIR_BUCKETS = 1024
+#: Add-α smoothing on both bag-of-buckets models.
+DSIR_ALPHA = 1.0
+#: The registered entry's "target domain": English documents (the
+#: testdata's stand-in for the high-quality target corpus DSIR scores
+#: the raw pool against).
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_doc_buckets(docs: DataFrame, buckets: int) -> DataFrame:
+    """(doc_id, lang, bucket, c): per-document hashed-feature counts.
+
+    The unigram+bigram explode and the md5 bucketing run inside the
+    scan's codegen stage (tokenize once via a bound lambda); the ONLY
+    corpus-sized shuffle in the whole operator is this (doc_id, bucket)
+    partial-then-final count, whose per-doc output is bounded by
+    min(tokens, buckets) rows.
+    """
+    grams = F.expr(
+        "flatten(transform(array(filter(split(text, ' '), w -> w != '')), "
+        "toks -> concat(toks, CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> array_join(slice(toks, i, 2), ' ')) "
+        "ELSE array() END)))"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    return (
+        docs.select("doc_id", "lang", F.explode(grams).alias("g"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: how target-like each
+    raw document's hashed n-gram profile is.
+
+    Public methodology (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): fit two smoothed bag-of-
+    hashed-ngrams models — p from the target domain, q from the raw
+    pool — and score each document log w(x) = Σ_b c_b(x)·(ln p_b −
+    ln q_b). Documents are then resampled ∝ exp(log w) (the sampling
+    step is `corpus_weighted_sample`'s job; this operator produces the
+    weights).
+
+    Scale design: both models FOLD from the per-doc bucket counts (no
+    second corpus scan — the (doc_id,bucket) exchange is reused by the
+    bucket-level re-aggregation), the log-ratio table is exactly
+    ``buckets`` rows (broadcast), and the final score rides the same
+    per-doc partial aggregation. Nothing driver-side, nothing
+    quadratic, no UDF.
+    """
+    doc_bucket = _dsir_doc_buckets(docs, buckets)
+    spark = docs.sparkSession
+    per_bucket = doc_bucket.groupBy("b").agg(
+        F.sum("c").alias("cq"),
+        F.sum(F.when(F.col("lang") == target_lang, F.col("c")).otherwise(0)).alias(
+            "ct"
+        ),
+    )
+    spine = spark.range(buckets).select(F.col("id").alias("b"))
+    ratio = (
+        spine.join(per_bucket, "b", "left")
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                    / (F.sum(F.coalesce("ct", F.lit(0))).over(Window.partitionBy()) + alpha * buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cq"), F.lit(0)) + alpha)
+                    / (F.sum(F.coalesce("cq", F.lit(0))).over(Window.partitionBy()) + alpha * buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_bucket.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("dsir_logweight"))
+    )
+
+
+@register(
+    "corpus_dsir_weights",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(t,
+                       CASE WHEN len(t) >= 2 THEN
+                           list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1])
+                       ELSE [] END)) AS g
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     w -> w <> '') AS t
+                  FROM documents)
+        ),
+        doc_bucket AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(g), 1, 8))::BIGINT
+                       % {DSIR_BUCKETS} AS b,
+                   COUNT(*) AS c
+            FROM grams GROUP BY 1, 2, 3
+        ),
+        per_bucket AS (
+            SELECT b, SUM(c) AS cq,
+                   SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                            THEN c ELSE 0 END) AS ct
+            FROM doc_bucket GROUP BY b
+        ),
+        ratio AS (
+            SELECT s.b,
+                   ln((COALESCE(ct, 0) + {DSIR_ALPHA})
+                      / ((SELECT SUM(ct) FROM per_bucket)
+                         + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                 - ln((COALESCE(cq, 0) + {DSIR_ALPHA})
+                      / ((SELECT SUM(cq) FROM per_bucket)
+                         + {DSIR_ALPHA} * {DSIR_BUCKETS})) AS lr
+            FROM (SELECT unnest(range({DSIR_BUCKETS})) AS b) s
+            LEFT JOIN per_bucket USING (b)
+        )
+        SELECT d.doc_id, SUM(d.c * r.lr) AS dsir_logweight
+        FROM doc_bucket d JOIN ratio r USING (b)
+        GROUP BY d.doc_id
+    """,
+    doc="DSIR importance log-weights (Xie 2023): smoothed hashed-"
+    "ngram likelihood ratio of the English target model vs the raw "
+    "pool, per document.",
+    tags=("corpus", "mixture", "importance-sampling"),
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered twin over the documents table with the English
+    target. One corpus explode→count; the target and pool models fold
+    from it; the 1024-row log-ratio table broadcasts back onto the
+    same aggregate."""
+    return dsir_logweights(table(spark, sf_dir, "documents"))

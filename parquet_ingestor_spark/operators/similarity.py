@@ -1146,3 +1146,83 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of every approximate index vs the
+# exact baseline in ITS OWN metric (cosine for IVF, L2 for the PQ
+# family — comparing an L2-ranked method against a cosine baseline
+# would conflate metric mismatch with approximation loss).
+
+
+def brute_force_l2_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOPK
+) -> DataFrame:
+    """Exact L2 top-k via the norm identity ‖q−v‖² = ‖q‖²+‖v‖²−2q·v —
+    reuses the cosine path's precomputed norms and dot, so the exact
+    baseline costs the same single broadcast-crossJoin scan."""
+    dist = F.round(
+        F.col("qn") * F.col("qn") + F.col("nrm") * F.col("nrm")
+        - 2 * _dot("qv", "embedding"),
+        6,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        with_norm(emb)
+        .crossJoin(F.broadcast(queries))
+        .select("q_id", "vec_id", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "dist", F.col("rank").cast("int").alias("rank"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def recall_against(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:
+    """One-row (method, recall): |approx ∩ exact| / |exact| over all
+    queries, computed as a semi join on (q_id, vec_id) — both inputs
+    are top-k results (queries × k rows), so every join/aggregate here
+    is over driver-independent tiny frames no matter the corpus size."""
+    e = exact.select("q_id", "vec_id")
+    hits = e.join(
+        approx.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_semi"
+    )
+    n = e.agg(F.count("*").alias("n_exact"))
+    return (
+        hits.agg(F.count("*").alias("n_hit"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.lit(method).alias("method"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+@register(
+    "sim_recall_eval",
+    oracle=None,  # scores approximate indexes — no SQL twin; invariant
+    # tests pin recall ∈ [0,1], exact-vs-exact ≡ 1, and the IVF floor.
+    doc="ANN index quality report: recall@5 of IVF (vs exact cosine) "
+    "and PQ-ADC / IVF-PQ (vs exact L2) on the 10-query probe set.",
+    tags=("similarity", "approx", "eval"),
+)
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation pass a pipeline runs before trusting an ANN
+    index at scale: each approximate method's top-k against the exact
+    top-k in the method's own metric. Each exact baseline is one
+    broadcast-crossJoin corpus scan (the expensive part — this is an
+    offline audit, not a serving path); every recall computation
+    afterwards touches only queries×k rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    qs = _query_set(emb)
+    cos_exact = brute_force_topk(emb, qs)
+    l2_exact = brute_force_l2_topk(emb, qs)
+    parts = [
+        recall_against(cos_exact, ivf_search(emb, n_lists=IVF_K), "ivf_cosine"),
+        recall_against(l2_exact, pq_adc_topk(emb), "pq_adc_l2"),
+        recall_against(l2_exact, sim_ivfpq_topk(spark, sf_dir), "ivfpq_l2"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")

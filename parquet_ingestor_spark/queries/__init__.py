@@ -101,9 +101,11 @@ _LOADED = False
 #: corpus_source_overlap in operators/profiling.py); and (f) the
 #: five TPC-H-completion shapes (q69–q73 in relational6.py — Q4/Q6/
 #: Q10/Q14/Q16 adapted, locally oracle-green at sf0.001 and sf0.01,
-#: plan-tested).
+#: plan-tested); and (g) corpus_dsir_weights (oracle-green at both
+#: SFs, reuse-plan-pinned) and sim_recall_eval (rows-only by design,
+#: invariant-tested).
 #: Rotate all of these in first next round along with anything that
-#: changes, (c)/(d)/(e)/(f) before (a)/(b).
+#: changes, (c)/(d)/(e)/(f)/(g) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — never driver-checked —
     "sem_dedup",

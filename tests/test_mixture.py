@@ -386,3 +386,38 @@ def test_stream_heavy_hitters_foreachbatch(spark, tmp_path):
         .total
     )
     assert n_total2 == n_total, "replay double-counted the stream"
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Planted corpora: target (en) docs draw from vocabulary A, the
+    off-domain pool from vocabulary B. A pool doc written in vocab A
+    must out-weigh a pool doc written in vocab B — the defining DSIR
+    property (target-likelihood ratio)."""
+    from parquet_ingestor_spark.operators.mixture import dsir_logweights
+
+    a_text = "alpha beta gamma delta epsilon zeta eta theta"
+    b_text = "uno dos tres cuatro cinco seis siete ocho"
+    rows = (
+        [(i, a_text, "en") for i in range(10)]
+        + [(100, a_text, "xx"), (101, b_text, "xx")]
+        + [(200 + i, b_text, "yy") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(docs, target_lang="en").collect()
+    }
+    assert w[100] > w[101], (w[100], w[101])
+    # identical text => identical weight regardless of the doc's own lang
+    assert abs(w[100] - w[0]) < 1e-9
+
+
+def test_dsir_weights_uniform_when_target_equals_pool(spark):
+    """If every document IS the target domain, p and q coincide and
+    every log-weight collapses to ~0 (exactly 0 up to smoothing)."""
+    from parquet_ingestor_spark.operators.mixture import dsir_logweights
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} shared words", "en") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    for r in dsir_logweights(docs, target_lang="en").collect():
+        assert abs(r.dsir_logweight) < 1e-9, r

@@ -615,3 +615,34 @@ def test_semantic_dedup_vectorized_equals_expression(spark, sf_dir):
     fast = semantic_dedup(emb, k=IVF_K, vectorized=True).collect()
     slow = semantic_dedup(emb, k=IVF_K, vectorized=False).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+
+
+def test_recall_eval_invariants(spark, sf_dir):
+    """sim_recall_eval: one row per method, recall ∈ [0,1], and the
+    IVF floor that test_ivf_recall_vs_bruteforce pins directly."""
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    rows = {r.method: r.recall for r in
+            REGISTRY["sim_recall_eval"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf_cosine", "pq_adc_l2", "ivfpq_l2"}
+    for m, r in rows.items():
+        assert 0.0 <= r <= 1.0, (m, r)
+    assert rows["ivf_cosine"] >= 0.5
+    # NOTE: no ivfpq ≤ pq_adc ordering is asserted — restricting ADC
+    # to the probed lists can EXCLUDE spurious quantization winners
+    # from far lists, so IVF-PQ recall may exceed full-ADC recall.
+    assert rows["pq_adc_l2"] > 0.0 and rows["ivfpq_l2"] > 0.0
+
+
+def test_recall_of_exact_against_itself_is_one(spark, sf_dir):
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        _query_set,
+        brute_force_l2_topk,
+        recall_against,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    exact = brute_force_l2_topk(emb, _query_set(emb))
+    row = recall_against(exact, exact, "self").collect()[0]
+    assert row.recall == 1.0

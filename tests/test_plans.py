@@ -505,3 +505,18 @@ def test_q69_exists_is_semi_join_with_date_residual(spark, sf_dir):
     # lineitem pruned to the two referenced columns
     semi_scan = plan.split("LeftSemi")[1]
     assert "l_orderkey" in semi_scan and "l_shipdate" in semi_scan
+
+
+def test_dsir_models_fold_from_one_corpus_explode(spark, sf_dir):
+    """DSIR's target/pool bucket models must FOLD from the per-doc
+    bucket aggregate, not re-explode the corpus: after AQE finalizes,
+    the (doc_id,lang,bucket) exchange is reused by the bucket-level
+    re-aggregation (one corpus-sized gram explode total), and the
+    1024-row log-ratio table joins back as a broadcast."""
+    df = REGISTRY["corpus_dsir_weights"].fn(spark, sf_dir)
+    df.collect()  # noop-write would spawn a fresh execution; collect
+    # finalizes THIS DataFrame's adaptive plan (output ≤ |documents|)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
