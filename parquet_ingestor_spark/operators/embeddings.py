@@ -370,16 +370,79 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dim_moments(emb: DataFrame) -> DataFrame:
+    """(dim, mu, var, n) per embedding dimension, bit-reproducible.
+
+    Floating-point sums are order-dependent, and a distributed fold's
+    order varies run to run — a mean sitting on a round-to-4-decimals
+    boundary would flip between runs (observed in practice). So both
+    moments accumulate as DECIMAL(18,8)-scaled values: decimal
+    addition is exact and associative, every partitioning yields the
+    same sums, and the double math AFTER the aggregate (one division,
+    one multiply-subtract) is a pure function of those sums — the same
+    integer-cents trick as q71's revenue, applied to second moments.
+    The oracle mirrors the decimal formulation, so the two engines
+    compute identical doubles, not merely close ones.
+    """
+    xd = F.col("x").cast("decimal(18,8)")
+    return (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"),
+                F.col("x").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(xd * xd).cast("double").alias("sx2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "dim",
+            (F.col("sx") / F.col("n")).alias("mu"),
+            "sx2",
+            "n",
+        )
+        .select(
+            "dim",
+            "mu",
+            (F.col("sx2") / F.col("n") - F.col("mu") * F.col("mu")).alias("var"),
+            "n",
+        )
+    )
+
+
+#: The decimal-sum moment CTE shared by the emb_dim_stats/emb_whiten
+#: oracles — the SQL mirror of :func:`_dim_moments`.
+_DIM_MOMENTS_SQL = """
+        WITH sums AS (
+            SELECT i AS dim,
+                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
+                        AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))
+                            * CAST(embedding[i] AS DECIMAL(18,8)))
+                        AS DOUBLE) AS sx2,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+            GROUP BY i
+        ),
+        moments AS (
+            SELECT dim, sx / n AS mu, sx2, n FROM sums
+        ),
+        stats AS (
+            SELECT dim, mu, sx2 / n - mu * mu AS var FROM moments
+        )
+"""
+
+
 @register(
     "emb_dim_stats",
-    oracle="""
-        SELECT i AS dim,
-               round(avg(embedding[i]), 4) + 0.0 AS dim_mean,
-               round(var_pop(embedding[i]), 4) AS dim_var
-        FROM embeddings
-        CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
-        GROUP BY i
-        ORDER BY i
+    oracle=_DIM_MOMENTS_SQL
+    + """
+        SELECT dim,
+               round(mu, 4) + 0.0 AS dim_mean,
+               round(var, 4) + 0.0 AS dim_var
+        FROM stats
+        ORDER BY dim
     """,
     doc="Per-dimension mean and population variance over the embedding "
     "matrix — the whitening/normalization statistics (a collapsed or "
@@ -390,22 +453,104 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """posexplode feeds a (dim)-keyed aggregation: partial sums reduce
     map-side, so the shuffle carries dim×partitions partial rows (a
-    few thousand), not n×dim element rows. Rounded to 4 decimals —
-    distributed summation order differs from the oracle's sequential
-    fold, so raw doubles would differ in low-order bits (contrast the
-    raw-quotient rule for single-division outputs).
+    few thousand), not n×dim element rows. Moments accumulate as exact
+    decimals (see :func:`_dim_moments`), so the result is identical
+    across runs, partitionings, and engines.
     """
     return (
-        table(spark, sf_dir, "embeddings")
-        .select(F.posexplode("embedding").alias("pos", "x"))
-        .select((F.col("pos") + 1).cast("long").alias("dim"),
-                F.col("x").cast("double").alias("x"))
-        .groupBy("dim")
-        .agg(
+        _dim_moments(table(spark, sf_dir, "embeddings"))
+        .select(
+            "dim",
             # + 0.0 normalizes IEEE negative zero (a tiny negative mean
             # rounds to -0.0 in one engine and 0.0 in the other)
-            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("dim_mean"),
-            F.round(F.var_pop("x"), 4).alias("dim_var"),
+            (F.round(F.col("mu"), 4) + F.lit(0.0)).alias("dim_mean"),
+            (F.round(F.col("var"), 4) + F.lit(0.0)).alias("dim_var"),
         )
         .orderBy("dim")
     )
+
+
+#: Variance floor for whitening — keeps a constant (zero-variance)
+#: dimension from dividing by zero; it maps to z≈0 instead.
+WHITEN_EPS = 1e-6
+
+
+def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Per-dimension standardization z_i = (x_i − μ_i)/σ_i — the
+    whitening pass that makes L2-based indexes (IVF/PQ) treat every
+    dimension equally after `emb_dim_stats` has diagnosed the matrix.
+
+    Two phases, both scale-clean: (1) the same posexplode dim-keyed
+    aggregate as emb_dim_stats (map-side partials; shuffle is
+    dim×partitions rows) collected as ONE bounded driver read of
+    ``dim`` rows — model state, exactly like k-means centroids; (2) a
+    map-only transform over the corpus with the μ/σ vectors inlined
+    as literals — no join, no shuffle, no UDF.
+
+    The moment aggregation uses exact decimal sums (see
+    :func:`_dim_moments`), so μ and σ are bit-identical across runs,
+    partitionings, and engines — without that, a mean sitting on a
+    rounding boundary flips between runs and the whitened corpus is
+    not reproducible.
+    """
+    stats = (
+        _dim_moments(emb)
+        .select(
+            (F.col("dim") - 1).alias("pos"),
+            (F.round(F.col("mu"), 4) + F.lit(0.0)).alias("mu"),
+            F.round(
+                F.sqrt(F.col("var") + F.lit(WHITEN_EPS)), 4
+            ).alias("sd"),
+        )
+        .collect()
+    )
+    mu = {r.pos: r.mu for r in stats}
+    sd = {r.pos: r.sd for r in stats}
+    mus = F.array(*[F.lit(mu[i]) for i in range(dim)])
+    sds = F.array(*[F.lit(sd[i]) for i in range(dim)])
+    return (
+        emb.select(
+            "vec_id",
+            mus.alias("_mus"),
+            sds.alias("_sds"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(sequence(1, size(embedding)), i -> "
+                "round((cast(element_at(embedding, i) as double) "
+                "- element_at(_mus, i)) / element_at(_sds, i), 4) + 0.0d)"
+            ).alias("whitened"),
+        )
+    )
+
+
+@register(
+    "emb_whiten",
+    oracle=_DIM_MOMENTS_SQL
+    + f""",
+        rounded AS (
+            SELECT dim,
+                   round(mu, 4) + 0.0 AS mu,
+                   round(sqrt(var + {WHITEN_EPS}), 4) AS sd
+            FROM stats
+        ),
+        arrs AS (
+            SELECT list(mu ORDER BY dim) AS mus,
+                   list(sd ORDER BY dim) AS sds
+            FROM rounded
+        )
+        SELECT vec_id,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> round((CAST(embedding[i] AS DOUBLE) - mus[i])
+                              / sds[i], 4) + 0.0) AS whitened
+        FROM embeddings, arrs
+    """,
+    doc="Whitened embeddings: per-dimension (x−μ)/σ standardization "
+    "using corpus statistics — map-only apply, stats as one bounded "
+    "driver read.",
+    tags=("embedding",),
+)
+def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return whiten(table(spark, sf_dir, "embeddings"))

@@ -102,8 +102,10 @@ _LOADED = False
 #: five TPC-H-completion shapes (q69–q73 in relational6.py — Q4/Q6/
 #: Q10/Q14/Q16 adapted, locally oracle-green at sf0.001 and sf0.01,
 #: plan-tested); and (g) corpus_dsir_weights (oracle-green at both
-#: SFs, reuse-plan-pinned) and sim_recall_eval (rows-only by design,
-#: invariant-tested).
+#: SFs, reuse-plan-pinned), sim_recall_eval (rows-only by design,
+#: invariant-tested), and emb_whiten (oracle-green at both SFs; its
+#: decimal-sum moments also harden emb_dim_stats against the
+#: run-to-run rounding-boundary flakiness observed at sf0.01).
 #: Rotate all of these in first next round along with anything that
 #: changes, (c)/(d)/(e)/(f)/(g) before (a)/(b).
 _WINDOW_FIRST: tuple[str, ...] = (

@@ -646,3 +646,24 @@ def test_recall_of_exact_against_itself_is_one(spark, sf_dir):
     exact = brute_force_l2_topk(emb, _query_set(emb))
     row = recall_against(exact, exact, "self").collect()[0]
     assert row.recall == 1.0
+
+
+def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
+    """Whitened matrix: per-dim mean ≈ 0 and var ≈ 1 (up to the stats
+    rounding and EPS floor), and two runs produce identical output
+    (the decimal-sum moments make the stats order-independent)."""
+    from parquet_ingestor_spark.queries import REGISTRY
+    import pyspark.sql.functions as F
+
+    fn = REGISTRY["emb_whiten"].fn
+    a = fn(spark, sf_dir)
+    stats = (
+        a.select(F.posexplode("whitened").alias("pos", "z"))
+        .groupBy("pos")
+        .agg(F.avg("z").alias("m"), F.var_pop("z").alias("v"))
+        .collect()
+    )
+    for r in stats:
+        assert abs(r.m) < 0.01, r
+        assert abs(r.v - 1.0) < 0.05, r
+    assert sorted(map(str, a.collect())) == sorted(map(str, fn(spark, sf_dir).collect()))
