@@ -69,7 +69,13 @@ HEADLINE = (
     "q67_cheapest_supplier",
     "corpus_source_overlap",
     "text_zipf_fit",
+    "q71_returned_items",
+    "corpus_dsir_weights",
 )
+# sim_recall_eval is deliberately NOT a headline entry: it is an
+# offline index audit whose cost is three exact-baseline corpus scans
+# plus driver-side codebook fits — benching it would measure the
+# baselines the sim_* entries already own, not a serving path.
 # text_bpe_encode is deliberately NOT a headline entry: the registered
 # end-to-end retrains the merge table each call (8 driver-looped vocab
 # rounds), so its wall time measures the iterative trainer the

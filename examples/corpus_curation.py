@@ -31,6 +31,7 @@ from parquet_ingestor_spark.operators.corpus import (
 )
 from parquet_ingestor_spark.operators.lines import line_dedup
 from parquet_ingestor_spark.operators.mixture import (
+    dsir_logweights,
     heavy_hitters,
     mixture_weights,
     temperature_weights,
@@ -139,6 +140,18 @@ def main() -> None:
     temp = temperature_weights(curated, alpha=0.3).orderBy("source").collect()
     hot = heavy_hitters(curated, support=50).limit(5).collect()
 
+    # 5c. DSIR target-likeness: per-source mean importance log-weight
+    #     against the English target model — which sources to upweight
+    #     when resampling toward the target domain
+    dsir = (
+        dsir_logweights(curated)
+        .join(curated.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.round(F.avg("dsir_logweight"), 2).alias("mean_lw"))
+        .orderBy(F.desc("mean_lw"))
+        .collect()
+    )
+
     # 6. fluency scores + CCNet head/middle/tail split + deterministic
     #    training order (all read the written parquet, not the input)
     lm = text_lm_perplexity(spark, out_dir)
@@ -178,6 +191,11 @@ def main() -> None:
     print(
         "hot tokens:     "
         + ", ".join(f"{r['token']}({r['n']})" for r in hot)
+    )
+    print(
+        "dsir by source: "
+        + ", ".join(f"{r['source']}={r['mean_lw']}" for r in dsir[:5])
+        + ", …"
     )
     print("shard sizes:    " + ", ".join(str(r["count"]) for r in shard_counts))
     packs.show(10, truncate=False)
