@@ -59,57 +59,35 @@ _LOADED = False
 #: The driver's gate checks the FIRST 50 registered entries each round;
 #: after all modules self-register, REGISTRY is reordered so these
 #: names come first (everything else keeps import order at the tail).
-#: Budget for round 4 — 50 named = the full window:
-#:   - 9 never driver-checked: the 8 late-r3 registrations
-#:     (sem_dedup, text_dup_spans, text_lm_perplexity,
-#:     corpus_shuffle_shard, sim_ivfpq_topk, q51–q53) plus the new
-#:     asof_forward_click_purchase
-#:   - 9 operators new in round 4 (mixture/sampling/heavy-hitters/
-#:     BPE-encode/CDC-chunking/quality-classifier/ppl-buckets cohort)
-#:   - 5 r3-checked entries whose code changed this round
-#:     (corpus_line_dedup de-skew, asof_join rewrite, the
-#:     truncate_lineage/incremental guards behind the cluster ops,
-#:     bpe's lineage truncation)
-#:   - 27 entries whose last driver row is round 2 (q04–q14 and the
-#:     round-2 operator cohort)
-#: ROUND-5 BUDGET NOTE: deferred to fit the 50 —
-#: (a) four rows-only r2-checked entries
-#: (sim_bruteforce_topk_vectorized, emb_label_pca1, emb_kmeans_fit,
-#: text_winnow_fingerprints — each carries local
-#: invariant/differential tests, so the driver's rows-only probe adds
-#: the least signal there); (b) nine double-green (r1+r2),
-#: expression-only entries displaced by the round-4 additions
-#: (q01_project_events, q02_filter_drop, q03_dedup_users,
-#: q05_time_partition_counts, q08_attr_extract, text_fingerprint,
-#: text_lang_id, emb_normalize, emb_quantize — no corpus-scale join
-#: or shuffle risk in any of them, so the regression risk the driver
-#: would re-probe is lowest); (c) the two smallest round-4 additions
-#: (q54_event_funnel, corpus_train_val_split — both locally
-#: oracle-green at sf0.001 and sf0.01, registered at the tail after
-#: the window was full); and (d) the thirteen late-round-4
-#: additions: the eight TPC-H-shaped join/subquery entries (q55–q62
-#: in relational4.py — locally oracle-green, plan-tested),
-#: text_gopher_rules and text_unicode_clean (oracles + planted
-#: tests), asof_nearest_view_purchase (all-pairs rank oracle),
-#: corpus_temperature_weights (oracle + α identities), and
-#: text_heavy_hitters_incremental (exact oracle + mergeability
-#: bounds); plus (e) the ten end-of-round-4 additions, all
-#: locally oracle-green at sf0.001/sf0.01 and plan-tested: the six
-#: remaining decision-support shapes (q63–q68 in relational5.py —
-#: TPC-H Q17/Q15/Q11/Q12/Q2/Q20) and the four profiling operators
-#: (text_zipf_fit, text_unigram_entropy, dedup_exact_normalized,
-#: corpus_source_overlap in operators/profiling.py); and (f) the
-#: five TPC-H-completion shapes (q69–q73 in relational6.py — Q4/Q6/
-#: Q10/Q14/Q16 adapted, locally oracle-green at sf0.001 and sf0.01,
-#: plan-tested); and (g) corpus_dsir_weights (oracle-green at both
-#: SFs, reuse-plan-pinned), sim_recall_eval (rows-only by design,
-#: invariant-tested), and emb_whiten (oracle-green at both SFs; its
-#: decimal-sum moments also harden emb_dim_stats against the
-#: run-to-run rounding-boundary flakiness observed at sf0.01).
-#: Rotate all of these in first next round along with anything that
-#: changes, (c)/(d)/(e)/(f)/(g) before (a)/(b).
+#: Budget for round 4 (recomputed mid-round after this round's own
+#: additions grew the registry to 144): the window maximizes coverage
+#: of the 54 entries that have never had a driver row. 50 slots =
+#:   - the 9 the round-3 verdict names first (sem_dedup,
+#:     text_dup_spans, text_lm_perplexity, corpus_shuffle_shard,
+#:     sim_ivfpq_topk, q51-q53, asof_forward_click_purchase)
+#:   - the 9 early-round-4 operators (mixture/sampling/heavy-hitters/
+#:     BPE-encode/CDC-chunking/quality-classifier/ppl-buckets)
+#:   - 2 r3-checked entries whose code was restructured this round
+#:     (corpus_line_dedup de-skew, dedup_clusters probe rewrite)
+#:   - the other 30 never-checked oracle-backed entries in
+#:     registration order (q55-q73 decision-support shapes, the
+#:     profiling/curation cohort, emb_dim_stats/emb_whiten,
+#:     corpus_dsir_weights)
+#: ROUND-5 BUDGET NOTE — rotate in first next round, then resume
+#: least-recently-checked order:
+#: (a) the 6 entries still without any driver row after this round:
+#:     asof_nearest_view_purchase, sim_recall_eval (rows-only by
+#:     design), text_heavy_hitters_incremental, corpus_train_val_split,
+#:     text_unigram_entropy, q54_event_funnel — every one is locally
+#:     oracle-green (or invariant-tested) at sf0.001 and sf0.01 and
+#:     covered by tools/stability_sweep.py;
+#: (b) the 3 entries with r3 rows whose code changed in round 4 but
+#:     were displaced by never-checked entries: asof_purchase_click,
+#:     dedup_clusters_incremental, bpe_train_merges (all sweep-green);
+#: (c) the 40 entries whose last driver row is round 2 (q01-q14, the
+#:     round-2 operator cohort) — oldest rows first.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # — never driver-checked —
+    # — the round-3 verdict's named nine —
     "sem_dedup",
     "text_dup_spans",
     "text_lm_perplexity",
@@ -119,7 +97,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q52_range_frame",
     "q53_windowed_count_distinct",
     "asof_forward_click_purchase",
-    # — new in round 4 (never driver-checked) —
+    # — early-round-4 operators (never driver-checked) —
     "corpus_mixture_weights",
     "corpus_stratified_sample",
     "corpus_length_histogram",
@@ -129,40 +107,40 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_cdc_chunks",
     "corpus_quality_classifier",
     "text_ppl_buckets",
-    # — changed in round 4 —
+    # — restructured this round (r3 rows exist; re-check) —
     "corpus_line_dedup",
-    "asof_purchase_click",
-    "dedup_clusters_incremental",
     "dedup_clusters",
-    "bpe_train_merges",
-    # — last driver row: round 2 —
-    "q04_flatmap_tokens",
-    "q06_conservation",
-    "q07_roundtrip_conservation",
-    "q09_join_groupcount",
-    "q10_revenue_per_nation",
-    "q11_left_join_counts",
-    "q12_semi_join",
-    "q13_anti_join",
-    "q14_broadcast_join",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "sim_bruteforce_topk",
-    "sim_ivf_topk",
-    "sim_neardup_pairs",
-    "emb_kmeans_step",
-    "multimodal_meta",
-    "multimodal_frame_sample",
-    "skew_salted_agg",
-    "text_quality",
-    "text_token_counts",
-    "text_repetition",
-    "text_pii_scrub",
-    "text_topk_ngrams",
-    "text_bm25_topk",
-    "corpus_filter_pipeline",
-    "corpus_weighted_sample",
-    "text_pack_bins",
+    # — remaining never-checked oracle-backed entries —
+    "emb_dim_stats",
+    "emb_whiten",
+    "corpus_temperature_weights",
+    "corpus_dsir_weights",
+    "text_zipf_fit",
+    "dedup_exact_normalized",
+    "corpus_source_overlap",
+    "text_novelty_score",
+    "text_tfidf_terms",
+    "text_gopher_rules",
+    "text_unicode_clean",
+    "q55_volume_shipping",
+    "q56_market_share",
+    "q57_profit_by_nation_year",
+    "q58_customer_distribution",
+    "q59_disjunctive_bands",
+    "q60_waiting_suppliers",
+    "q61_large_volume_customers",
+    "q62_dormant_high_balance",
+    "q63_small_qty_revenue",
+    "q64_top_supplier",
+    "q65_important_parts",
+    "q66_priority_by_returnflag",
+    "q67_cheapest_supplier",
+    "q68_bulk_part_suppliers",
+    "q69_priority_lag",
+    "q70_forecast_revenue",
+    "q71_returned_items",
+    "q72_promo_revenue",
+    "q73_supplier_relationship",
 )
 
 

@@ -50,14 +50,39 @@ def test_round4_priorities_inside_the_50_window():
         "corpus_quality_classifier",
         "text_ppl_buckets",
     } <= window
-    # r3-checked entries whose code changed in round 4
+    # restructured-in-round-4 entries with existing r3 rows
+    assert {"corpus_line_dedup", "dedup_clusters"} <= window
+    # the TPC-H completion and profiling cohorts added this round
     assert {
-        "corpus_line_dedup",
-        "asof_purchase_click",
-        "dedup_clusters_incremental",
-        "dedup_clusters",
-        "bpe_train_merges",
+        "q69_priority_lag",
+        "q70_forecast_revenue",
+        "q71_returned_items",
+        "q72_promo_revenue",
+        "q73_supplier_relationship",
+        "corpus_dsir_weights",
+        "emb_whiten",
+        "emb_dim_stats",
     } <= window
+
+
+def test_window_maximizes_never_checked_coverage():
+    """The round-4 policy: every window slot not spent on the verdict's
+    named nine or a restructured entry goes to an entry that has never
+    had a driver CORRECTNESS row (computed from CORRECTNESS_r0{1,2,3});
+    at most 6 never-checked entries may remain outside the window."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    checked: set[str] = set()
+    for r in (1, 2, 3):
+        f = repo / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            checked |= set(json.loads(f.read_text()))
+    names = list(REGISTRY)
+    never = [n for n in names if n not in checked]
+    outside = [n for n in never if n not in set(names[:50])]
+    assert len(outside) <= 6, outside
     # the window is exactly the driver's budget — no padding slack
     assert len(_WINDOW_FIRST) == 50
 
