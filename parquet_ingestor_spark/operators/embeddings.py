@@ -554,3 +554,213 @@ def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
 )
 def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return whiten(table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: exact covariance matrix + top-m projection
+
+
+#: Projection width for the registered PCA entry.
+PCA_M = 8
+
+
+def covariance_upper(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """(i, j, cov) for i ≤ j — the upper triangle of the population
+    covariance matrix, computed with the same exact-decimal discipline
+    as :func:`_dim_moments`.
+
+    One corpus pass: each row expands to its dim(dim+1)/2 upper-
+    triangle products inside the scan's codegen stage (a float×float
+    product is exact in double — 24-bit mantissas multiply into 48
+    bits — and the decimal cast of that exact double is identical in
+    every engine), then a (i,j)-keyed decimal sum reduces map-side.
+    Shuffle volume is partitions × dim², never rows × dim²-bound;
+    E[x_i x_j] − μ_i μ_j happens after the aggregate in deterministic
+    double math. This is the input a driver-side eigensolver needs —
+    dim×dim values, bounded model state, regardless of corpus size.
+    """
+    pairs = F.expr(
+        f"flatten(transform(sequence(1, {dim}), i -> "
+        f"transform(sequence(i, {dim}), j -> struct(i AS i, j AS j, "
+        "CAST(CAST(element_at(embedding, i) AS DOUBLE) "
+        "* CAST(element_at(embedding, j) AS DOUBLE) "
+        "AS DECIMAL(28,16)) AS p))))"
+    )
+    sums = (
+        emb.select(F.explode(pairs).alias("e"))
+        .select("e.i", "e.j", "e.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("sxy"), F.count("*").alias("n"))
+    )
+    mom = _dim_moments(emb).select(F.col("dim"), F.col("mu"))
+    mi = mom.select(F.col("dim").alias("i"), F.col("mu").alias("mu_i"))
+    mj = mom.select(F.col("dim").alias("j"), F.col("mu").alias("mu_j"))
+    return (
+        sums.join(F.broadcast(mi), "i")
+        .join(F.broadcast(mj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            (F.col("sxy") / F.col("n") - F.col("mu_i") * F.col("mu_j")).alias(
+                "cov"
+            ),
+        )
+    )
+
+
+@register(
+    "emb_cov_matrix",
+    oracle="""
+        WITH sums AS (
+            SELECT i, j,
+                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE)
+                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
+            CROSS JOIN unnest(generate_series(1, 64)) AS tj(j)
+            WHERE j >= i
+            GROUP BY i, j
+        ),
+        msums AS (
+            SELECT i AS dim,
+                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
+                        AS DOUBLE) AS sx,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+            GROUP BY i
+        ),
+        mom AS (SELECT dim, sx / n AS mu FROM msums)
+        SELECT s.i, s.j,
+               round(s.sxy / s.n - mi.mu * mj.mu, 6) + 0.0 AS cov
+        FROM sums s
+        JOIN mom mi ON mi.dim = s.i
+        JOIN mom mj ON mj.dim = s.j
+    """,
+    doc="Upper-triangle population covariance of the embedding matrix "
+    "— exact decimal sums, so the 64×64 result is bit-stable across "
+    "runs/partitionings/engines (the driver-side eigensolver input).",
+    tags=("embedding", "profiling"),
+)
+def emb_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return covariance_upper(table(spark, sf_dir, "embeddings")).select(
+        "i", "j", (F.round(F.col("cov"), 6) + F.lit(0.0)).alias("cov")
+    )
+
+
+def pca_fit(emb: DataFrame, m: int = PCA_M, dim: int = 64):
+    """Fit top-m principal components: ONE distributed pass for the
+    dim×dim Gram/covariance statistics (per-Arrow-batch numpy
+    ``X.T @ X`` partials via mapInPandas — shuffle carries
+    partitions × dim² floats), then a driver-side ``eigh`` of the
+    dim×dim matrix (trivial model state, like k-means centroids).
+
+    Eigenvector sign is canonicalized (largest-|component| entry made
+    positive) so the fit is deterministic up to eigenvalue ties.
+    Returns (mean, components[m × dim], explained[m]).
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i int, j int, sxy double, sx double, n long"
+
+    def _partials(batches):
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            if len(x) == 0:
+                continue
+            g = x.T @ x
+            s = x.sum(axis=0)
+            n = len(x)
+            ii, jj = np.triu_indices(x.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": ii.astype("int32") + 1,
+                    "j": jj.astype("int32") + 1,
+                    "sxy": g[ii, jj],
+                    "sx": np.where(ii == jj, s[ii], 0.0),
+                    "n": np.where((ii == 0) & (jj == 0), n, 0).astype("int64"),
+                }
+            )
+
+    agg = (
+        emb.select("embedding")
+        .mapInPandas(_partials, schema=schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    import numpy as np
+
+    n = sum(r.n for r in agg)
+    gram = np.zeros((dim, dim))
+    sums = np.zeros(dim)
+    for r in agg:
+        gram[r.i - 1, r.j - 1] = r.sxy
+        gram[r.j - 1, r.i - 1] = r.sxy
+        if r.i == r.j:
+            sums[r.i - 1] = r.sx
+    mean = sums / n
+    cov = gram / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:m]
+    comps = evecs[:, order].T  # (m, dim)
+    for c in comps:  # deterministic sign
+        k = int(np.argmax(np.abs(c)))
+        if c[k] < 0:
+            c *= -1
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    emb: DataFrame, mean, comps, round_to: int = 4
+) -> DataFrame:
+    """Map-only projection onto fitted components: the mean and the
+    m×dim component matrix inline as literals (bounded model state),
+    and each row's projection is a codegen dot-product expression —
+    no shuffle, no UDF at serving time."""
+    import numpy as np
+
+    dim = len(mean)
+    mean_arr = F.array(*[F.lit(float(v)) for v in mean])
+    outs = []
+    for ci, c in enumerate(comps):
+        carr = F.array(*[F.lit(float(v)) for v in c])
+        expr = F.aggregate(
+            F.zip_with(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    mean_arr,
+                    lambda x, mu: x - mu,
+                ),
+                carr,
+                lambda d, w: d * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        outs.append(F.round(expr, round_to).alias(f"pc{ci + 1}"))
+    return emb.select("vec_id", *outs)
+
+
+@register(
+    "emb_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; pinned
+    # by a numpy differential (projection ≡ sklearn-style PCA up to
+    # the documented sign canonicalization) in test_operators_quality.
+    doc=f"Top-{PCA_M} PCA projection: one distributed Gram pass, "
+    "driver eigh of the 64×64 covariance, map-only codegen apply.",
+    tags=("embedding", "approx"),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(emb)
+    return pca_project(emb, mean, comps)

@@ -667,3 +667,57 @@ def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
         assert abs(r.m) < 0.01, r
         assert abs(r.v - 1.0) < 0.05, r
     assert sorted(map(str, a.collect())) == sorted(map(str, fn(spark, sf_dir).collect()))
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """emb_pca_project ≡ numpy PCA of the collected matrix, up to the
+    documented sign canonicalization and the output rounding."""
+    import numpy as np
+
+    from parquet_ingestor_spark.operators.embeddings import PCA_M
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    got = {
+        r.vec_id: [r[f"pc{i + 1}"] for i in range(PCA_M)]
+        for r in REGISTRY["emb_pca_project"].fn(spark, sf_dir).collect()
+    }
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:PCA_M]].T
+    for c in comps:
+        k = int(np.argmax(np.abs(c)))
+        if c[k] < 0:
+            c *= -1
+    want = (x - mean) @ comps.T
+    for rid, w in zip(ids, want):
+        g = np.asarray(got[rid])
+        assert np.allclose(g, np.round(w, 4), atol=2e-4), (rid, g, w)
+
+
+def test_pca_fit_gram_agrees_with_exact_covariance(spark, sf_dir):
+    """The production numpy-Gram pass and the exact-decimal
+    emb_cov_matrix entry describe the same covariance (float partials
+    vs associative decimals: equal to ~1e-9)."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.embeddings import (
+        covariance_upper,
+        pca_fit,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, evals = pca_fit(emb, m=2)
+    exact = {(r.i, r.j): r.cov for r in covariance_upper(emb).collect()}
+    # rebuild the numpy covariance from the same fit inputs
+    rows = emb.select("embedding").collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    cov = (x.T @ x) / len(x) - np.outer(x.mean(axis=0), x.mean(axis=0))
+    for (i, j), v in exact.items():
+        assert abs(cov[i - 1, j - 1] - v) < 1e-8, (i, j)
+    # eigenvalues are positive and sorted for a real embedding matrix
+    assert evals[0] >= evals[1] > 0
