@@ -79,9 +79,10 @@ _LOADED = False
 #:     asof_nearest_view_purchase, sim_recall_eval (rows-only by
 #:     design), text_heavy_hitters_incremental, corpus_train_val_split,
 #:     text_unigram_entropy, q54_event_funnel, and the late-round
-#:     emb_cov_matrix + emb_pca_project (rows-only by design) — every
-#:     one is locally oracle-green (or invariant-tested) at sf0.001
-#:     and sf0.01 and covered by tools/stability_sweep.py;
+#:     emb_cov_matrix + emb_pca_project (rows-only by design) and
+#:     q74_cohort_retention — every one is locally oracle-green (or
+#:     invariant-tested) at sf0.001 and sf0.01 and covered by
+#:     tools/stability_sweep.py;
 #: (b) the 3 entries with r3 rows whose code changed in round 4 but
 #:     were displaced by never-checked entries: asof_purchase_click,
 #:     dedup_clusters_incremental, bpe_train_merges (all sweep-green);

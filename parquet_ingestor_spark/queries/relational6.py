@@ -276,3 +276,54 @@ def q73_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@register(
+    "q74_cohort_retention",
+    oracle="""
+        WITH act AS (
+            SELECT DISTINCT user_id, date_trunc('month', ts) AS m
+            FROM events
+        ),
+        firsts AS (
+            SELECT user_id, MIN(m) AS cohort FROM act GROUP BY user_id
+        )
+        SELECT strftime(cohort, '%Y-%m') AS cohort_month,
+               CAST(date_diff('month', cohort, m) AS BIGINT) AS months_since,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM act JOIN firsts USING (user_id)
+        GROUP BY cohort, m
+        ORDER BY cohort_month, months_since
+    """,
+    doc="Cohort retention matrix: users bucketed by first-active "
+    "month, counted in every subsequent active month — the classic "
+    "product-analytics shape over the events stream.",
+    tags=("relational", "events", "analytics"),
+)
+def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus reduces ONCE to the distinct (user, month) activity
+    set; the per-user first month folds from that set (the distinct's
+    exchange is reused — cohort assignment never rescans events), and
+    the cohort×month matrix is a count over the join of the two.
+    Month values only ever leave as formatted strings (the ns-vs-µs
+    timestamp rule). At 100 TB the only event-sized operation is the
+    initial distinct; everything after is bounded by users×months."""
+    act = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("month", F.col("ts")).alias("m"))
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(F.min("m").alias("cohort"))
+    return (
+        act.join(firsts, "user_id")
+        .groupBy("cohort", "m")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.months_between(F.col("m"), F.col("cohort"))
+            .cast("long")
+            .alias("months_since"),
+            "active_users",
+        )
+        .orderBy("cohort_month", "months_since")
+    )
