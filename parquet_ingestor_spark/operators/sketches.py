@@ -1,0 +1,94 @@
+"""Mergeable distinct-count sketches (Apache DataSketches HLL via
+Spark's built-in ``hll_sketch_agg`` family).
+
+``q34_approx_distinct`` already covers one-shot approximate distinct
+(HyperLogLog++). What THIS module adds is the property that matters
+operationally at 100 TB: HLL sketches are a commutative monoid, so
+per-shard / per-micro-batch partial sketches union losslessly into
+the same estimate as sketching the whole stream at once. That is the
+state shape an incremental pipeline stores (one small binary per key
+per batch) instead of re-scanning history — the same
+fold-and-merge discipline as ``text_heavy_hitters_incremental``'s
+Misra-Gries summaries, applied to cardinality.
+
+Everything is built-in JVM aggregates (no UDF anywhere); the sketch
+binaries are a few KB per key, so the merge layer's shuffle is
+keys × shards rows regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..queries import register
+
+#: log2 of the HLL register count (DataSketches lgConfigK). 12 → 4096
+#: registers ≈ 1.6% relative standard error, a few KB per sketch.
+HLL_LGK = 12
+
+
+def hll_distinct_by(
+    df: DataFrame, key: str, val: str, lgk: int = HLL_LGK
+) -> DataFrame:
+    """One-shot per-key distinct estimate: (key, est)."""
+    return df.groupBy(key).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col(val), F.lit(lgk)))
+        .alias("est")
+    )
+
+
+def hll_distinct_sharded(
+    df: DataFrame,
+    key: str,
+    val: str,
+    shard: "F.Column",
+    lgk: int = HLL_LGK,
+) -> DataFrame:
+    """The mergeable path: sketch each (key, shard) partition
+    independently, then union the partial sketches per key — the
+    incremental/streaming state shape. Returns (key, est) identical
+    (same sketch algebra) to the one-shot path."""
+    partials = (
+        df.withColumn("_shard", shard)
+        .groupBy(key, "_shard")
+        .agg(F.hll_sketch_agg(F.col(val), F.lit(lgk)).alias("sk"))
+    )
+    return partials.groupBy(key).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est")
+    )
+
+
+@register(
+    "events_hll_users",
+    oracle=None,  # the estimate is DataSketches-specific (DuckDB's
+    # approx_count_distinct is a different sketch); invariant tests pin
+    # merged ≡ one-shot (monoid law) and <5% error vs exact.
+    doc="Per-event-type distinct users via mergeable HLL sketches: "
+    "one-shot estimate, 8-shard merged estimate (must agree — sketch "
+    "union is lossless), and the exact count for error auditing.",
+    tags=("events", "sketch", "approx"),
+)
+def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregates over one narrow (event_type, user_id) scan:
+    the one-shot sketch, the sharded-then-unioned sketch (shard =
+    user_id mod 8 — any partitioning works, that is the point), and
+    the exact distinct. At scale only the sketch paths survive; the
+    exact column exists so the driver-visible output carries its own
+    error audit."""
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    oneshot = hll_distinct_by(ev, "event_type", "user_id").select(
+        "event_type", F.col("est").alias("est_users")
+    )
+    merged = hll_distinct_sharded(
+        ev, "event_type", "user_id", F.col("user_id") % 8
+    ).select("event_type", F.col("est").alias("est_merged"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        oneshot.join(merged, "event_type")
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )

@@ -80,7 +80,8 @@ _LOADED = False
 #:     design), text_heavy_hitters_incremental, corpus_train_val_split,
 #:     text_unigram_entropy, q54_event_funnel, and the late-round
 #:     emb_cov_matrix + emb_pca_project (rows-only by design) and
-#:     q74_cohort_retention — every one is locally oracle-green (or
+#:     q74_cohort_retention and events_hll_users (rows-only by
+#:     design) — every one is locally oracle-green (or
 #:     invariant-tested) at sf0.001 and sf0.01 and covered by
 #:     tools/stability_sweep.py;
 #: (b) the 3 entries with r3 rows whose code changed in round 4 but
@@ -163,6 +164,7 @@ def _ensure_loaded() -> None:
         multimodal,
         profiling,
         similarity,
+        sketches,
         skew,
         text,
     )

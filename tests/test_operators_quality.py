@@ -721,3 +721,39 @@ def test_pca_fit_gram_agrees_with_exact_covariance(spark, sf_dir):
         assert abs(cov[i - 1, j - 1] - v) < 1e-8, (i, j)
     # eigenvalues are positive and sorted for a real embedding matrix
     assert evals[0] >= evals[1] > 0
+
+
+def test_hll_merge_is_lossless_and_error_bounded(spark, sf_dir):
+    """The HLL monoid law: sharded-then-unioned sketches give the SAME
+    estimate as one-shot sketching (identical sketch algebra), and the
+    estimate lands within 5% of exact."""
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_hll_users"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est_users == r.est_merged, r
+        assert abs(r.est_users - r.exact_users) / max(1, r.exact_users) < 0.05, r
+
+
+def test_hll_merge_invariant_to_shard_count(spark, sf_dir):
+    """Any partitioning folds to the same estimate — the property that
+    makes per-micro-batch sketch state replay- and repartition-safe."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.sketches import (
+        hll_distinct_by,
+        hll_distinct_sharded,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    base = {r.event_type: r.est for r in hll_distinct_by(ev, "event_type", "user_id").collect()}
+    for nshards in (2, 5, 31):
+        got = {
+            r.event_type: r.est
+            for r in hll_distinct_sharded(
+                ev, "event_type", "user_id", F.col("user_id") % nshards
+            ).collect()
+        }
+        assert got == base, nshards
