@@ -92,3 +92,97 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "event_type")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketches (DataSketches KLL)
+
+
+def kll_quantiles_by(
+    df: DataFrame, key: str, val: str, probs: tuple[float, ...] = (0.5, 0.95)
+) -> DataFrame:
+    """One-shot per-key KLL quantiles: (key, p<prob>…)."""
+    sk = F.expr(f"kll_sketch_agg_double(CAST({val} AS DOUBLE))")
+    out = df.groupBy(key).agg(sk.alias("sk"))
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(sk, {p})").alias(_pname(p))
+        for p in probs
+    ]
+    return out.select(key, *cols)
+
+
+def _pname(p: float) -> str:
+    return "p" + str(p).replace("0.", "").ljust(2, "0")
+
+
+def kll_quantiles_sharded(
+    df: DataFrame,
+    key: str,
+    val: str,
+    shard: "F.Column",
+    probs: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """The mergeable path: one KLL sketch per (key, shard), folded per
+    key with the binary ``kll_sketch_merge_double``. The fold runs over
+    a collect_list that is BOUNDED by the shard count (a handful of
+    few-KB binaries per key — shard partials, never rows), so the
+    usual no-collect_list rule doesn't apply: this is exactly the
+    small-state merge an incremental pipeline performs per batch."""
+    partials = (
+        df.withColumn("_shard", shard)
+        .groupBy(key, "_shard")
+        .agg(
+            F.expr(f"kll_sketch_agg_double(CAST({val} AS DOUBLE))").alias("sk")
+        )
+    )
+    merged = partials.groupBy(key).agg(
+        F.expr(
+            "aggregate(slice(collect_list(sk), 2, size(collect_list(sk))),"
+            " collect_list(sk)[0],"
+            " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        ).alias("sk")
+    )
+    cols = [
+        F.expr(f"kll_sketch_get_quantile_double(sk, {p})").alias(_pname(p))
+        for p in probs
+    ]
+    return merged.select(key, *cols)
+
+
+@register(
+    "events_kll_value_quantiles",
+    oracle=None,  # KLL is a randomized sketch (DataSketches seed fixed
+    # but compaction order differs between one-shot and merged paths);
+    # invariant tests pin both paths within the published rank-error
+    # bound of the exact percentiles.
+    doc="Per-event-type p50/p95 of value via mergeable KLL sketches: "
+    "one-shot and shard-merged paths plus exact percentiles for "
+    "error auditing.",
+    tags=("events", "sketch", "approx"),
+)
+def events_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile twin of ``events_hll_users``: sketches fold across
+    shards (the incremental state shape) and the output carries the
+    exact percentile so the error is self-auditing. At 100 TB only the
+    sketch paths survive — ``percentile`` here exists for the audit
+    columns, computed on the same narrow scan."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    one = kll_quantiles_by(ev, "event_type", "value").select(
+        "event_type",
+        F.col("p50").alias("p50_sketch"),
+        F.col("p95").alias("p95_sketch"),
+    )
+    mrg = kll_quantiles_sharded(
+        ev, "event_type", "value", F.crc32(F.col("value").cast("string")) % 8
+    ).select(
+        "event_type",
+        F.col("p50").alias("p50_merged"),
+        F.col("p95").alias("p95_merged"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+    )
+    return (
+        one.join(mrg, "event_type").join(exact, "event_type").orderBy("event_type")
+    )

@@ -75,14 +75,14 @@ _LOADED = False
 #:     corpus_dsir_weights)
 #: ROUND-5 BUDGET NOTE — rotate in first next round, then resume
 #: least-recently-checked order:
-#: (a) the 8 entries still without any driver row after this round:
+#: (a) the 11 entries still without any driver row after this round:
 #:     asof_nearest_view_purchase, sim_recall_eval (rows-only by
 #:     design), text_heavy_hitters_incremental, corpus_train_val_split,
 #:     text_unigram_entropy, q54_event_funnel, and the late-round
-#:     emb_cov_matrix + emb_pca_project (rows-only by design) and
-#:     q74_cohort_retention and events_hll_users (rows-only by
-#:     design) — every one is locally oracle-green (or
-#:     invariant-tested) at sf0.001 and sf0.01 and covered by
+#:     additions emb_cov_matrix, q74_cohort_retention, and the
+#:     rows-only-by-design emb_pca_project, events_hll_users,
+#:     events_kll_value_quantiles — every one is locally oracle-green
+#:     (or invariant-tested) at sf0.001 and sf0.01 and covered by
 #:     tools/stability_sweep.py;
 #: (b) the 3 entries with r3 rows whose code changed in round 4 but
 #:     were displaced by never-checked entries: asof_purchase_click,

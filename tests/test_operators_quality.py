@@ -757,3 +757,25 @@ def test_hll_merge_invariant_to_shard_count(spark, sf_dir):
             ).collect()
         }
         assert got == base, nshards
+
+
+def test_kll_sketch_quantiles_within_rank_error(spark, sf_dir):
+    """Both KLL paths (one-shot and shard-merged) land within the
+    published rank-error envelope of the exact percentile — checked in
+    RANK space (value-space distance is meaningless for quantiles)."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_kll_value_quantiles"].fn(spark, sf_dir).collect()
+    assert rows
+    vals = {}
+    for r in table(spark, sf_dir, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for r in rows:
+        xs = sorted(vals[r.event_type])
+        n = len(xs)
+        for p, got in ((0.5, r.p50_sketch), (0.5, r.p50_merged),
+                       (0.95, r.p95_sketch), (0.95, r.p95_merged)):
+            # rank of the sketch's answer in the exact data
+            rank = sum(1 for x in xs if x <= got) / n
+            assert abs(rank - p) < 0.05, (r.event_type, p, got, rank)
