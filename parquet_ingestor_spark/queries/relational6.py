@@ -327,3 +327,93 @@ def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+@register(
+    "q75_resample_ffill",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(round(value * 1000) AS BIGINT)) AS milli
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bounds) s
+        )
+        SELECT s.event_type,
+               strftime(s.h, '%Y-%m-%d %H:00') AS hour,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events,
+               round(milli / 1000.0 / cnt, 4) AS avg_value,
+               last_value(round(milli / 1000.0 / cnt, 4) IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.h)
+                   AS ffill_value
+        FROM spine s LEFT JOIN hourly
+          ON hourly.event_type = s.event_type AND hourly.h = s.h
+        ORDER BY s.event_type, s.h
+    """,
+    doc="Hourly resample of the events stream with gap detection and "
+    "forward-fill: dense per-type time spine, zero-filled counts, "
+    "last-observation-carried-forward averages.",
+    tags=("relational", "events", "timeseries"),
+)
+def q75_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization as DataFrame algebra: the corpus
+    reduces once to (type, hour) partials — the hourly average sums
+    integer MILLIS (associative, engine-identical; see the q71 cents
+    rule) — and the dense spine is generated, never scanned
+    (sequence() over the observed bounds × the distinct type set,
+    both broadcastable). The forward-fill window partitions per type
+    and orders by hour: partition length is TIME-bounded (hours in
+    range), not data-bounded, so the Zipf-head window hazard doesn't
+    apply; at higher key cardinality the same shape range-partitions
+    by (key, coarse time bucket). Hours leave as formatted strings
+    (timestamp-precision rule)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("bigint")).alias("milli"),
+    )
+    bounds = ev.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("h"),
+        )
+    )
+    avg = F.round(F.col("milli") / 1000.0 / F.col("cnt"), 4)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("n_events"),
+            avg.alias("avg_value"),
+            F.last(avg, ignorenulls=True).over(w).alias("ffill_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
