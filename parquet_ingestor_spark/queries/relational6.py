@@ -417,3 +417,79 @@ def q75_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q76_anomalous_hours",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mu,
+                   CAST(SUM(cnt * cnt) AS DOUBLE) / COUNT(*)
+                     - (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+                       * (CAST(SUM(cnt) AS DOUBLE) / COUNT(*)) AS var
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type,
+               strftime(h.h, '%Y-%m-%d %H:00') AS hour,
+               CAST(cnt AS BIGINT) AS n_events,
+               round((cnt - mu) / sqrt(var), 4) AS zscore
+        FROM hourly h JOIN stats USING (event_type)
+        WHERE abs(cnt - mu) > 3 * sqrt(var)
+        ORDER BY h.event_type, hour
+    """,
+    doc="Volume anomaly detection: hours whose event count deviates "
+    "more than 3σ from the type's hourly mean — the monitoring query "
+    "over the ingest stream.",
+    tags=("relational", "events", "timeseries", "monitoring"),
+)
+def q76_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts are integers, so μ and σ derive from exact integer sums
+    (sum, sum-of-squares) — fully associative, no decimal cast needed,
+    and the z-scores are identical doubles in both engines. Two
+    aggregates (hourly, then per-type moments) and a broadcast join
+    back: the per-type stats table is catalog-bounded. The observed-
+    hours mean matches the oracle's definition exactly (missing hours
+    are q75's concern, not this detector's)."""
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "event_type",
+            (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+            (
+                F.col("s2").cast("double") / F.col("n")
+                - (F.col("s1").cast("double") / F.col("n"))
+                * (F.col("s1").cast("double") / F.col("n"))
+            ).alias("var"),
+        )
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(
+            F.abs(F.col("cnt") - F.col("mu")) > 3 * F.sqrt(F.col("var"))
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("cnt").cast("long").alias("n_events"),
+            F.round((F.col("cnt") - F.col("mu")) / F.sqrt(F.col("var")), 4).alias(
+                "zscore"
+            ),
+        )
+        .orderBy("event_type", "hour")
+    )
