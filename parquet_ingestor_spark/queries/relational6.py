@@ -83,7 +83,8 @@ def q69_priority_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q70_forecast_revenue",
     oracle="""
-        SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue
+        SELECT SUM(CAST(round(l_extendedprice * l_discount * 10000)
+                        AS BIGINT)) / 10000.0 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -99,8 +100,15 @@ def q70_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     all four predicates in PushedFilters — row groups whose min/max
     stats miss the bands never leave disk) feeding a partial+final
     1-row aggregate. At 100 TB this is the shape whose cost is pure
-    I/O: no shuffle carries more than 32 partial sums."""
+    I/O: no shuffle carries more than 32 partial sums. The revenue
+    sums integer TEN-THOUSANDTHS (price×discount has 4 decimal
+    digits) — the q71 cents rule — so the single global sum is
+    order-independent instead of sitting one float-merge away from a
+    rounding boundary."""
     li = table(spark, sf_dir, "lineitem")
+    units = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000, 0
+    ).cast("bigint")
     return (
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -109,11 +117,7 @@ def q70_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
-        )
+        .agg((F.sum(units) / 10000.0).alias("revenue"))
     )
 
 
