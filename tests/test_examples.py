@@ -45,3 +45,18 @@ def test_run_query_cli_list(capsys):
     assert "text_gopher_rules" in out
     assert "[oracle]" in out and "[rows-only]" in out
     assert len(out.strip().splitlines()) >= 120
+
+
+def test_ann_serving_example_runs(spark, sf_dir, capsys):
+    sys.path.insert(0, EXAMPLES_DIR)
+    import ann_serving
+
+    argv = sys.argv
+    sys.argv = ["ann_serving.py", sf_dir]
+    try:
+        ann_serving.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    assert "recall@5 audit" in out
+    assert "ivf_cosine" in out
