@@ -186,3 +186,93 @@ def events_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         one.join(mrg, "event_type").join(exact, "event_type").orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: fold per-batch HLL sketches into parquet state
+
+
+def hll_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    val: str,
+    lgk: int = HLL_LGK,
+) -> DataFrame:
+    """Union a micro-batch's per-key sketches into prior sketch state:
+    (key, sk). Pure sketch algebra — commutative and idempotent-on-
+    replay when the caller keys state by epoch."""
+    fresh = batch.groupBy(key).agg(
+        F.hll_sketch_agg(F.col(val), F.lit(lgk)).alias("sk")
+    )
+    if state is None:
+        return fresh
+    return (
+        state.select(key, "sk")
+        .unionByName(fresh)
+        .groupBy(key)
+        .agg(F.hll_union_agg(F.col("sk")).alias("sk"))
+    )
+
+
+def stream_hll_users(
+    stream_events: DataFrame,
+    state_dir: str,
+    key: str = "event_type",
+    val: str = "user_id",
+    lgk: int = HLL_LGK,
+    query_name: str = "hll_users_maintenance",
+):
+    """Structured-Streaming wrapper: maintain per-key distinct-count
+    sketches from a streaming source via ``foreachBatch`` — the same
+    epoch discipline as ``stream_heavy_hitters`` (state parquet keyed
+    by streaming batch_id; a batch reads the largest epoch STRICTLY
+    below its own id, so a crash-replay re-reads the same pre-state
+    and overwrites the same epoch instead of double-inserting —
+    though for HLL even a true double-insert is absorbed, since
+    sketch insertion is idempotent per value: the epoch discipline
+    here guards the state files, not the math).
+
+    ``sketch/<latest>`` holds (key, sk); estimate on read with
+    ``hll_sketch_estimate``. State is keys × few-KB forever,
+    regardless of stream length.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _epoch_below(bound: int) -> int:
+        p = os.path.join(state_dir, "sketch")
+        if not os.path.isdir(p):
+            return -1
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
+        return max(vs, default=-1)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _epoch_below(int(batch_id))
+        state = (
+            spark.read.parquet(os.path.join(state_dir, "sketch", f"epoch={e}"))
+            if e >= 0
+            else None
+        )
+        folded = hll_fold_batch(state, batch_df, key, val, lgk)
+        folded.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "sketch", f"epoch={int(batch_id)}")
+        )
+
+    return (
+        stream_events.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -84,3 +84,85 @@ def test_streaming_dedup_within_watermark(spark, events_stream):
     assert got.select("user_id").distinct().count() == want
     # within one watermark horizon every duplicate is dropped
     assert got.count() == want
+
+
+def test_stream_hll_users_matches_batch_and_absorbs_replay(spark, tmp_path):
+    """The streaming HLL fold converges to EXACTLY the one-shot batch
+    sketch estimate (sketch insertion is per-value idempotent and
+    union is the monoid op), and a full crash-replay changes nothing."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.sketches import (
+        hll_distinct_by,
+        stream_hll_users,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "user_id"
+    )
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        ev.filter(F.pmod("user_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    state_dir = str(tmp_path / "state")
+    q = stream_hll_users(stream, state_dir)
+    q.awaitTermination(120)
+
+    epochs = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "sketch"))
+    ]
+    assert len(epochs) >= 2
+    last = max(epochs)
+    streamed = {
+        r.event_type: r.est
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "sketch", f"epoch={last}")
+        )
+        .select(
+            "event_type",
+            F.hll_sketch_estimate(F.col("sk")).alias("est"),
+        )
+        .collect()
+    }
+    batch = {
+        r.event_type: r.est
+        for r in hll_distinct_by(ev, "event_type", "user_id").collect()
+    }
+    assert streamed == batch
+
+    # crash-replay with a fresh checkpoint over the same landing data
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    stream2 = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_hll_users(stream2, state_dir)
+    q2.awaitTermination(120)
+    epochs2 = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "sketch"))
+    ]
+    replayed = {
+        r.event_type: r.est
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "sketch", f"epoch={max(epochs2)}")
+        )
+        .select(
+            "event_type",
+            F.hll_sketch_estimate(F.col("sk")).alias("est"),
+        )
+        .collect()
+    }
+    assert replayed == batch, "replay changed the sketch state"
