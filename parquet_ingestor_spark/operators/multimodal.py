@@ -7,12 +7,17 @@ Arrow-batched ``mapInPandas`` stages, so each Python worker touches one
 columnar batch at a time and the shuffle/partition story stays pure
 Spark.
 
-Real codecs (PIL/ffmpeg/librosa) are not in this container, so decode
-is STUBBED: ``decode_image_batch`` raises ``NotImplementedError`` when
-asked for real decoding and otherwise produces a deterministic fake
-(first/last payload bytes as "dimensions"). The Spark-side contract —
-schema, batch iteration, UDF signature, partition behavior — is real
-and tested; swapping in a real decoder changes only the marked lines.
+Decode is REAL for codec-free formats: PPM (P6), uncompressed 24-bit
+BMP, and PCM WAV parse with numpy/stdlib alone (``decode_ppm``,
+``decode_bmp``, ``decode_wav_pcm``, composed by
+``extract_media_features``) — verified against ground-truth pixel/
+sample arrays. Compressed codecs (JPEG/PNG/MP3 — PIL/ffmpeg/librosa
+absent from this container) remain honestly stubbed:
+``decode_image_batch(real_decode=True)`` raises
+``NotImplementedError`` and the feature stage passes those rows
+through with null features. The Spark-side contract — schema, batch
+iteration, UDF signature, partition behavior — is identical for both
+branches, so adding a codec library changes only the per-format line.
 """
 
 from __future__ import annotations
@@ -202,3 +207,162 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = _ascii_payload(table(spark, sf_dir, "documents"))
     return extract_media_metadata(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# REAL decode for codec-free formats
+#
+# PPM (P6), uncompressed 24-bit BMP, and PCM WAV need no codec
+# library — pure numpy/stdlib parsing. Compressed formats (JPEG, PNG,
+# MP3) still raise NotImplementedError: honesty about what this
+# container can decode is the contract; the mapInPandas plumbing is
+# identical either way, so swapping in PIL/ffmpeg later changes only
+# the per-format branch.
+
+
+def sniff_format(b: bytes) -> str:
+    """Magic-byte format detection for the supported media families."""
+    if b[:2] == b"P6":
+        return "ppm"
+    if b[:2] == b"BM":
+        return "bmp"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"
+    if b[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    return "unknown"
+
+
+def decode_ppm(b: bytes):
+    """Binary PPM (P6, maxval ≤ 255) → (h, w, 3) uint8 numpy array."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(?:#[^\n]*\s+)?(\d+)\s+(\d+)\s+(\d+)[ \t\r\n]", b)
+    if not m:
+        raise ValueError("malformed PPM header")
+    w, h, maxval = (int(m.group(i)) for i in (1, 2, 3))
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    data = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(b: bytes):
+    """Uncompressed 24-bit bottom-up BMP → (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", b, 10)[0]
+    header_size, w, h = struct.unpack_from("<Iii", b, 14)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if header_size < 40 or bpp != 24 or compression != 0 or h <= 0:
+        raise ValueError("only uncompressed 24-bit bottom-up BMP supported")
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    px = np.frombuffer(
+        b, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    # stored bottom-up as BGR → flip rows, reverse channels
+    return px[::-1, :, ::-1]
+
+
+def decode_wav_pcm(b: bytes):
+    """PCM WAV (8/16-bit) → (samples ndarray [n, channels], rate)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(b)) as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        ch = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError("only 8/16-bit PCM WAV supported")
+    return arr.reshape(-1, ch), rate
+
+
+#: Unified per-blob feature row: image fields null for audio and vice
+#: versa; compressed formats carry only (fmt, n_bytes).
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def media_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch REAL feature extraction for codec-free formats.
+
+    PPM/BMP → dimensions + mean Rec.601 luma; WAV → sample count,
+    rate, RMS amplitude (int16 scale). JPEG/PNG/unknown rows pass
+    through with null features — at scale those route to a decode
+    service or a PIL-equipped cluster; this container cannot decode
+    them and does not pretend to.
+    """
+    import numpy as np
+
+    rows = []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        b = bytes(payload)
+        fmt = sniff_format(b)
+        width = height = mean_luma = n_samples = rate = rms = None
+        try:
+            if fmt == "ppm":
+                px = decode_ppm(b)
+            elif fmt == "bmp":
+                px = decode_bmp(b)
+            else:
+                px = None
+            if px is not None:
+                height, width = int(px.shape[0]), int(px.shape[1])
+                luma = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                mean_luma = float(round(luma.mean(), 4))
+            elif fmt == "wav":
+                arr, rate = decode_wav_pcm(b)
+                n_samples = int(arr.shape[0])
+                rms = float(round(np.sqrt((arr.astype(np.float64) ** 2).mean()), 4))
+        except ValueError:
+            fmt = "corrupt_" + fmt  # parse failure is data, not a crash
+        rows.append(
+            (int(doc_id), fmt, len(b), width, height, mean_luma, n_samples,
+             rate, rms)
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA])
+
+
+def extract_media_features(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas real-decode stage over a binary media column."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield media_features_batch(
+                pdf.rename(columns={id_col: "doc_id", payload_col: "payload"})
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _extract, schema=MEDIA_FEATURES_SCHEMA
+    )
