@@ -31,6 +31,16 @@ class SinkConfig:
     max_records_per_file: int = 5_000_000
     partition_cols: tuple[str, ...] = ()
     mode: str = "append"
+    #: Columns to write parquet bloom filters for: point-lookup data
+    #: skipping (`WHERE key = x` prunes row groups whose filter says
+    #: "definitely absent") — the equality complement to min/max stats
+    #: (range predicates) and Z-order (multi-dim ranges). Costs ~1 bit
+    #: ×ndv per column per row group; spend it on high-cardinality
+    #: lookup keys (ids, hashes), never low-cardinality dimensions
+    #: where min/max already prunes.
+    bloom_filter_cols: tuple[str, ...] = ()
+    #: Expected distinct values per row group for sizing the filters.
+    bloom_filter_ndv: int = 1_000_000
 
     def __post_init__(self) -> None:
         if self.codec not in CODECS:
@@ -48,6 +58,13 @@ def write_parquet(df: DataFrame, path: str, cfg: SinkConfig | None = None) -> No
         .option("compression", cfg.codec if cfg.codec != "none" else "uncompressed")
         .option("maxRecordsPerFile", cfg.max_records_per_file)
     )
+    for col in cfg.bloom_filter_cols:
+        writer = writer.option(
+            f"parquet.bloom.filter.enabled#{col}", "true"
+        ).option(
+            f"parquet.bloom.filter.expected.ndv#{col}",
+            str(cfg.bloom_filter_ndv),
+        )
     if cfg.partition_cols:
         writer = writer.partitionBy(*cfg.partition_cols)
     writer.parquet(path)

@@ -150,3 +150,39 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
         "count(*) AS n", "sum(v) AS s"
     ).first()
     assert (want.n, want.s) == (got.n, got.s)
+
+
+def test_bloom_filter_cols_written_and_readable(spark, tmp_path):
+    """SinkConfig.bloom_filter_cols plumbs the parquet bloom options:
+    the file carries the extra filter bytes (the observable footprint —
+    pyarrow's metadata API doesn't expose the offsets), and an
+    equality lookup over the written data stays correct."""
+    import glob
+    import os
+
+    from parquet_ingestor_spark.sinks import SinkConfig, write_parquet
+
+    df = spark.range(100_000).selectExpr(
+        "id", "md5(cast(id as string)) AS h"
+    ).coalesce(1)
+    plain_dir, bloom_dir = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    write_parquet(df, plain_dir, SinkConfig(mode="overwrite"))
+    write_parquet(
+        df,
+        bloom_dir,
+        SinkConfig(
+            mode="overwrite",
+            bloom_filter_cols=("h",),
+            bloom_filter_ndv=100_000,
+        ),
+    )
+    size = lambda d: sum(
+        os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+    )
+    # ~100k-ndv filter ≈ 100+ KB: detectably larger, not accidentally huge
+    delta = size(bloom_dir) - size(plain_dir)
+    assert 50_000 < delta < 1_000_000, delta
+    needle = spark.read.parquet(bloom_dir).where(
+        "h = md5(cast(77 as string))"
+    )
+    assert [r.id for r in needle.collect()] == [77]
