@@ -135,12 +135,23 @@ def kll_quantiles_sharded(
             F.expr(f"kll_sketch_agg_double(CAST({val} AS DOUBLE))").alias("sk")
         )
     )
-    merged = partials.groupBy(key).agg(
-        F.expr(
-            "aggregate(slice(collect_list(sk), 2, size(collect_list(sk))),"
-            " collect_list(sk)[0],"
-            " (acc, x) -> kll_sketch_merge_double(acc, x))"
-        ).alias("sk")
+    # ONE collect_list, folded in a separate projection: referencing
+    # collect_list three times inside a single fold expression would
+    # only be correct because Catalyst deduplicates identical
+    # aggregates into one buffer — with independent buffers their
+    # nondeterministic orders could disagree and the fold would drop
+    # one sketch and double-merge another (KLL merge is NOT
+    # idempotent). The bounded list is shard partials, never rows.
+    merged = (
+        partials.groupBy(key)
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            key,
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks)), sks[0],"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("sk"),
+        )
     )
     cols = [
         F.expr(f"kll_sketch_get_quantile_double(sk, {p})").alias(_pname(p))
