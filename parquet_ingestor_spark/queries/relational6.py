@@ -195,9 +195,11 @@ def q71_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT round(
                  100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN CAST(round(l_extendedprice
+                                        * (1 - l_discount) * 100) AS BIGINT)
                                   ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4
+                 / SUM(CAST(round(l_extendedprice
+                                  * (1 - l_discount) * 100) AS BIGINT)), 4
                ) AS promo_pct
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -213,7 +215,10 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on partkey — part is the SF-scaled side, so no broadcast hint:
     AQE decides from observed post-filter sizes. Both the PROMO and
     total sums come from the same join output in a single partial+
-    final aggregate; the CASE split costs nothing extra."""
+    final aggregate; the CASE split costs nothing extra. Both sums
+    accumulate integer CENTS (q71 rule) so the ratio — and its
+    4-decimal rounding — is a pure function of exact integers, not of
+    float merge order."""
     li = (
         table(spark, sf_dir, "lineitem")
         .where(
@@ -223,14 +228,20 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
     part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", cents).otherwise(
+                        F.lit(0).cast("bigint")
+                    )
+                )
+                / F.sum(cents),
                 4,
             ).alias("promo_pct")
         )
