@@ -1028,30 +1028,54 @@ def dsir_logweights(
     hasher DuckDB can mirror) — see :func:`_dsir_doc_buckets`.
     """
     doc_bucket = _dsir_doc_buckets(docs, buckets, bucket_hash)
-    spark = docs.sparkSession
     per_bucket = doc_bucket.groupBy("b").agg(
         F.sum("c").alias("cq"),
         F.sum(F.when(F.col("lang") == target_lang, F.col("c")).otherwise(0)).alias(
             "ct"
         ),
     )
-    spine = spark.range(buckets).select(F.col("id").alias("b"))
-    ratio = (
-        spine.join(per_bucket, "b", "left")
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + alpha)
-                    / (F.sum(F.coalesce("ct", F.lit(0))).over(Window.partitionBy()) + alpha * buckets)
-                )
-                - F.log(
-                    (F.coalesce(F.col("cq"), F.lit(0)) + alpha)
-                    / (F.sum(F.coalesce("cq", F.lit(0))).over(Window.partitionBy()) + alpha * buckets)
-                )
-            ).alias("lr"),
-        )
+    ratio = dsir_log_ratio(
+        docs.sparkSession, per_bucket, buckets=buckets, alpha=alpha
     )
+    return dsir_score(doc_bucket, ratio)
+
+
+def dsir_log_ratio(
+    spark: SparkSession,
+    counts: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """(b, lr) from a (b, ct, cq) count table: the add-α smoothed
+    target-vs-pool log-likelihood ratio over the full bucket spine
+    (absent buckets smooth to the floor). The spine is a constant
+    ``buckets`` rows; the totals fold in a single-partition window
+    over it — trivially bounded."""
+    spine = spark.range(buckets).select(F.col("id").alias("b"))
+    return spine.join(counts, "b", "left").select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                / (
+                    F.sum(F.coalesce("ct", F.lit(0))).over(Window.partitionBy())
+                    + alpha * buckets
+                )
+            )
+            - F.log(
+                (F.coalesce(F.col("cq"), F.lit(0)) + alpha)
+                / (
+                    F.sum(F.coalesce("cq", F.lit(0))).over(Window.partitionBy())
+                    + alpha * buckets
+                )
+            )
+        ).alias("lr"),
+    )
+
+
+def dsir_score(doc_bucket: DataFrame, ratio: DataFrame) -> DataFrame:
+    """(doc_id, dsir_logweight): score per-doc bucket counts against a
+    (b, lr) log-ratio table (broadcast — constant size)."""
     return (
         doc_bucket.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
@@ -1114,4 +1138,104 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     same aggregate."""
     return dsir_logweights(
         table(spark, sf_dir, "documents"), bucket_hash="md5"
+    )
+
+
+def dsir_target_counts(
+    target_docs: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    bucket_hash: str = "xxhash64",
+) -> DataFrame:
+    """(b, ct): the FIXED target-domain bucket counts a streaming DSIR
+    scorer is configured with — computed once from the curated target
+    corpus, ≤ ``buckets`` rows forever."""
+    return (
+        _dsir_doc_buckets(target_docs, buckets, bucket_hash)
+        .groupBy("b")
+        .agg(F.sum("c").alias("ct"))
+    )
+
+
+def stream_dsir_weights(
+    stream_docs: DataFrame,
+    state_dir: str,
+    target_counts: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    bucket_hash: str = "xxhash64",
+    query_name: str = "dsir_maintenance",
+):
+    """Online DSIR: score each arriving micro-batch against the fixed
+    target model and the pool model ACCUMULATED SO FAR, maintaining
+    the pool's bucket counts as epoch-keyed parquet state (the
+    heavy-hitters/HLL epoch discipline: a batch reads the largest
+    epoch strictly below its own id and overwrites its own, so a
+    crash-replay re-derives identical state — counts are exact
+    integers, so the fold is bit-idempotent).
+
+    Outputs per epoch: ``pool/epoch=N`` (b, cq — the updated model)
+    and ``weights/epoch=N`` (doc_id, dsir_logweight — that batch's
+    docs scored on the updated model). Early batches score against a
+    smaller pool by construction (that IS online importance
+    estimation); re-score historical docs against ``pool/<latest>``
+    with :func:`dsir_score` when a final consistent pass is needed.
+    State is ≤ ``buckets`` integer rows regardless of stream length.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _epoch_below(bound: int) -> int:
+        p = os.path.join(state_dir, "pool")
+        if not os.path.isdir(p):
+            return -1
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
+        return max(vs, default=-1)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _epoch_below(int(batch_id))
+        doc_bucket = _dsir_doc_buckets(batch_df, buckets, bucket_hash)
+        fresh = doc_bucket.groupBy("b").agg(F.sum("c").alias("cq"))
+        if e >= 0:
+            prior = spark.read.parquet(
+                os.path.join(state_dir, "pool", f"epoch={e}")
+            )
+            pool = (
+                prior.unionByName(fresh).groupBy("b").agg(
+                    F.sum("cq").alias("cq")
+                )
+            )
+        else:
+            pool = fresh
+        pool.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "pool", f"epoch={int(batch_id)}")
+        )
+        pool_back = spark.read.parquet(
+            os.path.join(state_dir, "pool", f"epoch={int(batch_id)}")
+        )
+        counts = pool_back.join(target_counts, "b", "full").select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+        ratio = dsir_log_ratio(spark, counts, buckets=buckets, alpha=alpha)
+        dsir_score(doc_bucket, ratio).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "weights", f"epoch={int(batch_id)}")
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
     )

@@ -166,3 +166,111 @@ def test_stream_hll_users_matches_batch_and_absorbs_replay(spark, tmp_path):
         .collect()
     }
     assert replayed == batch, "replay changed the sketch state"
+
+
+def test_stream_dsir_converges_to_batch_pool_and_replays(spark, tmp_path):
+    """Streaming DSIR: the pool's bucket counts converge to EXACTLY
+    the one-shot batch counts (integer fold), the final batch's
+    weights equal scoring those docs against the final model, and a
+    crash-replay reproduces identical state and weights."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.mixture import (
+        _dsir_doc_buckets,
+        dsir_log_ratio,
+        dsir_score,
+        dsir_target_counts,
+        stream_dsir_weights,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", "text"
+    )
+    target = dsir_target_counts(docs.where(F.col("lang") == "en"))
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        docs.filter(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    state_dir = str(tmp_path / "state")
+    q = stream_dsir_weights(stream, state_dir, target)
+    q.awaitTermination(120)
+
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "pool"))
+    )
+    assert len(epochs) >= 2
+    last = epochs[-1]
+
+    # pool converged to the exact one-shot counts
+    streamed_pool = {
+        r.b: r.cq
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "pool", f"epoch={last}")
+        ).collect()
+    }
+    batch_pool = {
+        r.b: r.cq
+        for r in _dsir_doc_buckets(docs, 1024)
+        .groupBy("b")
+        .agg(F.sum("c").alias("cq"))
+        .collect()
+    }
+    assert streamed_pool == batch_pool
+
+    # last batch's weights == scoring those docs against the final model
+    got_w = {
+        r.doc_id: r.dsir_logweight
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "weights", f"epoch={last}")
+        ).collect()
+    }
+    counts = (
+        spark.read.parquet(os.path.join(state_dir, "pool", f"epoch={last}"))
+        .join(target, "b", "full")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cq", F.lit(0)).alias("cq"),
+        )
+    )
+    ratio = dsir_log_ratio(spark, counts)
+    last_docs = docs.filter(F.pmod("doc_id", F.lit(3)) == 2)
+    want_w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_score(_dsir_doc_buckets(last_docs, 1024), ratio).collect()
+    }
+    assert set(got_w) == set(want_w)
+    for k in want_w:
+        assert abs(got_w[k] - want_w[k]) < 1e-9, k
+
+    # crash-replay: fresh checkpoint, same state — nothing changes
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    stream2 = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_dsir_weights(stream2, state_dir, target)
+    q2.awaitTermination(120)
+    epochs2 = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "pool"))
+    )
+    replayed = {
+        r.b: r.cq
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "pool", f"epoch={epochs2[-1]}")
+        ).collect()
+    }
+    assert replayed == batch_pool, "replay double-counted the pool"
