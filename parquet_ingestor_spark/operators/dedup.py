@@ -684,3 +684,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity resolution: SymSpell deletion-neighborhood blocking
+
+
+def symspell_pairs(
+    rows: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All id pairs whose ``name_col`` values are within Levenshtein
+    distance ``max_dist`` (currently 1) — entity resolution over a
+    structured field, DETERMINISTICALLY complete (unlike LSH banding):
+
+    SymSpell property (symmetric delete, public algorithm — Garbe's
+    SymSpell): ed(a,b) ≤ 1 iff a's and b's single-deletion
+    neighborhoods (each string plus its length-L single-deletions)
+    intersect. So each row emits L+1 variant keys (hashed — the
+    exchange carries xxhash64 longs, never variant strings; a hash
+    collision only adds a candidate, which verification removes), the
+    self-join on the key yields a complete candidate set, and one
+    ``levenshtein`` filter verifies. Work per row is O(L) variants
+    against the O(n) all-pairs baseline; the join's key cardinality
+    (distinct variants) keeps candidates near-linear for id-like and
+    natural-language names alike.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "deletion neighborhoods for ed>1 (all k-deletions) not wired"
+        )
+    variants = rows.select(
+        F.col(id_col).alias("rid"),
+        F.col(name_col).alias("name"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({name_col})), i -> "
+                f"CASE WHEN i = 0 THEN {name_col} "
+                f"ELSE concat(substring({name_col}, 1, i - 1), "
+                f"substring({name_col}, i + 1)) END)"
+            )
+        ).alias("variant"),
+    ).select("rid", "name", F.xxhash64("variant").alias("vk"))
+    a = variants.select(
+        F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "vk"
+    )
+    b = variants.select(
+        F.col("rid").alias("id_b"), F.col("name").alias("name_b"), "vk"
+    )
+    return (
+        a.join(b, "vk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") <= max_dist)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "dedup_fuzzy_names",
+    oracle="""
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Customer pairs within Levenshtein distance 1 — fuzzy entity "
+    "resolution via SymSpell deletion blocking (complete, verified); "
+    "the oracle is the quadratic all-pairs definition.",
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return symspell_pairs(
+        table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

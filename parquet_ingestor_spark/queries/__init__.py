@@ -75,12 +75,12 @@ _LOADED = False
 #:     corpus_dsir_weights)
 #: ROUND-5 BUDGET NOTE — rotate in first next round, then resume
 #: least-recently-checked order:
-#: (a) the 13 entries still without any driver row after this round:
+#: (a) the entries still without any driver row after this round:
 #:     asof_nearest_view_purchase, sim_recall_eval (rows-only by
 #:     design), text_heavy_hitters_incremental, corpus_train_val_split,
 #:     text_unigram_entropy, q54_event_funnel, and the late-round
 #:     additions emb_cov_matrix, q74_cohort_retention, q75_resample_ffill,
-#:     q76_anomalous_hours, and the
+#:     q76_anomalous_hours, dedup_fuzzy_names, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by

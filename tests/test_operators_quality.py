@@ -779,3 +779,37 @@ def test_kll_sketch_quantiles_within_rank_error(spark, sf_dir):
             # rank of the sketch's answer in the exact data
             rank = sum(1 for x in xs if x <= got) / n
             assert abs(rank - p) < 0.05, (r.event_type, p, got, rank)
+
+
+def test_symspell_pairs_complete_vs_quadratic(spark):
+    """SymSpell blocking finds EXACTLY the quadratic-definition pairs
+    on a planted vocabulary: substitution, deletion, insertion, and
+    equal-string duplicates all ed≤1; distant names excluded."""
+    from parquet_ingestor_spark.operators.dedup import symspell_pairs
+
+    names = ["martha", "marta", "martha", "marsha", "marthaa",
+             "bertha", "xavier", "xavie", "x"]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in symspell_pairs(df, "rid", "name").collect()
+    }
+
+    def ed(a, b):  # quadratic reference
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j): ed(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and ed(a, b) <= 1
+    }
+    assert got == want
