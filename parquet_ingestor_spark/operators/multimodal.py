@@ -366,3 +366,74 @@ def extract_media_features(
     return media.select(id_col, payload_col).mapInPandas(
         _extract, schema=MEDIA_FEATURES_SCHEMA
     )
+
+
+#: Resize stage output: resized raster re-encoded as binary PPM (the
+#: codec-free interchange format), plus the realized dimensions.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("resized_ppm", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_nn(px, out_w: int, out_h: int):
+    """Nearest-neighbor resample of an (h, w, 3) uint8 array — pure
+    numpy index arithmetic, the standard NN rule (src = floor((i+0.5)
+    * in/out))."""
+    import numpy as np
+
+    in_h, in_w = px.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * in_h / out_h).astype(int), in_h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * in_w / out_w).astype(int), in_w - 1)
+    return px[ys][:, xs]
+
+
+def encode_ppm(px) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (decode_ppm's inverse)."""
+    h, w = px.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def resize_media(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """mapInPandas resize stage: PPM/BMP payloads decode, NN-resample
+    to (out_w, out_h), and re-encode as PPM; compressed or non-image
+    payloads pass through with null raster (same honesty contract as
+    the feature stage). The uniform fixed-size output raster is what a
+    vision-model preprocessing pipeline feeds the patchifier."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                out = w = h = None
+                try:
+                    if fmt == "ppm":
+                        out = resize_nn(decode_ppm(b), out_w, out_h)
+                    elif fmt == "bmp":
+                        out = resize_nn(decode_bmp(b), out_w, out_h)
+                except ValueError:
+                    fmt = "corrupt_" + fmt
+                if out is not None:
+                    w, h = out_w, out_h
+                    out = encode_ppm(out)
+                rows.append((int(doc_id), fmt, w, h, out))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _resize, schema=RESIZED_SCHEMA
+    )

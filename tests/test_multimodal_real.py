@@ -120,3 +120,41 @@ def test_media_features_end_to_end(spark, rng):
     assert got[4].fmt == "jpeg"
     assert got[4].width is None and got[4].rms is None
     assert got[4].n_bytes == len(rows[3][1])
+
+
+def test_resize_nn_matches_numpy_reference(rng):
+    from parquet_ingestor_spark.operators.multimodal import resize_nn
+
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    out = resize_nn(px, 4, 5)
+    assert out.shape == (5, 4, 3)
+    for i in range(5):
+        for j in range(4):
+            si = min(int((i + 0.5) * 10 / 5), 9)
+            sj = min(int((j + 0.5) * 7 / 4), 6)
+            assert (out[i, j] == px[si, sj]).all()
+    # identity resize is lossless
+    assert np.array_equal(resize_nn(px, 7, 10), px)
+
+
+def test_resize_media_end_to_end(spark, rng):
+    from parquet_ingestor_spark.operators.multimodal import (
+        decode_ppm,
+        resize_media,
+        resize_nn,
+    )
+
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_ppm_bytes(px))),
+        (2, bytearray(_bmp_bytes(px))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\n compressed")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in resize_media(media, 4, 4).collect()}
+    want = resize_nn(px, 4, 4)
+    for doc in (1, 2):
+        r = got[doc]
+        assert (r.width, r.height) == (4, 4)
+        assert np.array_equal(decode_ppm(bytes(r.resized_ppm)), want)
+    assert got[3].fmt == "png" and got[3].resized_ppm is None
