@@ -437,3 +437,54 @@ def resize_media(
     return media.select(id_col, payload_col).mapInPandas(
         _resize, schema=RESIZED_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame,
+    window_samples: int = 1024,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Real audio windowing: PCM WAV payloads decode and split into
+    fixed-length sample windows, one (win_idx, n, rms) row each —
+    the per-window energy envelope voice-activity/segmentation
+    pipelines start from. 1→N mapInPandas like frame sampling;
+    non-WAV payloads contribute no rows (they are the image path's
+    business). Multi-channel audio folds channels into the window RMS
+    (energy over all samples in the window)."""
+    import numpy as np
+
+    def _windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                if sniff_format(b) != "wav":
+                    continue
+                try:
+                    arr, _rate = decode_wav_pcm(b)
+                except ValueError:
+                    continue
+                flat = arr.astype(np.float64)
+                total = flat.shape[0]
+                for w in range((total + window_samples - 1) // window_samples):
+                    seg = flat[w * window_samples : (w + 1) * window_samples]
+                    rms = float(round(np.sqrt((seg**2).mean()), 4))
+                    rows.append((int(doc_id), w, int(seg.shape[0]), rms))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_WINDOW_SCHEMA]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _windows, schema=AUDIO_WINDOW_SCHEMA
+    )

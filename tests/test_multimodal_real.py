@@ -158,3 +158,23 @@ def test_resize_media_end_to_end(spark, rng):
         assert (r.width, r.height) == (4, 4)
         assert np.array_equal(decode_ppm(bytes(r.resized_ppm)), want)
     assert got[3].fmt == "png" and got[3].resized_ppm is None
+
+
+def test_audio_windows_match_numpy(spark):
+    from parquet_ingestor_spark.operators.multimodal import audio_windows
+
+    t = np.arange(2500)
+    # amplitude ramps per window so each RMS is distinct
+    sig = (np.where(t < 1024, 1000, np.where(t < 2048, 4000, 8000))
+           * np.sin(2 * np.pi * 110 * t / 8000)).astype(np.int16)
+    rows = [(9, bytearray(_wav_bytes(sig))), (10, bytearray(b"not audio"))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r.doc_id, r.win_idx): (r.n, r.rms)
+           for r in audio_windows(media, window_samples=1024).collect()}
+    assert set(k[0] for k in got) == {9}  # non-wav contributes nothing
+    assert len(got) == 3
+    for w in range(3):
+        seg = sig[w * 1024 : (w + 1) * 1024].astype(np.float64)
+        n, rms = got[(9, w)]
+        assert n == len(seg)
+        assert rms == round(float(np.sqrt((seg**2).mean())), 4)
