@@ -22,6 +22,10 @@ SHOWCASE = (
     "dedup_minhash_lsh",  # MinHash-LSH near-dup pairs
     "sim_bruteforce_topk",  # cosine top-k similarity
     "text_quality",  # document quality scoring
+    "q71_returned_items",  # TPC-H Q10 shape: agg-before-joinback top-20
+    "corpus_dsir_weights",  # DSIR target-likeness importance weights
+    "q75_resample_ffill",  # gap-filled hourly series with forward-fill
+    "dedup_fuzzy_names",  # SymSpell fuzzy entity resolution
 )
 
 
@@ -34,8 +38,10 @@ def main() -> None:
         q = REGISTRY[name]
         print(f"\n=== {name} — {q.doc}")
         q.fn(spark, sf_dir).show(5, truncate=60)
-    spark.stop()
+    return spark
 
 
 if __name__ == "__main__":
-    main()
+    # only the script path owns (and therefore stops) the session;
+    # in-process callers (tests) keep theirs alive
+    main().stop()

@@ -60,3 +60,18 @@ def test_ann_serving_example_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     assert "recall@5 audit" in out
     assert "ivf_cosine" in out
+
+
+def test_queries_demo_example_runs(spark, sf_dir, capsys):
+    sys.path.insert(0, EXAMPLES_DIR)
+    import queries_demo
+
+    argv = sys.argv
+    sys.argv = ["queries_demo.py", sf_dir]
+    try:
+        queries_demo.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    for name in queries_demo.SHOWCASE:
+        assert name in out
