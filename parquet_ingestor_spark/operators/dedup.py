@@ -701,32 +701,46 @@ def symspell_pairs(
     structured field, DETERMINISTICALLY complete (unlike LSH banding):
 
     SymSpell property (symmetric delete, public algorithm — Garbe's
-    SymSpell): ed(a,b) ≤ 1 iff a's and b's single-deletion
-    neighborhoods (each string plus its length-L single-deletions)
-    intersect. So each row emits L+1 variant keys (hashed — the
-    exchange carries xxhash64 longs, never variant strings; a hash
-    collision only adds a candidate, which verification removes), the
-    self-join on the key yields a complete candidate set, and one
-    ``levenshtein`` filter verifies. Work per row is O(L) variants
-    against the O(n) all-pairs baseline; the join's key cardinality
-    (distinct variants) keeps candidates near-linear for id-like and
-    natural-language names alike.
+    SymSpell): ed(a,b) ≤ k iff a's and b's ≤k-deletion neighborhoods
+    (each string plus every way of deleting up to k characters)
+    intersect — each side deletes its edited positions. So each row
+    emits O(L^k) variant keys (hashed — the exchange carries xxhash64
+    longs, never variant strings; a hash collision only adds a
+    candidate, which verification removes), the self-join on the key
+    yields a complete candidate set, and one ``levenshtein`` filter
+    verifies. k=1 costs L+1 variants/row; k=2 adds the C(L,2) double
+    deletions — still O(L²) per row against the O(n) all-pairs
+    baseline, but spend it only when the match policy truly needs
+    two-edit tolerance.
     """
-    if max_dist != 1:
-        raise NotImplementedError(
-            "deletion neighborhoods for ed>1 (all k-deletions) not wired"
+    if max_dist not in (1, 2):
+        raise NotImplementedError("deletion neighborhoods wired for k ≤ 2")
+    single = (
+        f"transform(sequence(0, length({name_col})), i -> "
+        f"CASE WHEN i = 0 THEN {name_col} "
+        f"ELSE concat(substring({name_col}, 1, i - 1), "
+        f"substring({name_col}, i + 1)) END)"
+    )
+    if max_dist == 1:
+        variant_expr = single
+    else:
+        # double deletions: remove positions i < j in ONE pass over the
+        # original string (delete j first so i's index is unshifted).
+        # CASE-guarded: Spark's sequence(1, 0) DESCENDS instead of
+        # being empty, so strings shorter than 2 chars skip the pairs.
+        variant_expr = (
+            f"concat({single}, CASE WHEN length({name_col}) < 2 "
+            f"THEN array() ELSE flatten(transform("
+            f"sequence(1, length({name_col}) - 1), i -> "
+            f"transform(sequence(i + 1, length({name_col})), j -> "
+            f"concat(substring({name_col}, 1, i - 1), "
+            f"substring({name_col}, i + 1, j - i - 1), "
+            f"substring({name_col}, j + 1))))) END)"
         )
     variants = rows.select(
         F.col(id_col).alias("rid"),
         F.col(name_col).alias("name"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, length({name_col})), i -> "
-                f"CASE WHEN i = 0 THEN {name_col} "
-                f"ELSE concat(substring({name_col}, 1, i - 1), "
-                f"substring({name_col}, i + 1)) END)"
-            )
-        ).alias("variant"),
+        F.explode(F.expr(variant_expr)).alias("variant"),
     ).select("rid", "name", F.xxhash64("variant").alias("vk"))
     a = variants.select(
         F.col("rid").alias("id_a"), F.col("name").alias("name_a"), "vk"

@@ -813,3 +813,37 @@ def test_symspell_pairs_complete_vs_quadratic(spark):
         if i < j and ed(a, b) <= 1
     }
     assert got == want
+
+
+def test_symspell_k2_complete_vs_quadratic(spark):
+    """k=2 deletion neighborhoods: exactly the quadratic ed≤2 pairs —
+    covering double substitutions, sub+del, double insertions, and
+    short strings (the sequence(1,0)-descends edge)."""
+    from parquet_ingestor_spark.operators.dedup import symspell_pairs
+
+    names = ["martha", "marta", "mart", "marsha", "morsho", "marthaxy",
+             "bertha", "b", "", "ab"]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, ["rid", "name"])
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in symspell_pairs(df, "rid", "name", max_dist=2).collect()
+    }
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j): ed(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and ed(a, b) <= 2
+    }
+    assert got == want
