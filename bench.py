@@ -71,7 +71,11 @@ HEADLINE = (
     "text_zipf_fit",
     "q71_returned_items",
     "corpus_dsir_weights",
+    "corpus_dsir_weights_fast",
 )
+# corpus_dsir_weights (md5 feature hashing) is the oracle twin the
+# driver gate checks; _fast (xxhash64) is what production runs — both
+# stay under bench watch so the twins can't silently diverge in cost.
 # sim_recall_eval is deliberately NOT a headline entry: it is an
 # offline index audit whose cost is three exact-baseline corpus scans
 # plus driver-side codebook fits — benching it would measure the

@@ -1239,3 +1239,17 @@ def stream_dsir_weights(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "corpus_dsir_weights_fast",
+    oracle=None,  # same computation as corpus_dsir_weights with the
+    # xxhash64 feature hasher (no DuckDB twin exists for xxhash64);
+    # the planted ranking/identity tests run THIS path, and the md5
+    # entry carries the cross-engine oracle.
+    doc="Production-path DSIR weights (xxhash64 feature hashing — one "
+    "long hash per gram instead of the md5 hex chain).",
+    tags=("corpus", "mixture", "importance-sampling", "approx"),
+)
+def corpus_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_logweights(table(spark, sf_dir, "documents"))
