@@ -375,3 +375,77 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), "rk", "score")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "text_length_gini",
+    oracle="""
+        WITH lens AS (
+            SELECT source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        t -> t != '')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, n_tok,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_tok, n_tok
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n,
+                   SUM(n_tok) OVER (PARTITION BY source) AS tot
+            FROM lens
+        )
+        SELECT source,
+               CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(tot) AS BIGINT) AS total_tokens,
+               round(2.0 * SUM(rk * n_tok) / (MAX(n) * MAX(tot))
+                     - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+        FROM ranked GROUP BY source
+        ORDER BY source
+    """,
+    doc="Per-source Gini coefficient of document token counts — a "
+    "heterogeneity diagnostic (a source mixing tweets with books "
+    "shows a high Gini before any length filter is tuned).",
+    tags=("corpus", "profiling"),
+)
+def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini from the sorted-rank identity G = 2·Σ(r·x)/(n·Σx) −
+    (n+1)/n: ONE narrow scan computes token counts in codegen, a
+    per-source rank window orders them (partitions are source-bounded
+    — catalog-sized, not Zipf-keyed), and every sum is over exact
+    integers, so the coefficient is identical across engines and
+    partitionings. Ties rank deterministically (row_number over equal
+    keys is positionally arbitrary but the Σ r·x contribution of a
+    tie-block is order-invariant: equal x share the same sum of
+    ranks)."""
+    lens = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("n_tok")
+    ranked = lens.select(
+        "source",
+        "n_tok",
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.col("rk") * F.col("n_tok")).alias("rx"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.round(
+                2.0 * F.col("rx") / (F.col("n_docs") * F.col("total_tokens"))
+                - (F.col("n_docs") + 1.0) / F.col("n_docs"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

@@ -81,7 +81,8 @@ _LOADED = False
 #:     text_unigram_entropy, q54_event_funnel, and the late-round
 #:     additions emb_cov_matrix, q74_cohort_retention, q75_resample_ffill,
 #:     q76_anomalous_hours, dedup_fuzzy_names,
-#:     corpus_dsir_weights_fast (rows-only by design), and the
+#:     corpus_dsir_weights_fast (rows-only by design),
+#:     text_length_gini, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by

@@ -165,3 +165,24 @@ def test_dim_stats_planted_constant_and_known_dims(spark, tmp_path):
         assert got[d].dim_mean == 1.5 and got[d].dim_var == 0.0
     # dims 4..64 hold vec_id ∈ {0,1,2,3}: mean 1.5, var_pop 1.25
     assert got[10].dim_mean == 1.5 and got[10].dim_var == 1.25
+
+
+def test_length_gini_bounds_and_planted_extremes(spark):
+    """Gini invariants: uniform lengths ⇒ 0; one doc owning nearly all
+    tokens ⇒ → (n-1)/n; always within [0, 1)."""
+    from parquet_ingestor_spark.operators.profiling import text_length_gini
+    import pyspark.sql.functions as F
+    import tempfile
+
+    rows = (
+        [(i, "tok " * 10, "en", "uniform", 40) for i in range(10)]
+        + [(100 + i, "tok", "en", "skewed", 3) for i in range(9)]
+        + [(199, "tok " * 1000, "en", "skewed", 4000)]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.source: r.gini for r in text_length_gini(spark, d).collect()}
+    assert got["uniform"] == 0.0
+    assert 0.8 < got["skewed"] < 1.0
