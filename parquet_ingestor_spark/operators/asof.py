@@ -270,3 +270,58 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "asof_tolerance_purchase_click",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts, event_id AS purchase_id FROM events
+            WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, ts, event_id AS click_id FROM events
+            WHERE event_type = 'click'
+        )
+        SELECT p.purchase_id, p.user_id,
+               CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR
+                    THEN c.click_id END AS click_id
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.purchase_id
+    """,
+    doc="Backward as-of with a 1-hour tolerance: a purchase only "
+    "attributes to a click within the window (pandas "
+    "merge_asof(tolerance=...) semantics — stale matches null out, "
+    "left rows survive).",
+    tags=("join", "asof"),
+)
+def asof_tolerance_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance composes on TOP of the backward as-of: the nearest
+    preceding click is by definition the closest one, so nulling
+    matches older than the window after the join is exactly pandas'
+    tolerance rule — no second join or window. The Δt comparison runs
+    on epoch seconds as doubles (µs-resolution epoch values are exact
+    in a 52-bit mantissa), so the boundary case agrees with the
+    oracle's native interval arithmetic."""
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(purchases, clicks, on="user_id")
+    within = (
+        F.col("ts").cast("double") - F.col("click_ts").cast("double")
+    ) <= 3600.0
+    return (
+        joined.select(
+            "purchase_id",
+            "user_id",
+            F.when(within, F.col("click_id")).alias("click_id"),
+        )
+        .orderBy("purchase_id")
+    )

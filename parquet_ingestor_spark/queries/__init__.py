@@ -82,7 +82,8 @@ _LOADED = False
 #:     additions emb_cov_matrix, q74_cohort_retention, q75_resample_ffill,
 #:     q76_anomalous_hours, dedup_fuzzy_names,
 #:     corpus_dsir_weights_fast (rows-only by design),
-#:     text_length_gini, and the
+#:     text_length_gini, q77_copurchase_pairs,
+#:     asof_tolerance_purchase_click, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by

@@ -508,3 +508,51 @@ def q76_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q77_copurchase_pairs",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   a.l_orderkey AS ok
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+        )
+        SELECT part_a, part_b,
+               CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+        FROM pairs
+        GROUP BY part_a, part_b
+        HAVING COUNT(DISTINCT ok) >= 2
+        ORDER BY n_orders DESC, part_a, part_b
+    """,
+    doc="Market-basket co-occurrence: part pairs appearing together "
+    "in at least 2 orders — the association-mining / co-occurrence-"
+    "statistics shape (pair explode bounded by basket size).",
+    tags=("relational", "join", "cooccurrence"),
+)
+def q77_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair generation self-joins WITHIN the orderkey — fan-out is
+    C(basket,2), bounded by the ~7-line order cap, never corpus-
+    quadratic — and rides one orderkey shuffle (ReusedExchange serves
+    both sides of the self-join). The support count is distinct-orders
+    per pair: map-side combinable after the pair explode, heavy-pair
+    skew bounded by order count per pair. The same shape computes
+    token/document co-occurrence statistics in a corpus pipeline."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count_distinct("ok").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )
