@@ -556,3 +556,52 @@ def q77_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
+
+
+@register(
+    "q78_shipping_lag_stats",
+    oracle="""
+        WITH lags AS (
+            SELECT o_orderpriority,
+                   date_diff('day', o_orderdate, l_shipdate) AS lag_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(MIN(lag_days) AS BIGINT) AS min_lag,
+               round(quantile_cont(lag_days, 0.5), 2) AS p50_lag,
+               round(quantile_cont(lag_days, 0.9), 2) AS p90_lag,
+               CAST(MAX(lag_days) AS BIGINT) AS max_lag
+        FROM lags
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    doc="Operational latency analytics: order-to-ship lag percentiles "
+    "per priority class (exact percentiles over integer day lags — "
+    "Spark percentile ≡ DuckDB quantile_cont).",
+    tags=("relational", "join", "percentile", "timeseries"),
+)
+def q78_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact⋈dim join computes the integer day lag in codegen; the
+    per-priority percentile is the only memory-heavy step and groups
+    by a 5-value key (catalog-bounded groups — the q37 sketch path is
+    the move when the group key is data-scaled). Integer lags make
+    the interpolated percentiles exact in both engines."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.min("lag_days").cast("long").alias("min_lag"),
+            F.round(F.expr("percentile(lag_days, 0.5)"), 2).alias("p50_lag"),
+            F.round(F.expr("percentile(lag_days, 0.9)"), 2).alias("p90_lag"),
+            F.max("lag_days").cast("long").alias("max_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )
