@@ -605,3 +605,59 @@ def q78_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q79_interevent_gaps",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch(ts - lag(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                   )) AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+               round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s
+        FROM gaps
+        WHERE gap_s IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Behavioral cadence: per-type percentiles of the gap between "
+    "a user's consecutive events of that type.",
+    tags=("relational", "events", "window", "timeseries"),
+)
+def q79_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag window partitions by (user, type) — partition length is
+    bounded by one user's activity, never a Zipf-head key — with a
+    full (ts, event_id) ordering so equal-timestamp ties are
+    deterministic in both engines. Gap seconds subtract exact
+    µs-resolution epoch doubles; the per-type percentile groups are
+    catalog-bounded."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (
+                F.col("ts").cast("double")
+                - F.lag(F.col("ts").cast("double")).over(w)
+            ).alias("gap_s"),
+        )
+        .where(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
