@@ -449,3 +449,96 @@ def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_js_divergence",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(list_filter(string_split(text, ' '),
+                   t -> t != '')) AS token
+            FROM documents
+        ),
+        cnt AS (
+            SELECT source, token, COUNT(*) AS c
+            FROM tok GROUP BY source, token
+        ),
+        tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+        p AS (
+            SELECT cnt.source, token, c * 1.0 / n AS p
+            FROM cnt JOIN tot USING (source)
+        ),
+        common AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   SUM(a.p * ln(2.0 * a.p / (a.p + b.p))) AS s1,
+                   SUM(b.p * ln(2.0 * b.p / (a.p + b.p))) AS s2,
+                   SUM(a.p) AS ma, SUM(b.p) AS mb
+            FROM p a JOIN p b
+              ON a.token = b.token AND a.source < b.source
+            GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b,
+               round((0.5 * (s1 + (1 - ma) * ln(2.0))
+                    + 0.5 * (s2 + (1 - mb) * ln(2.0))) / ln(2.0), 4)
+                   AS js_bits
+        FROM common
+        ORDER BY source_a, source_b
+    """,
+    doc="Pairwise Jensen-Shannon divergence (bits) between source "
+    "unigram distributions — the distributional drift measure that "
+    "complements corpus_source_overlap's set-based n-gram matrix.",
+    tags=("corpus", "profiling", "drift"),
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS from the closed form over the SHARED vocabulary only:
+    tokens private to one source contribute exactly p·ln2 to their
+    side's KL (the mixture halves them), so JS = ½[S₁+(1−mₐ)ln2] +
+    ½[S₂+(1−m_b)ln2] with S/m summed over the inner token join — no
+    full-outer join and no explicit zero rows. The corpus reduces once
+    to per-source token counts; the pair join rides the token
+    partitioning and aggregates to ≤|sources|² rows. Bounded in
+    [0, 1] bits — pinned by tests along with the identity JS(p,p)=0.
+    A pair sharing NO token produces no row (its JS is exactly 1
+    bit); the matrix therefore enumerates only overlapping pairs,
+    which is the interesting set for drift monitoring.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.filter(F.split("text", " "), lambda w: w != F.lit(""))
+        ).alias("token"),
+    )
+    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "token", (F.col("c") * 1.0 / F.col("n")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("pb")
+    )
+    ln2 = 0.6931471805599453
+    common = (
+        a.join(b, "token")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb")))
+            ).alias("s1"),
+            F.sum(
+                F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("s2"),
+            F.sum("pa").alias("ma"),
+            F.sum("pb").alias("mb"),
+        )
+    )
+    js = (
+        0.5 * (F.col("s1") + (1 - F.col("ma")) * ln2)
+        + 0.5 * (F.col("s2") + (1 - F.col("mb")) * ln2)
+    ) / ln2
+    return common.select(
+        "source_a", "source_b", F.round(js, 4).alias("js_bits")
+    ).orderBy("source_a", "source_b")

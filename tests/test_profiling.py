@@ -186,3 +186,30 @@ def test_length_gini_bounds_and_planted_extremes(spark):
     got = {r.source: r.gini for r in text_length_gini(spark, d).collect()}
     assert got["uniform"] == 0.0
     assert 0.8 < got["skewed"] < 1.0
+
+
+def test_js_divergence_identity_and_bounds(spark):
+    """JS(p, p) = 0; disjoint vocabularies → 1 bit; always in [0, 1]."""
+    import tempfile
+
+    from parquet_ingestor_spark.operators.profiling import (
+        corpus_js_divergence,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma", "en", "same1", 15) for i in range(5)]
+        + [(10 + i, "alpha beta gamma", "en", "same2", 15) for i in range(5)]
+        + [(20 + i, "uno dos tres", "es", "other", 11) for i in range(5)]
+    )
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {(r.source_a, r.source_b): r.js_bits
+           for r in corpus_js_divergence(spark, d).collect()}
+    assert got[("same1", "same2")] == 0.0
+    # fully disjoint pairs share no token: the inner join drops them
+    # entirely — by design the matrix covers sources with any overlap
+    assert ("other", "same1") not in got and ("same1", "other") not in got
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
