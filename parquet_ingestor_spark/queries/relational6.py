@@ -661,3 +661,57 @@ def q79_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q80_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        ),
+        cnt AS (
+            SELECT cur, nxt, COUNT(*) AS c FROM seq
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, CAST(c AS BIGINT) AS n_transitions,
+               round(c * 1.0 / SUM(c) OVER (PARTITION BY cur), 4) AS p
+        FROM cnt
+        ORDER BY cur, nxt
+    """,
+    doc="First-order Markov transition matrix over each user's event "
+    "sequence: P(next type | current type) — the behavioral model a "
+    "sequence-mining / session-analysis pass starts from.",
+    tags=("relational", "events", "window", "sequence"),
+)
+def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One per-user lead window (partitions bounded by per-user
+    activity, deterministic (ts, event_id) tie order) feeds a
+    transition-pair count whose cardinality is |types|² —
+    catalog-bounded, so the row-normalizing window is trivial. The
+    probabilities are ratios of exact integer counts: identical in
+    both engines regardless of partitioning."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    cnt = (
+        seq.where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    wrow = Window.partitionBy("cur")
+    return cnt.select(
+        "cur",
+        "nxt",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow), 4
+        ).alias("p"),
+    ).orderBy("cur", "nxt")
