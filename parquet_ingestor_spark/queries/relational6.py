@@ -715,3 +715,85 @@ def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow), 4
         ).alias("p"),
     ).orderBy("cur", "nxt")
+
+
+@register(
+    "q81_rfm_segments",
+    oracle="""
+        WITH base AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', MAX(o_orderdate),
+                             (SELECT MAX(o_orderdate) FROM orders))
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        cuts AS (
+            SELECT quantile_cont(recency_days, 0.5) AS r_med,
+                   quantile_cont(frequency, 0.5) AS f_med,
+                   quantile_cont(monetary_cents, 0.5) AS m_med
+            FROM base
+        )
+        SELECT custkey,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary_cents,
+               CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END * 100
+             + CASE WHEN frequency    >  f_med THEN 2 ELSE 1 END * 10
+             + CASE WHEN monetary_cents > m_med THEN 2 ELSE 1 END
+                   AS rfm_code
+        FROM base, cuts
+        ORDER BY custkey
+    """,
+    doc="RFM segmentation: recency/frequency/monetary median splits "
+    "per customer, combined into a 3-digit segment code — the "
+    "customer-value cube without a global ntile sort.",
+    tags=("relational", "analytics", "segmentation"),
+)
+def q81_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each metric derives from exact integers (day diffs, counts,
+    cents), the median cut points are ONE scalar aggregate broadcast
+    back (a global ntile window would single-partition-sort every
+    customer — the cut-points-then-CASE shape scales instead; at
+    100 TB swap the exact percentile for approx_percentile and keep
+    the same plan), and the segment code is a pure per-row CASE."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    maxdate = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.crossJoin(F.broadcast(maxdate))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("monetary_cents"),
+        )
+    )
+    cuts = base.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(monetary_cents, 0.5)").alias("m_med"),
+    )
+    code = (
+        F.when(F.col("recency_days") <= F.col("r_med"), 2).otherwise(1) * 100
+        + F.when(F.col("frequency") > F.col("f_med"), 2).otherwise(1) * 10
+        + F.when(F.col("monetary_cents") > F.col("m_med"), 2).otherwise(1)
+    )
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            code.alias("rfm_code"),
+        )
+        .orderBy("custkey")
+    )
