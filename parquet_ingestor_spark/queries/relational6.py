@@ -797,3 +797,43 @@ def q81_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "q82_weekday_hour_heatmap",
+    oracle="""
+        SELECT strftime(ts, '%A') AS weekday,
+               CAST(CAST(strftime(ts, '%H') AS INTEGER) AS BIGINT)
+                   AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS value_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Weekday × hour-of-day activity heatmap with exact value "
+    "totals — the seasonality cut of the events stream.",
+    tags=("relational", "events", "timeseries"),
+)
+def q82_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow scan; the group key space is fixed (7×24) so the
+    aggregate's partials collapse map-side to at most 168 rows per
+    partition regardless of corpus size. Weekday names come from the
+    English-locale formatter on both engines (the UTC session pins
+    the calendar); values sum as integer cents per the determinism
+    rule."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "EEEE").alias("weekday"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("weekday", "hour_of_day")
+    )
