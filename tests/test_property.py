@@ -326,3 +326,48 @@ def test_unicode_clean_idempotent(rows):
     twice = unicode_clean(once)
     for r in twice.collect():
         assert not r.changed, rows
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.sampled_from([1, 2]),
+)
+def test_symspell_equals_quadratic_on_random_strings(spark, names, k):
+    """Property: SymSpell deletion blocking finds EXACTLY the pairs of
+    the quadratic Levenshtein definition, for arbitrary short strings
+    (including empties and duplicates) at both wired distances."""
+    from parquet_ingestor_spark.operators.dedup import symspell_pairs
+
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "rid long, name string")
+    got = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in symspell_pairs(df, "rid", "name", max_dist=k).collect()
+    }
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (i, j): ed(a, b)
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and ed(a, b) <= k
+    }
+    assert got == want
