@@ -542,3 +542,46 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common.select(
         "source_a", "source_b", F.round(js, 4).alias("js_bits")
     ).orderBy("source_a", "source_b")
+
+
+@register(
+    "corpus_dup_rate_by_source",
+    oracle="""
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               round(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
+                   AS dup_rate
+        FROM documents
+        GROUP BY source
+        ORDER BY source
+    """,
+    doc="Per-source exact-duplicate rate (1 − distinct/total on the "
+    "text hash) — the quickest where-is-my-duplication diagnostic "
+    "before any sketch runs.",
+    tags=("corpus", "profiling", "dedup"),
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT md5) plans as the two-phase distinct expand —
+    the shuffle carries (source, 32-byte hash) rows, combined
+    map-side, never the texts. The rate is a ratio of exact integers;
+    groups are catalog-bounded."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.md5(F.col("text").cast("binary"))).alias(
+                "n_unique"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                1.0 - F.col("n_unique") * 1.0 / F.col("n_docs"), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
