@@ -86,7 +86,8 @@ _LOADED = False
 #:     asof_tolerance_purchase_click, q78_shipping_lag_stats,
 #:     q79_interevent_gaps, corpus_js_divergence,
 #:     q80_event_transitions, q81_rfm_segments,
-#:     q82_weekday_hour_heatmap, corpus_dup_rate_by_source, and the
+#:     q82_weekday_hour_heatmap, corpus_dup_rate_by_source,
+#:     q83_nation_trade_balance, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by

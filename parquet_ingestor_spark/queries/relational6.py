@@ -837,3 +837,85 @@ def q82_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday", "hour_of_day")
     )
+
+
+@register(
+    "q83_nation_trade_balance",
+    oracle="""
+        WITH supply AS (
+            SELECT n_name,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS out_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        ),
+        demand AS (
+            SELECT n_name,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS in_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT COALESCE(s.n_name, d.n_name) AS n_name,
+               COALESCE(out_cents, 0) AS supplied_cents,
+               COALESCE(in_cents, 0) AS purchased_cents,
+               COALESCE(out_cents, 0) - COALESCE(in_cents, 0)
+                   AS balance_cents
+        FROM supply s FULL JOIN demand d USING (n_name)
+        ORDER BY n_name
+    """,
+    doc="Per-nation trade balance: revenue supplied by the nation's "
+    "suppliers vs spend by its customers — two independent star arms "
+    "reconciled on the nation dim.",
+    tags=("relational", "join", "analytics"),
+)
+def q83_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each arm aggregates its fact BEFORE touching the other (the
+    reconciliation join sees ≤25 rows per side — nation-bounded);
+    supplier and customer dims broadcast from stats, and every sum is
+    integer cents. The FULL join keeps nations one-sided in either
+    flow."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    supply = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", li_cents.alias("cents"))
+        .join(
+            table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("supplied_cents"))
+    )
+    o_cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    demand = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", o_cents.alias("cents"))
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("cents").alias("purchased_cents"))
+    )
+    return (
+        supply.join(demand, "n_name", "full")
+        .select(
+            "n_name",
+            F.coalesce("supplied_cents", F.lit(0)).alias("supplied_cents"),
+            F.coalesce("purchased_cents", F.lit(0)).alias("purchased_cents"),
+            (
+                F.coalesce("supplied_cents", F.lit(0))
+                - F.coalesce("purchased_cents", F.lit(0))
+            ).alias("balance_cents"),
+        )
+        .orderBy("n_name")
+    )
