@@ -919,3 +919,57 @@ def q83_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q84_monthly_revenue_growth",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS revenue_cents
+            FROM orders GROUP BY 1
+        )
+        SELECT month, revenue_cents,
+               round((revenue_cents - lag(revenue_cents)
+                          OVER (ORDER BY month))
+                     * 1.0 / lag(revenue_cents) OVER (ORDER BY month), 4)
+                   AS mom_growth
+        FROM monthly
+        ORDER BY month
+    """,
+    doc="Month-over-month revenue growth: the KPI time series every "
+    "reporting layer derives — lag over a time-bounded aggregate.",
+    tags=("relational", "window", "timeseries", "analytics"),
+)
+def q84_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized work is one month-keyed integer-cents
+    aggregate; the growth lag then runs over the monthly frame, whose
+    length is TIME-bounded (months in range), so the unpartitioned
+    window is a non-issue at any data size. Growth is a ratio of
+    exact integers."""
+    from pyspark.sql import Window
+
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("revenue_cents")
+        )
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "month",
+        "revenue_cents",
+        F.round((F.col("revenue_cents") - prev) * 1.0 / prev, 4).alias(
+            "mom_growth"
+        ),
+    ).orderBy("month")
