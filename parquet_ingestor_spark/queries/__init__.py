@@ -87,7 +87,8 @@ _LOADED = False
 #:     q79_interevent_gaps, corpus_js_divergence,
 #:     q80_event_transitions, q81_rfm_segments,
 #:     q82_weekday_hour_heatmap, corpus_dup_rate_by_source,
-#:     q83_nation_trade_balance, q84_monthly_revenue_growth, and the
+#:     q83_nation_trade_balance, q84_monthly_revenue_growth,
+#:     q85_revenue_hhi_by_nation, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by

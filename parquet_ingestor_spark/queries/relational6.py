@@ -973,3 +973,72 @@ def q84_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     ).orderBy("month")
+
+
+@register(
+    "q85_revenue_hhi_by_nation",
+    oracle="""
+        WITH per_supp AS (
+            SELECT n_name, s_suppkey,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, s_suppkey
+        )
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               round(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                              * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                     / (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                        * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)),
+                     6) AS hhi
+        FROM per_supp
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    doc="Herfindahl-Hirschman revenue concentration per nation: "
+    "Σ share² of each supplier's revenue — 1/n for perfectly even "
+    "markets, →1 under monopoly.",
+    tags=("relational", "analytics", "concentration"),
+)
+def q85_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI = Σc²/(Σc)² over integer cents, with both sums accumulated
+    as exact decimals (c² at ~1e18 overflows bigint summation;
+    decimal addition is associative and exact) — the ratio is then a
+    pure function of two exact numbers, identical in every engine and
+    partitioning. Two map-side-combinable aggregates, groups bounded
+    by the nation catalog."""
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    per_supp = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", cents.alias("cents"))
+        .join(
+            table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    cd = F.col("cents").cast("decimal(38,0)")
+    return (
+        per_supp.groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(cd * cd).cast("double").alias("sq"),
+            F.sum(cd).cast("double").alias("tot"),
+        )
+        .select(
+            "n_name",
+            "n_suppliers",
+            F.round(F.col("sq") / (F.col("tot") * F.col("tot")), 6).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("n_name")
+    )

@@ -69,7 +69,7 @@ def test_window_maximizes_never_checked_coverage():
     """The round-4 policy: every window slot not spent on the verdict's
     named nine or a restructured entry goes to an entry that has never
     had a driver CORRECTNESS row (computed from CORRECTNESS_r0{1,2,3});
-    at most 27 never-checked entries may remain outside the window
+    at most 28 never-checked entries may remain outside the window
     (the six deferred by the budget note plus the late-round PCA,
     cohort, and HLL entries)."""
     import json
@@ -84,7 +84,7 @@ def test_window_maximizes_never_checked_coverage():
     names = list(REGISTRY)
     never = [n for n in names if n not in checked]
     outside = [n for n in never if n not in set(names[:50])]
-    assert len(outside) <= 27, outside
+    assert len(outside) <= 28, outside
     # the window is exactly the driver's budget — no padding slack
     assert len(_WINDOW_FIRST) == 50
 
