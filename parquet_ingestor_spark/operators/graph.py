@@ -1,0 +1,171 @@
+"""Graph analytics over relationship edges mined from the corpus.
+
+The cluster layer (``corpus.connected_components`` /
+``connected_components_star``) answers *membership*; this module adds
+*importance*: PageRank over an edge set, the canonical iterative
+join-agg workload (Page et al. 1999, public algorithm; the Pregel/
+GraphX formulation is the Spark-native shape).
+
+Reference parity: the reference engine stops at ingest
+(/root/reference/ingestor/ingestor.go) — graph scoring extends the
+declared north-star scope (SURVEY.md §2 extensions), the same way a
+training-data pipeline ranks hosts/documents by link authority before
+sampling (e.g. Common Crawl harmonic/PageRank host ranks).
+
+Determinism contract: ranks are carried as integer *tokens* (scaled
+by 1e6) and every per-edge send uses integer floor division —
+``(tokens * 85) div (100 * outdeg)``. Integer sums are associative,
+so the result is bit-identical across engines, partitionings and
+runs, which is what lets a fixed-iteration DuckDB CTE chain
+hash-verify the whole computation (float PageRank could only ever be
+tolerance-checked).
+
+Scale notes: one iteration = one join of the rank table against the
+edge list (rank side is node-cardinality — AQE broadcasts it while it
+fits, falls back to a keyed shuffle join when nodes outgrow memory;
+no hints) plus one map-side-combinable sum keyed on dst. The edge
+list is lineage-truncated once up front so iterations reuse the
+materialized blocks instead of re-mining pairs; rank lineage is
+truncated every ``checkpoint_interval`` rounds so the plan stays
+bounded at any iteration count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..checkpointing import truncate_lineage
+from ..queries import register
+
+#: Rank scale: 1.0 of probability mass = SCALE tokens.
+SCALE = 1_000_000
+#: Damping factor 0.85 as an exact integer ratio.
+DAMP_NUM, DAMP_DEN = 85, 100
+#: (1 - d) * SCALE — the teleport mass every node receives per round.
+BASE_TOKENS = SCALE - SCALE * DAMP_NUM // DAMP_DEN
+
+
+def pagerank_tokens(
+    edges: DataFrame,
+    iterations: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+) -> DataFrame:
+    """Integer token-passing PageRank over directed ``(src, dst)`` edges.
+
+    Every node starts with ``SCALE`` tokens; each round a node keeps
+    the teleport base and receives ``(tokens * 85) div (100 *
+    outdeg)`` from each in-neighbor. Nodes are the distinct ``src``
+    set — callers must pass edges where every node has outdegree >= 1
+    (symmetrize the edge set first; an undirected relationship graph
+    satisfies this by construction, and dangling-node mass is a
+    non-issue).
+
+    Returns ``(node, tokens)`` — exact BIGINT, deterministic.
+    """
+    e = edges.select("src", "dst").where(
+        F.col("src") != F.col("dst")
+    ).dropDuplicates(["src", "dst"])
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Degree-annotated edges ride the src partitioning of the groupBy;
+    # truncate once so the per-iteration joins reuse materialized
+    # blocks instead of re-mining the pair fan-out every round.
+    e = truncate_lineage(e.join(deg, "src"), checkpoint_dir, eager=True)
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(SCALE).cast("bigint").alias("tokens"),
+    )
+    for i in range(1, iterations + 1):
+        sends = e.join(ranks, e.src == ranks.node).select(
+            F.col("dst"),
+            F.expr(
+                f"(tokens * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
+            ).alias("send"),
+        )
+        ranks = (
+            sends.groupBy("dst")
+            .agg(
+                (F.lit(BASE_TOKENS) + F.sum("send"))
+                .cast("bigint")
+                .alias("tokens")
+            )
+            .select(F.col("dst").alias("node"), "tokens")
+        )
+        if i % checkpoint_interval == 0 and i < iterations:
+            ranks = truncate_lineage(ranks, checkpoint_dir)
+    return ranks
+
+
+_PAGERANK_ITERS = 5
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled fixed-iteration CTE chain — exact integer arithmetic
+    makes the hash comparison legitimate (see module docstring)."""
+    ctes = [
+        """pairs AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey <> b.l_partkey
+        )""",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM pairs GROUP BY src)",
+        f"""r0 AS (
+            SELECT src AS node, CAST({SCALE} AS BIGINT) AS tokens
+            FROM deg
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT e.dst AS node,
+                   CAST({BASE_TOKENS} + SUM(
+                       (r.tokens * {DAMP_NUM}) // ({DAMP_DEN} * d.outdeg)
+                   ) AS BIGINT) AS tokens
+            FROM r{i - 1} r
+            JOIN pairs e ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS part, tokens AS rank_tokens
+        FROM r{iters}
+        ORDER BY node"""
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(_PAGERANK_ITERS),
+    doc="PageRank over the part co-purchase graph (5 rounds, d=0.85, "
+    "exact integer token arithmetic — bit-identical across engines); "
+    "the host/document authority-ranking shape of corpus curation.",
+    tags=("graph", "iterative", "cooccurrence"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges are co-purchase pairs (same orderkey, distinct parts,
+    both directions) — the self-join fans out C(basket, 2), bounded by
+    the per-order line cap, never corpus-quadratic, and rides one
+    orderkey shuffle. The symmetric edge set guarantees outdeg >= 1
+    for every node, so no dangling-mass correction is needed. The
+    5-round loop is declared iteration-by-iteration; each round is one
+    keyed join + one partial-agg sum (see ``pagerank_tokens``)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = a.join(b, "ok").select("src", "dst")
+    ranks = pagerank_tokens(edges, iterations=_PAGERANK_ITERS)
+    return ranks.select(
+        F.col("node").alias("part"), F.col("tokens").alias("rank_tokens")
+    ).orderBy("part")

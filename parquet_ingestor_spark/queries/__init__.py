@@ -90,7 +90,9 @@ _LOADED = False
 #:     q83_nation_trade_balance, q84_monthly_revenue_growth,
 #:     q85_revenue_hhi_by_nation, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
-#:     events_kll_value_quantiles — every one is locally oracle-green
+#:     events_kll_value_quantiles, and the post-recompute additions
+#:     listed at the end of this file's history (graph_pagerank, …)
+#:     — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by
 #:     tools/stability_sweep.py;
 #: (b) the 3 entries with r3 rows whose code changed in round 4 but
@@ -167,6 +169,7 @@ def _ensure_loaded() -> None:
         corpus,
         dedup,
         embeddings,
+        graph,
         incremental,
         lines,
         mixture,

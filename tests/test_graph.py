@@ -1,0 +1,83 @@
+"""PageRank: planted-structure and invariant tests (the registry
+differential covers the co-purchase entry against the unrolled-CTE
+DuckDB oracle)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from parquet_ingestor_spark.operators.graph import (
+    BASE_TOKENS,
+    SCALE,
+    pagerank_tokens,
+)
+
+
+def _sym(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_star_hub_outranks_spokes(spark):
+    # hub 0 connected to spokes 1..6: authority concentrates at 0
+    edges = _sym(spark, [(0, i) for i in range(1, 7)])
+    got = {
+        r["node"]: r["tokens"]
+        for r in pagerank_tokens(edges, iterations=5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5, 6}
+    hub, spokes = got[0], [got[i] for i in range(1, 7)]
+    assert all(hub > s for s in spokes)
+    # spokes are symmetric — identical integer arithmetic, identical rank
+    assert len(set(spokes)) == 1
+
+
+def test_every_node_keeps_at_least_teleport_mass(spark):
+    edges = _sym(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    out = pagerank_tokens(edges, iterations=3).collect()
+    assert all(r["tokens"] >= BASE_TOKENS for r in out)
+    # node set preserved: every src survives every round
+    assert {r["node"] for r in out} == {1, 2, 3, 4, 10, 11}
+
+
+def test_regular_graph_is_uniform_at_scale(spark):
+    # on a k-regular symmetric graph the uniform distribution is the
+    # fixpoint: every node holds exactly SCALE tokens after any number
+    # of rounds (up to the deterministic floor loss, identical per node)
+    edges = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])  # 2-regular ring
+    out = pagerank_tokens(edges, iterations=4).collect()
+    toks = {r["tokens"] for r in out}
+    assert len(toks) == 1
+    assert abs(next(iter(toks)) - SCALE) <= 10  # floor loss only
+
+
+def test_duplicate_and_self_edges_are_ignored(spark):
+    noisy = _sym(spark, [(1, 2), (1, 2), (2, 3)]).unionByName(
+        _sym(spark, [(3, 3)])
+    )
+    clean = _sym(spark, [(1, 2), (2, 3)])
+    got = sorted(
+        pagerank_tokens(noisy, iterations=3).collect(),
+        key=lambda r: r["node"],
+    )
+    want = sorted(
+        pagerank_tokens(clean, iterations=3).collect(),
+        key=lambda r: r["node"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_determinism_across_partitionings(spark):
+    edges = _sym(spark, [(i, i + 1) for i in range(40)] + [(0, 39), (5, 20)])
+    base = {
+        r["node"]: r["tokens"]
+        for r in pagerank_tokens(edges, iterations=5).collect()
+    }
+    for n in (1, 7):
+        rep = {
+            r["node"]: r["tokens"]
+            for r in pagerank_tokens(
+                edges.repartition(n), iterations=5
+            ).collect()
+        }
+        assert rep == base
