@@ -81,3 +81,30 @@ def test_determinism_across_partitionings(spark):
             ).collect()
         }
         assert rep == base
+
+
+def test_interval_bin_join_boundaries(spark):
+    """lo inclusive, hi exclusive, no duplicate matches across bins
+    (each probe row lives in exactly one bin)."""
+    import datetime as dt
+
+    from parquet_ingestor_spark.operators.asof import interval_bin_join
+
+    iv = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 0, 0), dt.datetime(2024, 1, 5, 0, 0))],
+        "key long, lo timestamp, hi timestamp",
+    )
+    probe = spark.createDataFrame(
+        [
+            (10, dt.datetime(2024, 1, 1, 23, 59, 59)),  # before lo
+            (11, dt.datetime(2024, 1, 2, 0, 0)),        # == lo: in
+            (12, dt.datetime(2024, 1, 3, 12, 0)),       # mid: in
+            (13, dt.datetime(2024, 1, 4, 23, 59, 59)),  # last tick: in
+            (14, dt.datetime(2024, 1, 5, 0, 0)),        # == hi: out
+        ],
+        "id long, ts timestamp",
+    )
+    got = sorted(
+        r["id"] for r in interval_bin_join(probe, iv, "ts").collect()
+    )
+    assert got == [11, 12, 13]

@@ -520,3 +520,16 @@ def test_dsir_models_fold_from_one_corpus_explode(spark, sf_dir):
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_bin_join_stays_keyed_equijoin(spark, sf_dir):
+    # the interval side is ~20% of orders (SF-scaled): the bin-bucket
+    # rewrite must plan as a keyed join with the [lo, hi) residual —
+    # never a nested-loop or cartesian over the fact side
+    plan = plan_of(spark, sf_dir, "interval_join_binned")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
