@@ -1042,3 +1042,85 @@ def q85_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q86_association_rules",
+    oracle="""
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS part
+            FROM lineitem
+        ),
+        n AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM b),
+        ic AS (SELECT part, COUNT(*) AS n_item FROM b GROUP BY part),
+        pc AS (
+            SELECT a.part AS part_a, b2.part AS part_b,
+                   COUNT(*) AS n_ab
+            FROM b a JOIN b b2 ON a.ok = b2.ok AND a.part < b2.part
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        )
+        SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(n_ab AS DOUBLE) / n.n_baskets AS support,
+               CAST(n_ab AS DOUBLE) / ia.n_item AS conf_a_to_b,
+               CAST(n_ab AS DOUBLE) / ib.n_item AS conf_b_to_a,
+               (CAST(n_ab AS DOUBLE) * n.n_baskets)
+                   / (ia.n_item * ib.n_item) AS lift
+        FROM pc
+        JOIN ic ia ON ia.part = pc.part_a
+        JOIN ic ib ON ib.part = pc.part_b
+        CROSS JOIN n
+        ORDER BY part_a, part_b
+    """,
+    doc="Association-rule mining over market baskets: support, "
+    "directional confidence and lift for co-purchased part pairs "
+    "(exact-integer count ratios — one IEEE division of exact "
+    "operands, engine-identical).",
+    tags=("relational", "join", "cooccurrence"),
+)
+def q86_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes q77's pair mining into actionable rules. Pair
+    fan-out stays C(basket, 2)-bounded; item supports are one
+    map-side-combinable agg over the distinct (basket, item) set; the
+    two support join-backs key on the item-count table, which AQE
+    broadcasts while it fits and shuffles keyed when the catalog
+    outgrows memory (no hints). Every metric is a single IEEE
+    division (or double-product then division) of exact integers
+    (counts bounded far below 2^53), so values are bit-identical
+    across engines and partitionings."""
+    b = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n_baskets = b.agg(F.count_distinct("ok").alias("n_baskets"))
+    ic = b.groupBy("part").agg(F.count("*").alias("n_item"))
+    pa = b.select(F.col("ok"), F.col("part").alias("part_a"))
+    pb = b.select(F.col("ok"), F.col("part").alias("part_b"))
+    pc = (
+        pa.join(pb, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ia = ic.select(F.col("part").alias("part_a"), F.col("n_item").alias("na"))
+    ib = ic.select(F.col("part").alias("part_b"), F.col("n_item").alias("nb"))
+    d = F.col("n_ab").cast("double")
+    return (
+        pc.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (d / F.col("n_baskets")).alias("support"),
+            (d / F.col("na")).alias("conf_a_to_b"),
+            (d / F.col("nb")).alias("conf_b_to_a"),
+            ((d * F.col("n_baskets")) / (F.col("na") * F.col("nb"))).alias(
+                "lift"
+            ),
+        )
+        .orderBy("part_a", "part_b")
+    )
