@@ -1042,3 +1042,183 @@ def unicode_clean(docs: DataFrame) -> DataFrame:
         "text_clean",
         (F.col("text_clean") != F.col("text")).alias("changed"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization" /
+# the SentencePiece unigram model — public algorithm)
+
+UNIGRAM_VOCAB = 48  # multi-char candidate pieces kept by the registry entry
+UNIGRAM_EM_ROUNDS = 2
+UNIGRAM_MAX_PIECE = 4
+
+
+def _viterbi_piece_counts(pieces: dict[str, int], total: int, max_len: int):
+    """Build the per-batch E-step callable: hard-EM (Viterbi) best
+    segmentation of each word under the current piece distribution,
+    with EXACT rational scoring (Fraction of integer counts — no
+    float log-probs, so the argmax and therefore the learned vocab is
+    bit-identical across runs, partitionings and engines). Ties break
+    deterministically: higher probability, then fewer pieces, then
+    lexicographically smallest piece sequence."""
+    from fractions import Fraction
+
+    def better(a, b):
+        if a[0] != b[0]:
+            return a[0] > b[0]
+        if a[1] != b[1]:
+            return a[1] < b[1]
+        return a[2] < b[2]
+
+    def segment(w: str):
+        n = len(w)
+        best = [None] * (n + 1)
+        best[0] = (Fraction(1), 0, ())
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_len), i):
+                if best[j] is None:
+                    continue
+                piece = w[j:i]
+                c = pieces.get(piece)
+                if not c:
+                    continue
+                cand = (
+                    best[j][0] * Fraction(c, total),
+                    best[j][1] + 1,
+                    best[j][2] + (piece,),
+                )
+                if best[i] is None or better(cand, best[i]):
+                    best[i] = cand
+        return best[n][2] if best[n] is not None else ()
+
+    def counts_fn(batches):
+        import collections
+
+        import pandas as pd
+
+        for pdf in batches:
+            acc: collections.Counter = collections.Counter()
+            for w, freq in zip(pdf["w"], pdf["freq"]):
+                for piece in segment(w):
+                    acc[piece] += int(freq)
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "cnt": list(acc.values())}
+            )
+
+    return counts_fn
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    vocab_size: int = UNIGRAM_VOCAB,
+    em_rounds: int = UNIGRAM_EM_ROUNDS,
+    max_piece_len: int = UNIGRAM_MAX_PIECE,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Unigram-LM tokenizer training — the SentencePiece family's
+    second member next to ``bpe_train_merges``.
+
+    Simplifications vs the full ESA trainer, declared: seed candidates
+    are the top-``vocab_size`` substrings (length 2..``max_piece_len``)
+    by corpus frequency rather than suffix-array enumeration, and the
+    E-step is hard EM (Viterbi counts) rather than forward-backward
+    expected counts — both published variants of the same model.
+
+    Scale shape (same contract as BPE): the ONLY corpus-sized work is
+    the word-frequency aggregate; candidate seeding and every E-step
+    run over the Zipf-bounded (word, freq) vocabulary table. The piece
+    model lives on the driver as bounded state (vocab_size + alphabet
+    integer counts) and ships to executors in the task closure; each
+    round is one Arrow-batched ``mapInPandas`` pass over the word
+    table plus a piece-keyed partial-agg sum whose result is
+    model-sized. Single-character pieces carry a +1 count floor so
+    every word stays segmentable; multi-char pieces with zero Viterbi
+    usage are pruned (the EM analog of SentencePiece's prune step).
+
+    Returns (piece, cnt, prob): exact integer Viterbi counts and
+    ``cnt / total`` as one IEEE division — deterministic everywhere.
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = truncate_lineage(words, checkpoint_dir)
+
+    subs = words.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {max_piece_len}), n -> "
+                "CASE WHEN length(w) >= n THEN transform("
+                "sequence(1, length(w) - n + 1), i -> substring(w, i, n)) "
+                "ELSE array() END))"
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    cands = (
+        subs.groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(vocab_size)
+        .collect()
+    )
+    chars = (
+        words.select(
+            F.explode(F.split(F.col("w"), "")).alias("piece"), "freq"
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("cnt"))
+        .collect()
+    )
+    pieces = {r["piece"]: int(r["cnt"]) for r in cands}
+    for r in chars:
+        pieces[r["piece"]] = pieces.get(r["piece"], 0) + int(r["cnt"])
+    alphabet = {r["piece"] for r in chars}
+
+    for _ in range(em_rounds):
+        total = sum(pieces.values())
+        observed = (
+            words.mapInPandas(
+                _viterbi_piece_counts(pieces, total, max_piece_len),
+                schema="piece string, cnt long",
+            )
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        got = {r["piece"]: int(r["cnt"]) for r in observed}
+        pieces = {
+            p: c + 1 if p in alphabet else c
+            for p, c in (
+                (p, got.get(p, 0))
+                for p in set(got) | alphabet
+            )
+            if c > 0 or p in alphabet
+        }
+
+    total = sum(pieces.values())
+    rows = sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+    out = docs.sparkSession.createDataFrame(
+        [(p, c) for p, c in rows], "piece string, cnt long"
+    )
+    return out.select(
+        "piece", "cnt", (F.col("cnt") / F.lit(total)).alias("prob")
+    ).orderBy(F.desc("cnt"), F.asc("piece"))
+
+
+@register(
+    "unigram_lm_train",
+    oracle=None,  # iterative EM with Python-side exact-rational Viterbi;
+    # pinned by a bit-exact pure-Python differential test instead.
+    doc=f"Unigram-LM (SentencePiece-style) tokenizer training: "
+    f"top-{UNIGRAM_VOCAB} substring seeds + {UNIGRAM_EM_ROUNDS} "
+    "hard-EM rounds with exact rational Viterbi scoring — "
+    "deterministic piece table (piece, cnt, prob).",
+    tags=("text", "tokenizer", "iterative"),
+)
+def unigram_lm_train_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_lm_train(table(spark, sf_dir, "documents"))

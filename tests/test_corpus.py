@@ -482,3 +482,110 @@ def test_ivfpq_equals_probed_adc_bruteforce(spark, sf_dir):
     for r in sim_ivfpq_topk(spark, sf_dir).collect():
         got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
     assert got == want
+
+
+def test_unigram_lm_train_matches_python_reference(spark, sf_dir):
+    """Bit-exact differential against a pure-Python unigram-LM trainer:
+    same substring seeding, same +1 alphabet floor, same exact-rational
+    hard-EM Viterbi with the (prob, fewer-pieces, lexicographic) tie
+    rule."""
+    import collections
+    from fractions import Fraction
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.text import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_VOCAB,
+        unigram_lm_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    freq = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                freq[w] += 1
+
+    # seed: top-K substrings (len 2..L) by freq, ties lexicographic
+    subcnt = collections.Counter()
+    for w, f in freq.items():
+        for n in range(2, UNIGRAM_MAX_PIECE + 1):
+            for i in range(len(w) - n + 1):
+                subcnt[w[i : i + n]] += f
+    cands = sorted(subcnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :UNIGRAM_VOCAB
+    ]
+    charcnt = collections.Counter()
+    for w, f in freq.items():
+        for ch in w:
+            charcnt[ch] += f
+    pieces = dict(cands)
+    for ch, c in charcnt.items():
+        pieces[ch] = pieces.get(ch, 0) + c
+    alphabet = set(charcnt)
+
+    def segment(w, P, total):
+        best = [None] * (len(w) + 1)
+        best[0] = (Fraction(1), 0, ())
+        for i in range(1, len(w) + 1):
+            for j in range(max(0, i - UNIGRAM_MAX_PIECE), i):
+                if best[j] is None or w[j:i] not in P:
+                    continue
+                c = P[w[j:i]]
+                cand = (
+                    best[j][0] * Fraction(c, total),
+                    best[j][1] + 1,
+                    best[j][2] + (w[j:i],),
+                )
+                cur = best[i]
+                if (
+                    cur is None
+                    or cand[0] > cur[0]
+                    or (cand[0] == cur[0] and cand[1] < cur[1])
+                    or (
+                        cand[0] == cur[0]
+                        and cand[1] == cur[1]
+                        and cand[2] < cur[2]
+                    )
+                ):
+                    best[i] = cand
+        return best[len(w)][2]
+
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        total = sum(pieces.values())
+        got = collections.Counter()
+        for w, f in freq.items():
+            for piece in segment(w, pieces, total):
+                got[piece] += f
+        pieces = {
+            p: (got.get(p, 0) + 1 if p in alphabet else got.get(p, 0))
+            for p in set(got) | alphabet
+            if got.get(p, 0) > 0 or p in alphabet
+        }
+
+    total = sum(pieces.values())
+    want = [
+        (p, c, c / total)
+        for p, c in sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    got_rows = [
+        (r["piece"], r["cnt"], r["prob"])
+        for r in unigram_lm_train(docs).collect()
+    ]
+    assert got_rows == want
+
+
+def test_unigram_lm_train_stable_across_partitionings(spark, sf_dir):
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.text import unigram_lm_train
+
+    docs = table(spark, sf_dir, "documents")
+    base = [tuple(r) for r in unigram_lm_train(docs).collect()]
+    rep = [
+        tuple(r)
+        for r in unigram_lm_train(docs.repartition(7)).collect()
+    ]
+    assert base == rep
+    # a valid probability model: mass sums to 1 over the piece table
+    assert abs(sum(r[2] for r in base) - 1.0) < 1e-9

@@ -35,6 +35,7 @@ _ITERATIVE = {
     "text_bpe_encode",
     "emb_kmeans_fit",
     "sem_dedup_trained",
+    "unigram_lm_train",
 }
 
 _NAMES = sorted(n for n in REGISTRY if n not in _ITERATIVE)
