@@ -108,3 +108,28 @@ def test_interval_bin_join_boundaries(spark):
         r["id"] for r in interval_bin_join(probe, iv, "ts").collect()
     )
     assert got == [11, 12, 13]
+
+
+def test_triangle_stats_planted(spark):
+    """K4 has 4 triangles, 6 edges, wedge count sum C(3,2)*4=12,
+    coefficient 3*4/12 = 1.0; adding a pendant vertex adds a wedge
+    but no triangle."""
+    from parquet_ingestor_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4, "u long, v long")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles, row.n_wedges) == (
+        4, 6, 4, 12,
+    )
+    assert row.clustering_coeff == 1.0
+
+    pend = spark.createDataFrame(k4 + [(3, 9)], "u long, v long")
+    row = triangle_stats(pend).collect()[0]
+    assert row.n_triangles == 4
+    assert row.n_edges == 7
+    # duplicate / reversed edges canonicalize away
+    noisy = spark.createDataFrame(
+        k4 + [(b, a) for a, b in k4], "u long, v long"
+    )
+    assert triangle_stats(noisy).collect()[0].n_triangles == 4
