@@ -847,3 +847,28 @@ def test_symspell_k2_complete_vs_quadratic(spark):
         if i < j and ed(a, b) <= 2
     }
     assert got == want
+
+
+def test_dedup_recall_eval_guarantees(spark, sf_dir):
+    """Both methods verify candidates exactly => precision ≡ 1 when
+    any candidate exists; the simhash 4-chunk pigeonhole is exhaustive
+    for hamming ≤ 3 => recall ≡ 1; minhash recall is whp 1, floored
+    here at 0.9."""
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["dedup_recall_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "minhash_lsh_vs_exact_jaccard",
+        "simhash_bands_vs_exact_hamming",
+    }
+    for r in rows.values():
+        assert r.n_hits <= r.n_candidates and r.n_hits <= r.n_truth
+        if r.n_candidates > 0:
+            assert r.precision == 1.0, r
+    sh = rows["simhash_bands_vs_exact_hamming"]
+    assert sh.n_truth > 0 and sh.recall == 1.0
+    mh = rows["minhash_lsh_vs_exact_jaccard"]
+    assert mh.n_truth > 0 and mh.recall >= 0.9
