@@ -1124,3 +1124,96 @@ def q86_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b")
     )
+
+
+@register(
+    "q87_pareto_revenue",
+    oracle="""
+        WITH pc AS (
+            SELECT o_custkey,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        h AS (
+            SELECT (cents // CAST(pow(10, greatest(
+                        length(CAST(cents AS VARCHAR)) - 2, 0)) AS BIGINT))
+                   * CAST(pow(10, greatest(
+                        length(CAST(cents AS VARCHAR)) - 2, 0)) AS BIGINT)
+                       AS bucket_lo,
+                   COUNT(*) AS n_cust,
+                   SUM(cents) AS bcents
+            FROM pc GROUP BY 1
+        ),
+        c AS (
+            SELECT bucket_lo,
+                   SUM(n_cust) OVER (ORDER BY bucket_lo DESC) AS cum_custs,
+                   SUM(bcents) OVER (ORDER BY bucket_lo DESC) AS cum_cents,
+                   SUM(bcents) OVER () AS total_cents
+            FROM h
+        )
+        SELECT CAST(bucket_lo AS BIGINT) AS threshold_cents,
+               CAST(cum_custs AS BIGINT) AS n_top_customers,
+               CAST(cum_cents AS BIGINT) AS top_cents,
+               CAST(cum_cents AS DOUBLE) / total_cents AS revenue_share
+        FROM c
+        WHERE 2 * cum_cents >= total_cents
+        ORDER BY bucket_lo DESC
+        LIMIT 1
+    """,
+    doc="Pareto cut without a global sort: the customer-revenue "
+    "threshold covering >= 50% of total revenue, found on a "
+    "two-significant-digit integer histogram (<= ~1.7k buckets at any "
+    "corpus size) instead of a corpus-wide cumulative sort.",
+    tags=("relational", "window", "histogram"),
+)
+def q87_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive Pareto query sorts every customer by revenue and
+    scans the cumulative sum — a global sort whose window has no
+    partition key. Bucketing revenues to their 2-significant-digit
+    integer prefix (pure codegen: string length + integer div — no
+    float log, engine-exact) caps the sorted structure at ~19×90 rows
+    FOREVER: the corpus-scale work is one map-side-combinable agg per
+    customer and one per bucket, and only bucket rows enter the
+    cumulative window. The returned threshold is the bucket lower
+    bound — resolution 1% of the value, the histogram trade-off a
+    production pipeline accepts to avoid the sort."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    pc = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    width = (
+        "cast(pow(10, greatest(length(cast(cents as string)) - 2, 0)) "
+        "as bigint)"
+    )
+    h = (
+        pc.select(
+            F.expr(f"(cents div {width}) * {width}").alias("bucket_lo"),
+            "cents",
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count("*").alias("n_cust"), F.sum("cents").alias("bcents"))
+    )
+    wdesc = Window.orderBy(F.desc("bucket_lo"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        "bucket_lo",
+        F.sum("n_cust").over(wdesc).alias("cum_custs"),
+        F.sum("bcents").over(wdesc).alias("cum_cents"),
+        F.sum("bcents").over(wall).alias("total_cents"),
+    )
+    return (
+        c.where(2 * F.col("cum_cents") >= F.col("total_cents"))
+        .select(
+            F.col("bucket_lo").cast("bigint").alias("threshold_cents"),
+            F.col("cum_custs").cast("bigint").alias("n_top_customers"),
+            F.col("cum_cents").cast("bigint").alias("top_cents"),
+            (F.col("cum_cents").cast("double") / F.col("total_cents")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy(F.desc("threshold_cents"))
+        .limit(1)
+    )
