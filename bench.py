@@ -72,6 +72,11 @@ HEADLINE = (
     "q71_returned_items",
     "corpus_dsir_weights",
     "corpus_dsir_weights_fast",
+    "graph_pagerank",
+    "graph_triangles",
+    "interval_join_binned",
+    "q86_association_rules",
+    "unigram_lm_train",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both
@@ -89,6 +94,10 @@ HEADLINE = (
 # sequential folds, each with a CC fixpoint), which measures the
 # scheduler, not the data path; the driver's sf0.01 gate checks its
 # correctness every round.
+# dedup_recall_eval is deliberately NOT a headline entry: like
+# sim_recall_eval it is an offline audit whose cost is the exact
+# quadratic baselines, not a production path (the sketch paths it
+# audits are already benched above).
 
 
 def main() -> None:

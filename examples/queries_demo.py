@@ -26,6 +26,10 @@ SHOWCASE = (
     "corpus_dsir_weights",  # DSIR target-likeness importance weights
     "q75_resample_ffill",  # gap-filled hourly series with forward-fill
     "dedup_fuzzy_names",  # SymSpell fuzzy entity resolution
+    "graph_pagerank",  # integer token-passing PageRank, co-purchase graph
+    "graph_triangles",  # degree-oriented triangle census
+    "unigram_lm_train",  # SentencePiece-style unigram tokenizer training
+    "dedup_recall_eval",  # sketch-dedup precision/recall audit
 )
 
 

@@ -383,38 +383,56 @@ def interval_bin_join(
         )
         SELECT iv.o_orderkey,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+               CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty
         FROM iv JOIN lineitem l
           ON l.l_shipdate >= iv.lo AND l.l_shipdate < iv.hi
         GROUP BY iv.o_orderkey
         ORDER BY iv.o_orderkey
     """,
     doc="Interval-overlap join via time-bin bucketing: corpus-wide "
-    "shipping activity during each urgent order's first 3 days — the "
+    "shipping volume during each urgent order's first 3 days — the "
     "keyed equi-join shape that replaces a broadcast NLJ when the "
-    "interval side is SF-scaled.",
+    "interval side is SF-scaled, with the probe pre-aggregated to "
+    "its bins so the match set is linear in the interval count.",
     tags=("join", "range", "interval"),
 )
 def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The interval side here is ~20% of ``orders`` — it GROWS with
     scale factor, so the ``range_join_bands`` broadcast-NLJ plan is
     the wrong shape; day-bin bucketing keeps both sides shuffled on a
-    bounded-fan-out key (3-day windows → 4 bins/interval). The
-    residual ``[lo, hi)`` rides inside the join condition, and the
-    count aggregation is map-side combinable on the interval key."""
+    bounded-fan-out key (3-day windows → 4 bins/interval).
+
+    The second scale lever: a raw probe⋈interval match set is
+    intervals × probe-rows-per-window — SF² growth when both sides
+    scale. The additive metrics (counts, sums) pre-aggregate the
+    probe to ONE row per bin first (lossless here: shipdates are
+    day-aligned, and the windows are day-aligned by construction), so
+    the join touches days × intervals rows and the output is linear
+    in the interval count. ``interval_bin_join`` remains the
+    row-level path for non-additive payloads or sub-bin timestamps
+    (where the [lo, hi) residual prunes within the bin)."""
     orders = table(spark, sf_dir, "orders")
     iv = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_orderkey",
         F.col("o_orderdate").alias("lo"),
         (F.col("o_orderdate") + F.expr("interval 3 days")).alias("hi"),
     )
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    joined = interval_bin_join(li, iv, ts_col="l_shipdate")
+    daily = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_shipdate").alias("day"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("d_lines"), F.sum("qty").alias("d_qty"))
+    )
+    joined = interval_bin_join(daily, iv, ts_col="day")
     return (
         joined.groupBy("o_orderkey")
         .agg(
-            F.count("*").alias("n_lines"),
-            F.count_distinct("l_orderkey").alias("n_orders"),
+            F.sum("d_lines").cast("bigint").alias("n_lines"),
+            F.sum("d_qty").cast("bigint").alias("sum_qty"),
         )
         .orderBy("o_orderkey")
     )

@@ -90,8 +90,12 @@ _LOADED = False
 #:     q83_nation_trade_balance, q84_monthly_revenue_growth,
 #:     q85_revenue_hhi_by_nation, and the
 #:     rows-only-by-design emb_pca_project, events_hll_users,
-#:     events_kll_value_quantiles, and the post-recompute additions
-#:     listed at the end of this file's history (graph_pagerank, …)
+#:     events_kll_value_quantiles, and the late-round-4 additions
+#:     graph_pagerank, graph_triangles, interval_join_binned,
+#:     q86_association_rules, q87_pareto_revenue (oracle-backed) and
+#:     unigram_lm_train, dedup_recall_eval (rows-only by design:
+#:     iterative EM with bit-exact Python differential / probabilistic
+#:     audit with pinned precision-recall guarantees)
 #:     — every one is locally oracle-green
 #:     (or invariant-tested) at sf0.001 and sf0.01 and covered by
 #:     tools/stability_sweep.py;
