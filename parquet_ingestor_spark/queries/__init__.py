@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
         lines,
         mixture,
         multimodal,
+        profile,
         profiling,
         similarity,
         sketches,

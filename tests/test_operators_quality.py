@@ -872,3 +872,30 @@ def test_dedup_recall_eval_guarantees(spark, sf_dir):
     assert sh.n_truth > 0 and sh.recall == 1.0
     mh = rows["minhash_lsh_vs_exact_jaccard"]
     assert mh.n_truth > 0 and mh.recall >= 0.9
+
+
+def test_profile_table_planted_nulls_and_types(spark):
+    import datetime as dt
+
+    from parquet_ingestor_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5, dt.datetime(2024, 1, 1, 12, 0)),
+            (2, None, None, None),
+            (2, "b", 7.25, dt.datetime(2024, 2, 3, 4, 5)),
+        ],
+        "k long, s string, v double, t timestamp",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"k", "s", "v", "t"}
+    assert all(r.n_rows == 3 for r in rows.values())
+    assert (rows["k"].n_nulls, rows["k"].n_distinct) == (0, 2)
+    assert (rows["s"].n_nulls, rows["s"].n_distinct) == (1, 2)
+    assert rows["v"].min_value == "2.50" and rows["v"].max_value == "7.25"
+    assert rows["t"].min_value == "2024-01-01 12:00:00"
+    # approx path: same schema/rows, no Expand in the plan
+    approx = profile_table(df, exact_distinct=False)
+    assert approx.columns == profile_table(df).columns
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
