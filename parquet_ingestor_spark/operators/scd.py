@@ -1,0 +1,172 @@
+"""Slowly-changing-dimension maintenance (Kimball SCD Type 2 — public
+warehouse methodology): apply a batch of attribute updates to a
+versioned dimension, closing superseded rows and appending new open
+versions.
+
+Reference parity: the reference engine lands facts
+(/root/reference/ingestor/ingestor.go); dimension version maintenance
+extends the declared sink-maintenance scope (SURVEY.md §2 extensions,
+next to compact_parquet).
+
+Scale notes: the merge is two keyed joins against the UPDATE batch
+(inner join to find changed keys, anti join to carry everything else)
+— the dimension never fans out, nothing collects, and both joins ride
+one key partitioning. AQE broadcasts the batch side while it fits; no
+hints (a daily update batch can be any size). History rows (closed
+versions) pass through untouched — only open rows are compared.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import table
+from ..queries import register
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str = "k",
+    attr: str = "seg",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply one update batch to an SCD2 dimension.
+
+    ``current``: (key, attr, effective_from ts, effective_to ts|null,
+    is_current bool) — any mix of open and closed rows. ``updates``:
+    (key, attr, ts), at most one row per key (pre-aggregate upstream;
+    asserted nowhere — duplicate keys would fan out).
+
+    Rules: an open row whose attr differs from its update closes at
+    the update ts and a new open row starts there; identical attrs
+    are no-ops; update keys absent from the dimension insert as new
+    open rows; closed rows always carry through.
+    """
+    upd = updates.select(
+        F.col(key),
+        F.col(attr).alias("__new_attr"),
+        F.col(ts_col).alias("__ts"),
+    )
+    open_rows = current.where(F.col("is_current"))
+    closed_rows = current.where(~F.col("is_current"))
+
+    changed = open_rows.join(upd, key).where(
+        F.col(attr) != F.col("__new_attr")
+    )
+    closed_now = changed.select(
+        key,
+        attr,
+        "effective_from",
+        F.col("__ts").alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened_now = changed.select(
+        key,
+        F.col("__new_attr").alias(attr),
+        F.col("__ts").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    carried = open_rows.join(
+        changed.select(key), key, "left_anti"
+    )
+    inserted = upd.join(current.select(key), key, "left_anti").select(
+        key,
+        F.col("__new_attr").alias(attr),
+        F.col("__ts").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cols = [key, attr, "effective_from", "effective_to", "is_current"]
+    return (
+        closed_rows.select(*cols)
+        .unionByName(carried.select(*cols))
+        .unionByName(closed_now)
+        .unionByName(opened_now)
+        .unionByName(inserted)
+    )
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+        WITH cur AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+        ),
+        upd AS (
+            SELECT o_custkey AS k,
+                   'SEG-' || MAX(o_orderpriority) AS seg,
+                   MAX(o_orderdate) AS ts
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1
+        ),
+        ch AS (
+            SELECT cur.k, cur.seg AS old_seg, upd.seg AS new_seg, upd.ts
+            FROM cur JOIN upd USING (k)
+            WHERE upd.seg <> cur.seg
+        )
+        SELECT k, seg, effective_from, effective_to, is_current FROM (
+            SELECT k, old_seg AS seg,
+                   '1995-01-01 00:00:00' AS effective_from,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_to,
+                   false AS is_current
+            FROM ch
+            UNION ALL
+            SELECT k, new_seg,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                   CAST(NULL AS VARCHAR), true
+            FROM ch
+            UNION ALL
+            SELECT k, seg, '1995-01-01 00:00:00',
+                   CAST(NULL AS VARCHAR), true
+            FROM cur WHERE k NOT IN (SELECT k FROM ch)
+        )
+        ORDER BY k, effective_from
+    """,
+    doc="SCD Type-2 merge: close customer-segment versions superseded "
+    "by a derived 1996-H1 update batch and open the new versions — "
+    "the Kimball dimension-maintenance shape as two keyed joins.",
+    tags=("scd", "join", "sink"),
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dimension seeds as every customer's segment open since
+    1995-01-01; the update batch derives one row per customer active
+    in 1996-H1. Timestamps leave as formatted strings (the repo's
+    ns/µs oracle rule)."""
+    cur = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias(
+            "effective_from"
+        ),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.concat(F.lit("SEG-"), F.max("o_orderpriority")).alias("seg"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    out = scd2_apply(cur, upd)
+    return out.select(
+        "k",
+        "seg",
+        F.date_format("effective_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "effective_from"
+        ),
+        F.date_format("effective_to", "yyyy-MM-dd HH:mm:ss").alias(
+            "effective_to"
+        ),
+        "is_current",
+    ).orderBy("k", "effective_from")

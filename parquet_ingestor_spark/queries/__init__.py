@@ -180,6 +180,7 @@ def _ensure_loaded() -> None:
         multimodal,
         profile,
         profiling,
+        scd,
         similarity,
         sketches,
         skew,

@@ -899,3 +899,57 @@ def test_profile_table_planted_nulls_and_types(spark):
     assert approx.columns == profile_table(df).columns
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
+
+
+def test_scd2_apply_lifecycle(spark):
+    """Change closes + reopens; same-attr is a no-op; unknown key
+    inserts; closed history carries; a second batch stacks a third
+    version."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.scd import scd2_apply
+
+    t0, t1, t2 = (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 2, 1),
+        dt.datetime(2024, 3, 1),
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, "A", t0, None, True),
+            (2, "B", t0, None, True),
+            (3, "old", t0, t1, False),  # closed history
+            (3, "C", t1, None, True),
+        ],
+        "k long, seg string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2", t1), (2, "B", t1), (9, "NEW", t1)],
+        "k long, seg string, ts timestamp",
+    )
+    out = scd2_apply(cur, upd)
+    rows = sorted(
+        ((r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+         for r in out.collect())
+    )
+    assert rows == sorted([
+        (1, "A", t0, t1, False),
+        (1, "A2", t1, None, True),
+        (2, "B", t0, None, True),          # no-op
+        (3, "old", t0, t1, False),         # history carried
+        (3, "C", t1, None, True),
+        (9, "NEW", t1, None, True),        # insert
+    ])
+    # second batch stacks a third version for key 1
+    out2 = scd2_apply(
+        out,
+        spark.createDataFrame([(1, "A3", t2)], "k long, seg string, ts timestamp"),
+    )
+    k1 = sorted(
+        (r.seg, r.is_current)
+        for r in out2.where(F.col("k") == 1).collect()
+    )
+    assert k1 == [("A", False), ("A2", False), ("A3", True)]
