@@ -170,3 +170,91 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "is_current",
     ).orderBy("k", "effective_from")
+
+
+def stream_scd2(
+    stream_updates: DataFrame,
+    state_dir: str,
+    key: str = "k",
+    attr: str = "seg",
+    ts_col: str = "ts",
+    initial: DataFrame | None = None,
+    query_name: str = "scd2_maintenance",
+):
+    """Structured-Streaming SCD2 maintenance: fold each micro-batch of
+    attribute updates into an epoch-keyed dimension parquet via
+    ``foreachBatch`` — the same replay discipline as
+    ``sketches.stream_hll_users`` (a batch reads the largest epoch
+    STRICTLY below its own id and overwrites its own epoch, so a
+    crash-replay re-reads the same pre-state and rewrites the same
+    files instead of double-applying; ``scd2_apply`` itself is
+    deterministic, so the rewrite is bit-identical).
+
+    Within one batch, updates collapse to last-write-per-key before
+    applying (max (ts, attr) struct — deterministic under ties), the
+    standard CDC batch-compaction rule; cross-batch ordering is the
+    stream's trigger order. State is the dimension itself — rows grow
+    only with genuine versions, never with stream length.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _epoch_below(bound: int) -> int:
+        p = os.path.join(state_dir, "dim")
+        if not os.path.isdir(p):
+            return -1
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
+        return max(vs, default=-1)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _epoch_below(int(batch_id))
+        if e >= 0:
+            state = spark.read.parquet(
+                os.path.join(state_dir, "dim", f"epoch={e}")
+            )
+        elif initial is not None:
+            state = initial
+        else:
+            state = (
+                batch_df.select(
+                    F.col(key),
+                    F.col(attr),
+                    F.col(ts_col).alias("effective_from"),
+                    F.col(ts_col).alias("effective_to"),
+                    F.lit(True).alias("is_current"),
+                )
+                .limit(0)
+            )
+        latest = (
+            batch_df.groupBy(key)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col(ts_col).alias("t"), F.col(attr).alias("a")
+                    )
+                ).alias("m")
+            )
+            .select(key, F.col("m.a").alias(attr), F.col("m.t").alias(ts_col))
+        )
+        folded = scd2_apply(state, latest, key=key, attr=attr, ts_col=ts_col)
+        folded.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "dim", f"epoch={int(batch_id)}")
+        )
+
+    return (
+        stream_updates.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -274,3 +274,77 @@ def test_stream_dsir_converges_to_batch_pool_and_replays(spark, tmp_path):
         ).collect()
     }
     assert replayed == batch_pool, "replay double-counted the pool"
+
+
+def test_stream_scd2_matches_batch_and_replays(spark, tmp_path):
+    """Streaming SCD2 over key-disjoint micro-batches converges to the
+    one-shot batch merge, and a full crash-replay (fresh checkpoint,
+    same state dir) changes nothing."""
+    import datetime as dt
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.scd import scd2_apply, stream_scd2
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    initial = spark.createDataFrame(
+        [(k, "OLD", t0, None, True) for k in range(9)],
+        "k long, seg string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(k, f"NEW-{k % 2}", t1) for k in range(12)],  # 9..11 insert
+        "k long, seg string, ts timestamp",
+    )
+    landing = str(tmp_path / "landing")
+    for i in range(3):  # key-disjoint batches => batch order immaterial
+        updates.filter(F.pmod("k", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("k long, seg string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = stream_scd2(stream, state_dir, initial=initial)
+    q.awaitTermination(120)
+
+    epochs = [
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "dim"))
+    ]
+    assert len(epochs) >= 2  # genuinely incremental
+    last = max(epochs)
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "dim", f"epoch={last}")
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in scd2_apply(initial, updates).collect())
+    assert got == want
+
+    # crash-replay: fresh checkpoint reprocesses every file against the
+    # same state dir; epoch discipline + determinism => no change
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    stream2 = (
+        spark.readStream.schema("k long, seg string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_scd2(stream2, state_dir, initial=initial)
+    q2.awaitTermination(120)
+    last2 = max(
+        int(d.split("=")[1])
+        for d in os.listdir(os.path.join(state_dir, "dim"))
+    )
+    again = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(state_dir, "dim", f"epoch={last2}")
+        ).collect()
+    )
+    assert again == want
