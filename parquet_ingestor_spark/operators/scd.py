@@ -258,3 +258,108 @@ def stream_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff (the change-data-feed shape): classify every key
+    as added / removed / changed between two table versions;
+    unchanged rows drop out.
+
+    One full-outer keyed join; change detection is null-safe
+    column-wise comparison in codegen (``<=>``), so no row
+    materializes twice. For very wide schemas, pre-hash the compared
+    columns to one fingerprint per side first — same plan, narrower
+    shuffle; the column-wise form is kept here because the oracle
+    compares the same predicates.
+    """
+    compare_cols = compare_cols or [
+        c for c in old.columns if c not in key_cols and c in new.columns
+    ]
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in key_cols + compare_cols]
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols + compare_cols]
+    )
+    cond = [o[f"__o_{k}"] == n[f"__n_{k}"] for k in key_cols]
+    j = o.join(n, cond, "full_outer")
+    first_key = key_cols[0]
+    is_added = F.col(f"__o_{first_key}").isNull()
+    is_removed = F.col(f"__n_{first_key}").isNull()
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        differs = d if differs is None else (differs | d)
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__o_{k}"), F.col(f"__n_{k}")).alias(k)
+            for k in key_cols
+        ],
+        F.when(is_added, "added")
+        .when(is_removed, "removed")
+        .when(differs, "changed")
+        .alias("change_type"),
+    )
+    return out.where(F.col("change_type").isNotNull())
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+        WITH newv AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice
+                       + CASE WHEN o_orderkey % 89 = 0 THEN 1.0
+                              ELSE 0.0 END AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                   o_totalprice
+            FROM orders WHERE o_orderkey % 83 = 0
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                      OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                      OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'changed' END AS change_type
+        FROM orders o
+        FULL JOIN newv n ON o.o_orderkey = n.o_orderkey
+        WHERE NOT (
+            o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+            AND o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+            AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+            AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        )
+        ORDER BY o_orderkey
+    """,
+    doc="Snapshot diff between two table versions (added / removed / "
+    "changed keys; unchanged rows drop) — the change-data-feed / "
+    "reconciliation shape, against a deterministically perturbed "
+    "second version of orders.",
+    tags=("scd", "join", "diff"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perturbed 'new' version removes keys % 97, bumps totalprice
+    on keys % 89 and appends offset copies of keys % 83 — exercising
+    all three change classes with exact arithmetic (double + 1.0 is
+    engine-identical)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    bumped = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 89 == 0, 1.0).otherwise(0.0),
+    )
+    added = orders.where(F.col("o_orderkey") % 83 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    newv = bumped.unionByName(added)
+    return table_diff(orders, newv, ["o_orderkey"]).orderBy("o_orderkey")

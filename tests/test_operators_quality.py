@@ -953,3 +953,20 @@ def test_scd2_apply_lifecycle(spark):
         for r in out2.where(F.col("k") == 1).collect()
     )
     assert k1 == [("A", False), ("A2", False), ("A3", True)]
+
+
+def test_table_diff_classes_and_null_safety(spark):
+    from parquet_ingestor_spark.operators.scd import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, None, 4.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    # 1 unchanged (absent), 2 null->value change, 3 removed,
+    # 4 unchanged with null attr (null-safe), 5 added
+    assert got == {2: "changed", 3: "removed", 5: "added"}
