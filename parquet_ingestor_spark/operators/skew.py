@@ -98,3 +98,71 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "cnt", F.round("total", 2).alias("total")
     ).orderBy("event_type")
+
+
+def key_skew_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Skew diagnostic for a prospective join/agg key: the top-N
+    heaviest keys with their share of all rows, plus the global
+    key-count/row-count/max-share context on every row — the report
+    that decides between a plain shuffle, AQE skew-split and explicit
+    salting (``salted_count_sum``).
+
+    Corpus work is one map-side-combinable count per key; the top-N
+    is TakeOrdered over key rows (never a global sort) with a
+    deterministic (count DESC, key) tie order; the context stats are
+    a second aggregate over key rows (not corpus rows) cross-joined
+    as a single-row broadcast. Shares are single IEEE divisions of
+    exact integer counts."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    topk = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(top)
+    return (
+        topk.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+            "n_keys",
+            "n_rows",
+            (F.col("max_cnt").cast("double") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+    )
+
+
+@register(
+    "skew_report_event_types",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS cnt
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows,
+                   MAX(cnt) AS max_cnt
+            FROM c
+        )
+        SELECT key, CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt AS DOUBLE) / s.n_rows AS share,
+               CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_factor
+        FROM c CROSS JOIN s
+        ORDER BY cnt DESC, key
+        LIMIT 10
+    """,
+    doc="Key-skew diagnostic on events.event_type: top heavy keys, "
+    "their row shares and the max/mean skew factor — the audit that "
+    "routes a key to plain shuffle, AQE skew-join or salting.",
+    tags=("skew", "aggregate", "profiling"),
+)
+def skew_report_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return key_skew_report(table(spark, sf_dir, "events"), "event_type")

@@ -1217,3 +1217,80 @@ def q87_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("threshold_cents"))
         .limit(1)
     )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > 1800000000
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   SUM(ns) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS sid
+            FROM o
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS duration_us
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_idx
+    """,
+    doc="Gap-rule sessionization (30-min inactivity closes a session): "
+    "per-user session ids via lag + running sum, then per-session "
+    "summaries — the composable session-ID form next to q25's "
+    "session_window counts. Gap test runs on exact integer "
+    "microseconds, engine-identical.",
+    tags=("relational", "window", "session", "timeseries"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window layers (lag, running sum) share ONE user-keyed sort
+    — partitions are bounded by per-user activity, never corpus-wide,
+    and the (ts, event_id) tie order makes session boundaries
+    deterministic. The summary aggregate is map-side combinable on
+    (user, session)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    ns = F.when(
+        prev.isNull() | ((us - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(ns).over(w).alias("session_idx"),
+    )
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("bigint").alias("session_idx"),
+            "session_start",
+            "n_events",
+            "duration_us",
+        )
+        .orderBy("user_id", "session_idx")
+    )
