@@ -533,3 +533,44 @@ def test_interval_bin_join_stays_keyed_equijoin(spark, sf_dir):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_pagerank_iterations_reuse_truncated_lineage(spark, sf_dir):
+    # the final-round plan must read the checkpointed edge/rank blocks
+    # (ExistingRDD), never re-mine the pair join from parquet — at
+    # 100 TB a per-round re-scan would multiply the corpus cost by the
+    # iteration count
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
+    assert "partial_sum" in plan  # map-side combine of the sends
+
+
+def test_triangles_all_joins_keyed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    # the three single-row stat aggregates may broadcast-cross; the
+    # wedge and closure joins must be keyed
+    assert plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) + plan.count("BroadcastHashJoin") >= 2
+
+
+def test_sessionize_windows_share_one_sort(spark, sf_dir):
+    # lag + running-sum windows have identical partitioning/ordering:
+    # exactly ONE user-keyed exchange may appear (k window layers must
+    # not mean k shuffles — the q54 rule)
+    plan = plan_of(spark, sf_dir, "events_sessionize")
+    hash_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_table_profile_exact_expands_once(spark, sf_dir):
+    # the exact-distinct profile pays ONE Expand (the honest shape);
+    # the approx twin's no-Expand plan is pinned in the planted test
+    plan = plan_of(spark, sf_dir, "table_profile_orders")
+    assert plan.count("Expand") == 1
