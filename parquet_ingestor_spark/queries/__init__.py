@@ -92,7 +92,10 @@ _LOADED = False
 #:     rows-only-by-design emb_pca_project, events_hll_users,
 #:     events_kll_value_quantiles, and the late-round-4 additions
 #:     graph_pagerank, graph_triangles, interval_join_binned,
-#:     q86_association_rules, q87_pareto_revenue (oracle-backed) and
+#:     q86_association_rules, q87_pareto_revenue,
+#:     table_profile_orders, scd2_customer_segments,
+#:     snapshot_diff_orders, events_sessionize,
+#:     skew_report_event_types (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)

@@ -75,3 +75,18 @@ def test_queries_demo_example_runs(spark, sf_dir, capsys):
     out = capsys.readouterr().out
     for name in queries_demo.SHOWCASE:
         assert name in out
+
+
+def test_warehouse_maintenance_example_runs(spark, sf_dir, capsys):
+    sys.path.insert(0, EXAMPLES_DIR)
+    import warehouse_maintenance
+
+    argv = sys.argv
+    sys.argv = ["warehouse_maintenance.py", sf_dir]
+    try:
+        warehouse_maintenance.main()
+    finally:
+        sys.argv = argv
+    out = capsys.readouterr().out
+    for marker in ("profile", "diff", "scd2", "compact", "z-order"):
+        assert marker in out
