@@ -368,8 +368,9 @@ def q74_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s.event_type,
                strftime(s.h, '%Y-%m-%d %H:00') AS hour,
                CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events,
-               round(milli / 1000.0 / cnt, 4) AS avg_value,
-               last_value(round(milli / 1000.0 / cnt, 4) IGNORE NULLS)
+               ((20 * milli + cnt) // (2 * cnt)) / 10000.0 AS avg_value,
+               last_value(((20 * milli + cnt) // (2 * cnt)) / 10000.0
+                          IGNORE NULLS)
                    OVER (PARTITION BY s.event_type ORDER BY s.h)
                    AS ffill_value
         FROM spine s LEFT JOIN hourly
@@ -413,7 +414,13 @@ def q75_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    avg = F.round(F.col("milli") / 1000.0 / F.col("cnt"), 4)
+    # 4-decimal average in EXACT integer arithmetic: round(milli /
+    # (1000·cnt), 4) = half-up((20·milli + cnt) / (2·cnt)) / 10⁴.
+    # round(double, 4) on the two-division float sat on half-ulp
+    # boundaries at sf0.1 (engines disagreed on 4 of 3600 rows); the
+    # integer form is engine/partitioning-exact, then ONE IEEE
+    # division renders it.
+    avg = F.expr("(20 * milli + cnt) div (2 * cnt)") / 10000.0
     from pyspark.sql import Window
 
     w = (
