@@ -52,6 +52,7 @@ def pagerank_tokens(
     iterations: int = 5,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Integer token-passing PageRank over directed ``(src, dst)`` edges.
 
@@ -64,10 +65,15 @@ def pagerank_tokens(
     non-issue).
 
     Returns ``(node, tokens)`` — exact BIGINT, deterministic.
+    ``edges_canonical=True`` skips the self-loop/duplicate scrub when
+    the caller already guarantees it (saves one full-edge-set shuffle
+    — the mining path below dedups the cheaper undirected half).
     """
-    e = edges.select("src", "dst").where(
-        F.col("src") != F.col("dst")
-    ).dropDuplicates(["src", "dst"])
+    e = edges.select("src", "dst")
+    if not edges_canonical:
+        e = e.where(F.col("src") != F.col("dst")).dropDuplicates(
+            ["src", "dst"]
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # Degree-annotated edges ride the src partitioning of the groupBy;
     # truncate once so the per-iteration joins reuse materialized
@@ -164,8 +170,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
-    edges = a.join(b, "ok").select("src", "dst")
-    ranks = pagerank_tokens(edges, iterations=_PAGERANK_ITERS)
+    # dedup the undirected half (src < dst: half the rows through the
+    # distinct shuffle), then mirror — the mirrored union is exactly
+    # the canonical symmetric edge set, so the library skips its scrub
+    half = (
+        a.join(b, "ok")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_tokens(
+        edges, iterations=_PAGERANK_ITERS, edges_canonical=True
+    )
     return ranks.select(
         F.col("node").alias("part"), F.col("tokens").alias("rank_tokens")
     ).orderBy("part")
@@ -307,5 +326,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
-    edges = a.join(b, "ok").where(F.col("u") != F.col("v")).select("u", "v")
+    # u < v halves the pair fan-out entering the canonicalization
+    # shuffle; triangle_stats' least/greatest dedup is then a no-op
+    # pass over already-canonical rows
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return triangle_stats(edges)
