@@ -171,13 +171,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst")
     )
     # dedup the undirected half (src < dst: half the rows through the
-    # distinct shuffle), then mirror — the mirrored union is exactly
-    # the canonical symmetric edge set, so the library skips its scrub
-    half = (
+    # distinct shuffle), truncate so the mirror union reads
+    # materialized blocks instead of re-mining the pair join per
+    # branch, then mirror — the union is exactly the canonical
+    # symmetric edge set, so the library skips its scrub
+    half = truncate_lineage(
         a.join(b, "ok")
         .where(F.col("src") < F.col("dst"))
         .select("src", "dst")
-        .dropDuplicates(["src", "dst"])
+        .dropDuplicates(["src", "dst"]),
+        eager=True,
     )
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

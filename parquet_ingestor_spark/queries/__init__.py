@@ -95,7 +95,7 @@ _LOADED = False
 #:     q86_association_rules, q87_pareto_revenue,
 #:     table_profile_orders, scd2_customer_segments,
 #:     snapshot_diff_orders, events_sessionize,
-#:     skew_report_event_types (oracle-backed) and
+#:     skew_report_event_types, q88_moving_average (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)

@@ -1301,3 +1301,88 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+@register(
+    "q88_moving_average",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bounds) s
+        ),
+        dense AS (
+            SELECT s.event_type, s.h,
+                   COALESCE(hourly.cnt, 0) AS cnt
+            FROM spine s LEFT JOIN hourly
+              ON hourly.event_type = s.event_type AND hourly.h = s.h
+        )
+        SELECT event_type,
+               strftime(h, '%Y-%m-%d %H:00') AS hour,
+               CAST(cnt AS BIGINT) AS n_events,
+               AVG(cnt) OVER (
+                   PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+               ) AS ma24
+        FROM dense
+        ORDER BY event_type, hour
+    """,
+    doc="24-hour moving average of hourly event volume over the dense "
+    "gap-filled spine — the smoothing pass a monitoring pipeline runs "
+    "on q75's regularized series (zero-filled gaps count toward the "
+    "window, as a volume baseline should).",
+    tags=("relational", "events", "timeseries", "window"),
+)
+def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale contract as q75: the corpus reduces once to (type,
+    hour) integer counts, the spine GENERATES (never scans), and the
+    ROWS-24 frame runs over time-bounded partitions. The average is
+    an exact-integer frame sum in one IEEE division — identical in
+    both engines at any partitioning."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "h"
+            ),
+        )
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    return (
+        dense.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.col("cnt").cast("bigint").alias("n_events"),
+            F.avg("cnt").over(w).alias("ma24"),
+        )
+        .orderBy("event_type", "hour")
+    )
