@@ -77,6 +77,10 @@ HEADLINE = (
     "interval_join_binned",
     "q86_association_rules",
     "unigram_lm_train",
+    "events_sessionize",
+    "q88_moving_average",
+    "snapshot_diff_orders",
+    "table_profile_orders",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both

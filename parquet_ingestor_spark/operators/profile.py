@@ -28,17 +28,19 @@ from ..catalog import table
 from ..queries import register
 
 
-def _fmt(col: str, dtype: T.DataType):
+def _fmt(col, dtype: T.DataType):
     """Type-aware string rendering that both engines produce
     bit-identically: integers/strings cast directly, doubles go
     through DECIMAL(18,2) (shortest-double repr differs per engine),
-    timestamps through the repo's ns/µs-proof date_format rule."""
-    c = F.col(col)
+    timestamps through the repo's ns/µs-proof date_format rule.
+    Applied AFTER the min/max aggregate, so ordering is the column's
+    native order (a lexicographic min over formatted numerics would
+    rank "9.00" above "100.00")."""
     if isinstance(dtype, T.TimestampType):
-        return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
-        return c.cast("decimal(18,2)").cast("string")
-    return c.cast("string")
+        return col.cast("decimal(18,2)").cast("string")
+    return col.cast("string")
 
 
 def profile_table(
@@ -58,8 +60,8 @@ def profile_table(
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
             nd.alias(f"{c}__nd"),
-            F.min(_fmt(c, dtypes[c])).alias(f"{c}__mn"),
-            F.max(_fmt(c, dtypes[c])).alias(f"{c}__mx"),
+            _fmt(F.min(F.col(c)), dtypes[c]).alias(f"{c}__mn"),
+            _fmt(F.max(F.col(c)), dtypes[c]).alias(f"{c}__mx"),
         ]
     one = df.agg(*aggs)
     stack_args = ", ".join(
@@ -82,16 +84,16 @@ _ORDERS_PROFILE_ORACLE = " UNION ALL ".join(
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
-           CAST(MIN({expr}) AS VARCHAR) AS min_value,
-           CAST(MAX({expr}) AS VARCHAR) AS max_value
+           {fmt.format(agg=f"MIN({c})")} AS min_value,
+           {fmt.format(agg=f"MAX({c})")} AS max_value
     FROM orders"""
-    for c, expr in (
-        ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
-        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
-        ("o_orderstatus", "o_orderstatus"),
-        ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
-        ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
-        ("o_orderpriority", "o_orderpriority"),
+    for c, fmt in (
+        ("o_orderkey", "CAST({agg} AS VARCHAR)"),
+        ("o_custkey", "CAST({agg} AS VARCHAR)"),
+        ("o_orderstatus", "{agg}"),
+        ("o_totalprice", "CAST(CAST({agg} AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "strftime({agg}, '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "{agg}"),
     )
 ) + ' ORDER BY "column"'
 
