@@ -804,3 +804,89 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id", "tf", "df")
         .orderBy("term", "doc_id")
     )
+
+
+def blocklist_flag(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag documents containing blocklisted tokens — the safety /
+    boilerplate screen of a curation cascade, in the join form that
+    scales to arbitrarily large lists.
+
+    A regex-union blocklist compiles the whole list into every task
+    and dies somewhere past a few thousand patterns; the join form
+    explodes doc tokens (doc-bounded fan-out) and inner-joins the
+    list as DATA — stats/AQE broadcast it while small, shuffle keyed
+    when it outgrows memory (no hints), exactly the contamination-
+    audit stance. Multi-token phrases use the same shape over n-grams
+    (``benchmark_contamination``). Returns one row per flagged doc:
+    (id, n_blocked, n_distinct_blocked).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hits = toks.join(blocklist.select(F.col("tok")), "tok")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_blocked"),
+            F.count_distinct("tok").alias("n_distinct_blocked"),
+        )
+        .orderBy(id_col)
+    )
+
+
+@register(
+    "text_blocklist_filter",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        nonempty AS (SELECT * FROM toks WHERE tok <> ''),
+        block AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS cnt FROM nonempty
+                WHERE length(tok) >= 6
+                GROUP BY tok
+                ORDER BY cnt DESC, tok
+                LIMIT 20
+            )
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocked,
+               CAST(COUNT(DISTINCT n.tok) AS BIGINT)
+                   AS n_distinct_blocked
+        FROM nonempty n JOIN block USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Blocklist screening as a token semi-join (list = data, not a "
+    "regex union): docs hit by the 20 most frequent long tokens, with "
+    "occurrence counts — the safety/boilerplate filter shape that "
+    "survives million-entry lists.",
+    tags=("corpus", "text", "filter", "join"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived blocklist (top-20 frequent long tokens — ties
+    lexicographic, deterministic) stands in for a real phrase list;
+    production passes its own table. Corpus work = one token explode
+    reused for both the list derivation and the hit join (the list
+    side aggregates to 20 rows before joining back)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    block = (
+        toks.where(F.length("tok") >= 6)
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(20)
+        .select("tok")
+    )
+    return blocklist_flag(docs, block)

@@ -1386,3 +1386,67 @@ def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q89_shipping_lag_mad",
+    oracle="""
+        WITH lags AS (
+            SELECT o_orderpriority,
+                   date_diff('day', o_orderdate, l_shipdate) AS lag_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        med AS (
+            SELECT o_orderpriority,
+                   quantile_cont(lag_days, 0.5) AS med
+            FROM lags GROUP BY 1
+        )
+        SELECT l.o_orderpriority,
+               round(m.med, 2) AS median_lag,
+               round(quantile_cont(abs(l.lag_days - m.med), 0.5), 2)
+                   AS mad_lag
+        FROM lags l JOIN med m USING (o_orderpriority)
+        GROUP BY l.o_orderpriority, m.med
+        ORDER BY l.o_orderpriority
+    """,
+    doc="Robust dispersion: median absolute deviation of the "
+    "order-to-ship lag per priority — the outlier-immune spread "
+    "statistic (two grouped exact percentiles over integer day lags; "
+    "interpolation lands on exact binary fractions, so both engines "
+    "agree bit-for-bit).",
+    tags=("relational", "percentile", "robust-stats"),
+)
+def q89_shipping_lag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two percentile passes over the same catalog-bounded groups
+    (5 priorities): the per-group median broadcasts back onto the lag
+    rows (stats-sized join, no hint), then the deviation percentile
+    reuses the same group key. Integer day lags keep both
+    interpolations exact (halves/quarters are exact doubles)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lags = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    med = lags.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("lag_days"), F.lit(0.5)).alias("med")
+    )
+    return (
+        lags.join(med, "o_orderpriority")
+        .groupBy("o_orderpriority", "med")
+        .agg(
+            F.percentile(
+                F.abs(F.col("lag_days") - F.col("med")), F.lit(0.5)
+            ).alias("mad_raw")
+        )
+        .select(
+            "o_orderpriority",
+            F.round("med", 2).alias("median_lag"),
+            F.round("mad_raw", 2).alias("mad_lag"),
+        )
+        .orderBy("o_orderpriority")
+    )
