@@ -363,3 +363,128 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     newv = bumped.unionByName(added)
     return table_diff(orders, newv, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_versions: DataFrame,
+    key: str = "k",
+    fact_ts: str = "ts",
+) -> DataFrame:
+    """Temporal (point-in-time) enrichment: attach to each fact the
+    dimension version valid AT the fact's timestamp.
+
+    Because SCD2 versions tile time contiguously per key, "the valid
+    version" is exactly "the latest version whose effective_from <=
+    fact ts" — a backward as-of join against version START times, so
+    this composes directly on ``asof_join`` (one shuffle on the key +
+    one sort; no per-fact range probe, no interval fan-out). Facts
+    predating a key's first version get null dimension columns; a
+    fact exactly at a version boundary takes the newer version
+    (effective_from is inclusive), matching the ``[from, to)``
+    validity convention of ``scd2_apply``.
+    """
+    from .asof import asof_join
+
+    right = dim_versions.select(
+        F.col(key),
+        F.col("effective_from").alias("ts"),
+        *[
+            c
+            for c in dim_versions.columns
+            if c not in (key, "effective_from", "effective_to", "is_current")
+        ],
+    )
+    return asof_join(
+        facts, right, on=key, left_ts=fact_ts, right_ts="ts"
+    )
+
+
+@register(
+    "scd2_point_in_time_orders",
+    oracle="""
+        WITH cur AS (
+            SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+        ),
+        upd AS (
+            SELECT o_custkey AS k,
+                   'SEG-' || MAX(o_orderpriority) AS seg,
+                   MAX(o_orderdate) AS ts
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1
+        ),
+        ch AS (
+            SELECT cur.k, cur.seg AS old_seg, upd.seg AS new_seg, upd.ts
+            FROM cur JOIN upd USING (k)
+            WHERE upd.seg <> cur.seg
+        ),
+        dim AS (
+            SELECT k, old_seg AS seg,
+                   TIMESTAMP '1995-01-01' AS vf, ts AS vt
+            FROM ch
+            UNION ALL
+            SELECT k, new_seg, ts, CAST(NULL AS TIMESTAMP) FROM ch
+            UNION ALL
+            SELECT k, seg, TIMESTAMP '1995-01-01',
+                   CAST(NULL AS TIMESTAMP)
+            FROM cur WHERE k NOT IN (SELECT k FROM ch)
+        )
+        SELECT o.o_orderkey, o.o_custkey AS k, d.seg
+        FROM orders o
+        JOIN dim d ON d.k = o.o_custkey
+          AND o.o_orderdate >= d.vf
+          AND (d.vt IS NULL OR o.o_orderdate < d.vt)
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        ORDER BY o.o_orderkey
+    """,
+    doc="Point-in-time join: each 1996 order enriched with the "
+    "customer-segment version valid at its order date (the SCD2 "
+    "dimension from the merge entry) — temporal enrichment as a "
+    "backward as-of against version starts, not a range probe.",
+    tags=("scd", "join", "asof", "temporal"),
+)
+def scd2_point_in_time_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders spanning the 1996-H1 update boundary: early-1996 orders
+    resolve to the seed segment, later ones to their customer's new
+    version — the oracle checks the full validity-interval semantics
+    with an explicit range join while the Spark path stays one
+    merge-as-of (single key shuffle + sort)."""
+    cur = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias(
+            "effective_from"
+        ),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.concat(F.lit("SEG-"), F.max("o_orderpriority")).alias("seg"),
+            F.max("o_orderdate").alias("ts"),
+        )
+    )
+    dim = scd2_apply(cur, upd)
+    facts = (
+        table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    out = point_in_time_join(facts, dim)
+    return out.select("o_orderkey", "k", "seg").orderBy("o_orderkey")

@@ -96,7 +96,8 @@ _LOADED = False
 #:     table_profile_orders, scd2_customer_segments,
 #:     snapshot_diff_orders, events_sessionize,
 #:     skew_report_event_types, q88_moving_average,
-#:     text_blocklist_filter, q89_shipping_lag_mad (oracle-backed) and
+#:     text_blocklist_filter, q89_shipping_lag_mad,
+#:     scd2_point_in_time_orders (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)

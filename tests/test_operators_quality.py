@@ -970,3 +970,32 @@ def test_table_diff_classes_and_null_safety(spark):
     # 1 unchanged (absent), 2 null->value change, 3 removed,
     # 4 unchanged with null attr (null-safe), 5 added
     assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_point_in_time_join_boundaries(spark):
+    """Fact at a version boundary takes the newer version (inclusive
+    effective_from); facts before the first version get nulls."""
+    import datetime as dt
+
+    from parquet_ingestor_spark.operators.scd import point_in_time_join
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    dim = spark.createDataFrame(
+        [(1, "OLD", t0, t1, False), (1, "NEW", t1, None, True)],
+        "k long, seg string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2023, 12, 31)),  # before first version
+            (101, 1, t0),                          # at first start: OLD
+            (102, 1, dt.datetime(2024, 1, 15)),    # mid OLD
+            (103, 1, t1),                          # at boundary: NEW
+            (104, 1, dt.datetime(2024, 3, 1)),     # open version: NEW
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    got = {
+        r.fid: r.seg for r in point_in_time_join(facts, dim).collect()
+    }
+    assert got == {100: None, 101: "OLD", 102: "OLD", 103: "NEW", 104: "NEW"}
