@@ -1253,3 +1253,99 @@ def stream_dsir_weights(
 )
 def corpus_dsir_weights_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_logweights(table(spark, sf_dir, "documents"))
+
+
+NEYMAN_BUDGET = 10_000  # total sample budget the registry entry allocates
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    budget: int = NEYMAN_BUDGET,
+) -> DataFrame:
+    """Variance-optimal (Neyman) stratified sample allocation —
+    n_h ∝ N_h·σ_h (Neyman 1934, public methodology): strata with more
+    internal length variance get proportionally more of the sample
+    budget than size-proportional allocation would give them.
+
+    Determinism: σ_h = sqrt(N·Σx² − (Σx)²)/N over exact integer
+    token-count moments — IEEE sqrt is correctly rounded, so both
+    engines produce the same double; the weight then quantizes to
+    integer milli-units, making the total and every allocation an
+    exact integer computation (floor division). One
+    map-side-combinable aggregate over a single scan; everything
+    downstream touches ≤ |strata| rows.
+    """
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    s = docs.select(F.col(stratum_col).alias("stratum"), ntok.alias("x")).groupBy(
+        "stratum"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("x").alias("sm"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    sd = F.sqrt(
+        (F.col("n_docs") * F.col("ss") - F.col("sm") * F.col("sm")).cast(
+            "double"
+        )
+    ) / F.col("n_docs")
+    w = s.select(
+        "stratum",
+        "n_docs",
+        F.round(sd, 4).alias("sd_tokens"),
+        (F.col("n_docs") * F.round(sd * 1000, 0).cast("bigint")).alias(
+            "w"
+        ),
+    )
+    tot = w.agg(F.sum("w").alias("w_total"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            "sd_tokens",
+            F.expr(f"({budget} * w) div w_total").alias("n_alloc"),
+            (F.col("w").cast("double") / F.col("w_total")).alias("share"),
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "corpus_neyman_allocation",
+    oracle=f"""
+        WITH s AS (
+            SELECT source AS stratum, COUNT(*) AS n_docs,
+                   SUM(x) AS sm, SUM(x * x) AS ss
+            FROM (
+                SELECT source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+                FROM documents
+            )
+            GROUP BY 1
+        ),
+        w AS (
+            SELECT stratum, n_docs,
+                   round(sqrt(CAST(n_docs * ss - sm * sm AS DOUBLE))
+                         / n_docs, 4) AS sd_tokens,
+                   n_docs * CAST(round(sqrt(CAST(n_docs * ss - sm * sm
+                                 AS DOUBLE)) / n_docs * 1000)
+                                 AS BIGINT) AS w
+            FROM s
+        ),
+        t AS (SELECT SUM(w) AS w_total FROM w)
+        SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, sd_tokens,
+               ({NEYMAN_BUDGET} * w) // w_total AS n_alloc,
+               CAST(w AS DOUBLE) / w_total AS share
+        FROM w CROSS JOIN t
+        ORDER BY stratum
+    """,
+    doc="Neyman (variance-optimal) stratified sample allocation over "
+    "sources: n_h ∝ N_h·σ_h on doc token counts — exact integer "
+    "moments, IEEE-deterministic sqrt, integer milli-unit weights so "
+    "the allocation arithmetic is engine-exact.",
+    tags=("corpus", "sampling", "statistics"),
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neyman_allocation(table(spark, sf_dir, "documents"))

@@ -421,3 +421,31 @@ def test_dsir_weights_uniform_when_target_equals_pool(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     for r in dsir_logweights(docs, target_lang="en").collect():
         assert abs(r.dsir_logweight) < 1e-9, r
+
+
+def test_neyman_allocation_favors_variance(spark):
+    """A zero-variance stratum draws zero budget regardless of size;
+    between equal-size strata, the higher-variance one gets the larger
+    allocation; allocations never exceed the budget."""
+    from parquet_ingestor_spark.operators.mixture import (
+        NEYMAN_BUDGET,
+        neyman_allocation,
+    )
+
+    rows = []
+    # 'flat': 50 docs, all exactly 10 tokens (sd = 0)
+    rows += [(f"f{i}", "flat", "w " * 9 + "w") for i in range(50)]
+    # 'mild': 40 docs alternating 9/11 tokens
+    rows += [
+        (f"m{i}", "mild", "w " * (8 + 2 * (i % 2)) + "w") for i in range(40)
+    ]
+    # 'wild': 40 docs alternating 2/50 tokens
+    rows += [
+        (f"w{i}", "wild", "w " * (1 + 48 * (i % 2)) + "w") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    got = {r.stratum: r for r in neyman_allocation(docs).collect()}
+    assert got["flat"].n_alloc == 0 and got["flat"].sd_tokens == 0.0
+    assert got["wild"].n_alloc > got["mild"].n_alloc
+    assert sum(r.n_alloc for r in got.values()) <= NEYMAN_BUDGET
+    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
