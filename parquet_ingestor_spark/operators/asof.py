@@ -436,3 +436,58 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "asof_conversion_lag",
+    oracle="""
+        WITH p AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ), lags AS (
+            SELECT epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+               quantile_cont(lag_us, 0.5) / 1000000.0 AS p50_s,
+               quantile_cont(lag_us, 0.9) / 1000000.0 AS p90_s,
+               CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+        FROM lags
+    """,
+    doc="Conversion-lag analytics: percentiles of the time from a "
+    "user's latest preceding view to each purchase — composes the "
+    "merge-as-of with exact integer-microsecond lags (interpolated "
+    "percentiles land on exact halves; one IEEE division renders "
+    "seconds).",
+    tags=("join", "asof", "timeseries", "percentile"),
+)
+def asof_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner ASOF semantics: purchases with no preceding view drop
+    (the left-join nulls filter out before the lag aggregate). One
+    user-keyed merge-as-of shuffle feeds a single global percentile
+    over integer microsecond lags — engine-exact end to end."""
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts")
+    )
+    joined = asof_join(purchases, views, on="user_id")
+    lags = joined.where(F.col("view_ts").isNotNull()).select(
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
+        ).alias("lag_us")
+    )
+    return lags.agg(
+        F.count("*").alias("n_conversions"),
+        (F.percentile(F.col("lag_us"), F.lit(0.5)) / 1000000.0).alias(
+            "p50_s"
+        ),
+        (F.percentile(F.col("lag_us"), F.lit(0.9)) / 1000000.0).alias(
+            "p90_s"
+        ),
+        F.max("lag_us").alias("max_lag_us"),
+    )

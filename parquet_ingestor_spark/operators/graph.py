@@ -334,3 +334,102 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass over already-canonical rows
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return triangle_stats(edges)
+
+
+_HITS_ROUNDS = 2
+
+
+def hits_bipartite(
+    edges: DataFrame, rounds: int = _HITS_ROUNDS
+) -> DataFrame:
+    """Hubs & authorities (Kleinberg 1999, public algorithm) over a
+    DIRECTED bipartite edge set ``(hub, auth)``, in exact integer
+    arithmetic: every hub starts at score 1; each round is
+    a(p) = Σ h(c) over in-edges then h(c) = Σ a(p) over out-edges —
+    the classical power iteration WITHOUT the L2 normalization
+    (irrational, engine-divergent); unnormalized integer scores grow
+    ~(mean degree)² per round, so the default 2 rounds stay far
+    inside BIGINT while preserving the full ranking (normalization
+    rescales, never reorders). Each half-round is one keyed join of
+    the node-cardinality score table against the edge list plus one
+    map-side-combinable sum — the pagerank contract.
+
+    Returns (auth, authority) — the authority-side scores after
+    ``rounds`` full rounds.
+    """
+    e = edges.select("hub", "auth").dropDuplicates(["hub", "auth"])
+    e = truncate_lineage(e, eager=True)
+    h = e.select("hub").distinct().select(
+        "hub", F.lit(1).cast("bigint").alias("hs")
+    )
+    a = None
+    for _ in range(rounds):
+        a = (
+            e.join(h, "hub")
+            .groupBy("auth")
+            .agg(F.sum("hs").cast("bigint").alias("as_"))
+        )
+        h = (
+            e.join(a, "auth")
+            .groupBy("hub")
+            .agg(F.sum("as_").cast("bigint").alias("hs"))
+        )
+    return a.select("auth", F.col("as_").alias("authority"))
+
+
+def _hits_oracle(rounds: int) -> str:
+    ctes = [
+        """e AS (
+            SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        "h0 AS (SELECT DISTINCT hub, CAST(1 AS BIGINT) AS hs FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""a{i} AS (
+            SELECT e.auth, CAST(SUM(h.hs) AS BIGINT) AS as_
+            FROM e JOIN h{i - 1} h USING (hub) GROUP BY e.auth
+        )"""
+        )
+        ctes.append(
+            f"""h{i} AS (
+            SELECT e.hub, CAST(SUM(a.as_) AS BIGINT) AS hs
+            FROM e JOIN a{i} a USING (auth) GROUP BY e.hub
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT auth AS part, as_ AS authority
+        FROM a{rounds}
+        ORDER BY part"""
+    )
+
+
+@register(
+    "graph_hits_parts",
+    oracle=_hits_oracle(_HITS_ROUNDS),
+    doc="Bipartite HITS over the customer→part purchase graph: "
+    f"{_HITS_ROUNDS}-round unnormalized hubs/authorities in exact "
+    "integer arithmetic (normalization rescales, never reorders) — "
+    "authority scores per part, hash-checked against an unrolled CTE "
+    "chain.",
+    tags=("graph", "iterative", "join"),
+)
+def graph_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges are distinct (customer, part) purchase pairs — the
+    orderkey join rides one shuffle and dedups on the pair key. The
+    directed bipartite shape is what makes HITS informative here
+    (on the symmetric co-purchase graph hubs ≡ authorities)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    return (
+        hits_bipartite(edges)
+        .select(F.col("auth").alias("part"), "authority")
+        .orderBy("part")
+    )

@@ -97,8 +97,8 @@ _LOADED = False
 #:     snapshot_diff_orders, events_sessionize,
 #:     skew_report_event_types, q88_moving_average,
 #:     text_blocklist_filter, q89_shipping_lag_mad,
-#:     scd2_point_in_time_orders, corpus_neyman_allocation
-#:     (oracle-backed) and
+#:     scd2_point_in_time_orders, corpus_neyman_allocation,
+#:     graph_hits_parts, asof_conversion_lag (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)
