@@ -98,7 +98,9 @@ _LOADED = False
 #:     skew_report_event_types, q88_moving_average,
 #:     text_blocklist_filter, q89_shipping_lag_mad,
 #:     scd2_point_in_time_orders, corpus_neyman_allocation,
-#:     graph_hits_parts, asof_conversion_lag (oracle-backed) and
+#:     graph_hits_parts, asof_conversion_lag,
+#:     q90_nation_revenue_trend, q91_resample_interpolate
+#:     (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)

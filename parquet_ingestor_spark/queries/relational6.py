@@ -1450,3 +1450,238 @@ def q89_shipping_lag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q90_nation_revenue_trend",
+    oracle="""
+        WITH m AS (
+            SELECT n.n_name,
+                   CAST(date_diff('month', TIMESTAMP '1995-01-01',
+                                  o.o_orderdate) AS BIGINT) AS x,
+                   SUM(CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT)) AS y
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM m GROUP BY 1
+        )
+        SELECT n_name, CAST(n AS BIGINT) AS n_months,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx) / 100.0
+                   AS slope_per_month
+        FROM s
+        ORDER BY n_name
+    """,
+    doc="Grouped OLS trend: per-nation monthly-revenue slope from the "
+    "closed-form normal equations over EXACT integer moments "
+    "(month index x revenue cents) — the regression arithmetic is "
+    "engine-identical because only the final render divides.",
+    tags=("relational", "statistics", "timeseries"),
+)
+def q90_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regr_slope on doubles accumulates in shuffle order; the
+    closed-form over integer sums (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) keeps
+    every intermediate exact (bounded: months < 120, cents < 2^40 —
+    products stay inside BIGINT/DOUBLE-exact range), so grouped
+    regression is deterministic at any partitioning. Two
+    map-side-combinable aggregates: month buckets, then moments."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    x = F.months_between(
+        F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+    ).cast("bigint")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", x.alias("x"))
+        .agg(F.sum(cents).alias("y"))
+    )
+    s = m.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "n_name",
+            F.col("n").alias("n_months"),
+            (num / den / 100.0).alias("slope_per_month"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q91_resample_interpolate",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   COUNT(*) AS cnt,
+                   SUM(CAST(round(value * 1000) AS BIGINT)) AS milli
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT t.event_type, s.h
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+                                      INTERVAL 1 HOUR)) AS h
+                        FROM bounds) s
+        ),
+        dense AS (
+            SELECT s.event_type, s.h,
+                   epoch_us(s.h) // 3600000000 AS hi,
+                   hourly.cnt,
+                   CASE WHEN hourly.cnt IS NOT NULL THEN
+                       ((20 * hourly.milli + hourly.cnt)
+                        // (2 * hourly.cnt)) / 10000.0
+                   END AS v
+            FROM spine s LEFT JOIN hourly
+              ON hourly.event_type = s.event_type AND hourly.h = s.h
+        ),
+        carried AS (
+            SELECT event_type, h, hi, cnt, v,
+                   last_value(v IGNORE NULLS) OVER wb AS v_prev,
+                   last_value(CASE WHEN v IS NOT NULL THEN hi END
+                              IGNORE NULLS) OVER wb AS h_prev,
+                   first_value(v IGNORE NULLS) OVER wf AS v_next,
+                   first_value(CASE WHEN v IS NOT NULL THEN hi END
+                               IGNORE NULLS) OVER wf AS h_next
+            FROM dense
+            WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type,
+               strftime(h, '%Y-%m-%d %H:00') AS hour,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS n_events,
+               CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+                       v_prev + (v_next - v_prev)
+                           * (CAST(hi - h_prev AS DOUBLE)
+                              / (h_next - h_prev))
+               END AS value_interp,
+               (v IS NULL AND v_prev IS NOT NULL AND v_next IS NOT NULL)
+                   AS interpolated
+        FROM carried
+        ORDER BY event_type, hour
+    """,
+    doc="Hourly resample with LINEAR interpolation across gaps (the "
+    "twin of q75's forward-fill): gap values lerp between the "
+    "surrounding observed averages; rows outside the observed range "
+    "stay null.",
+    tags=("relational", "events", "timeseries", "window"),
+)
+def q91_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same corpus contract as q75 (one (type, hour) integer-partial
+    aggregate, generated spine). The four carry columns (prev/next
+    value and hour index) share TWO frames over ONE user... one
+    type-keyed sort; the lerp is a fixed IEEE chain over
+    exact-integer-derived operands — v_prev + (v_next − v_prev) ·
+    (Δh_prev / Δh_total) with integer hour indexes — so both engines
+    produce identical doubles."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("bigint")).alias(
+            "milli"
+        ),
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias(
+                "h"
+            ),
+        )
+    )
+    v = F.when(
+        F.col("cnt").isNotNull(),
+        F.expr("(20 * milli + cnt) div (2 * cnt)") / 10000.0,
+    )
+    dense = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        F.expr("unix_micros(h) div 3600000000").alias("hi"),
+        "cnt",
+        v.alias("v"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hi_obs = F.when(F.col("v").isNotNull(), F.col("hi"))
+    carried = dense.select(
+        "event_type",
+        "h",
+        "hi",
+        "cnt",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(hi_obs, ignorenulls=True).over(wb).alias("h_prev"),
+        F.first("v", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(hi_obs, ignorenulls=True).over(wf).alias("h_next"),
+    )
+    lerp = F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * (
+        (F.col("hi") - F.col("h_prev")).cast("double")
+        / (F.col("h_next") - F.col("h_prev"))
+    )
+    both = F.col("v_prev").isNotNull() & F.col("v_next").isNotNull()
+    return (
+        carried.select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(both, lerp)
+            .alias("value_interp"),
+            (F.col("v").isNull() & both).alias("interpolated"),
+        )
+        .orderBy("event_type", "hour")
+    )
