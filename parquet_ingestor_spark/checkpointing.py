@@ -58,3 +58,42 @@ def truncate_lineage(
         sc.setCheckpointDir(checkpoint_dir)
         _LAST_CHECKPOINT_DIR = checkpoint_dir
     return df.checkpoint(eager=eager)
+
+
+def gc_epoch_state(state_path: str, keep_last: int = 2) -> list[int]:
+    """Retention for epoch-keyed streaming state directories
+    (``.../epoch=N`` parquet written by ``stream_hll_users``,
+    ``stream_scd2``, ``stream_dsir_weights``, …): delete all but the
+    newest ``keep_last`` epochs and return the removed epoch ids.
+
+    Why ``keep_last >= 2`` is the floor: a replayed micro-batch reads
+    the largest epoch STRICTLY BELOW its own id — collecting down to
+    one epoch would strand an in-flight replay of the latest batch
+    with no pre-state. The GC itself is crash-safe in the same sense
+    as the writers: deleting an old epoch twice is a no-op, and a
+    crash mid-GC leaves only extra (still-consistent) epochs behind.
+    Local-filesystem paths only, mirroring compact_parquet's guard —
+    object stores do retention with lifecycle rules.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    if urlparse(state_path).scheme not in ("", "file"):
+        raise ValueError(
+            f"gc_epoch_state handles local paths only, got {state_path!r}"
+        )
+    if keep_last < 2:
+        raise ValueError("keep_last must be >= 2 (replay needs pre-state)")
+    import os
+
+    if not os.path.isdir(state_path):
+        return []
+    epochs = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(state_path)
+        if d.startswith("epoch=") and d.split("=")[1].isdigit()
+    )
+    doomed = epochs[:-keep_last] if len(epochs) > keep_last else []
+    for e in doomed:
+        shutil.rmtree(os.path.join(state_path, f"epoch={e}"))
+    return doomed

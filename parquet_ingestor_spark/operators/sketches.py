@@ -287,3 +287,61 @@ def stream_hll_users(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, key: str, val: str, lgk: int = HLL_LGK
+) -> DataFrame:
+    """Pairwise distinct-value overlap between key groups via HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with the
+    union estimated by the lossless sketch merge (``hll_union``) —
+    sketch set algebra, no re-scan per pair.
+
+    Scale shape: ONE corpus pass builds the per-key sketches (few KB
+    each); the pair join and every estimate run over |keys|² sketch
+    rows. Inclusion-exclusion can go slightly negative at small
+    overlaps (two ±ε estimates minus one) — clamped at 0, and the
+    relative error on the intersection is ε·|A∪B|/|A∩B|, so tiny
+    overlaps are the least reliable (the standard caveat; exact
+    distinct-pair counting is the audit twin).
+    """
+    sk = df.groupBy(F.col(key).alias("k")).agg(
+        F.hll_sketch_agg(F.col(val), F.lit(lgk)).alias("sk")
+    )
+    a = sk.select(
+        F.col("k").alias("key_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("k").alias("key_b"), F.col("sk").alias("sk_b")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    est_a = F.hll_sketch_estimate(F.col("sk_a"))
+    est_b = F.hll_sketch_estimate(F.col("sk_b"))
+    est_u = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.greatest(
+            est_a + est_b - est_u, F.lit(0).cast("bigint")
+        ).alias("est_intersection"),
+    ).orderBy("key_a", "key_b")
+
+
+@register(
+    "events_user_overlap_sketch",
+    oracle=None,  # sketch estimates; the invariant test audits every
+    # pair against exact distinct-user intersections.
+    doc="Pairwise user-audience overlap between event types via HLL "
+    "inclusion-exclusion (est A + est B − est A∪B) — sketch set "
+    "algebra over one corpus pass; |types|² sketch-row pair join.",
+    tags=("sketch", "approx", "events"),
+)
+def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_pairwise_overlap(
+        table(spark, sf_dir, "events"), "event_type", "user_id"
+    )

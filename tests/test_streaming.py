@@ -348,3 +348,65 @@ def test_stream_scd2_matches_batch_and_replays(spark, tmp_path):
         ).collect()
     )
     assert again == want
+
+
+def test_gc_epoch_state_keeps_replay_floor(tmp_path):
+    import os
+
+    from parquet_ingestor_spark.checkpointing import gc_epoch_state
+
+    root = str(tmp_path / "state" / "dim")
+    for e in (0, 1, 3, 7):
+        os.makedirs(os.path.join(root, f"epoch={e}"))
+        with open(os.path.join(root, f"epoch={e}", "part.parquet"), "w") as f:
+            f.write("x")
+    removed = gc_epoch_state(root, keep_last=2)
+    assert removed == [0, 1]
+    assert sorted(os.listdir(root)) == ["epoch=3", "epoch=7"]
+    # idempotent; nothing below the floor
+    assert gc_epoch_state(root, keep_last=2) == []
+    import pytest
+
+    with pytest.raises(ValueError):
+        gc_epoch_state(root, keep_last=1)
+    with pytest.raises(ValueError):
+        gc_epoch_state("s3a://bucket/state", keep_last=2)
+    assert gc_epoch_state(str(tmp_path / "absent"), keep_last=2) == []
+
+
+def test_hll_pairwise_overlap_tracks_exact(spark, sf_dir):
+    """Every pairwise intersection estimate lands within 5% of the
+    exact distinct-user intersection (lgk=12 => ~1.6% per-sketch
+    error; inclusion-exclusion triples the budget), and the sketch
+    identities hold: union >= max side, intersection <= min side."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.sketches import (
+        hll_pairwise_overlap,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    got = {
+        (r.key_a, r.key_b): r for r in hll_pairwise_overlap(
+            ev, "event_type", "user_id"
+        ).collect()
+    }
+    users = {
+        r.event_type: set(rr.user_id for rr in rows)
+        for r in ev.select("event_type").distinct().collect()
+        for rows in [
+            ev.where(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .collect()
+        ]
+    }
+    assert got
+    for (a, b), r in got.items():
+        exact = len(users[a] & users[b])
+        assert r.est_union >= max(r.est_a, r.est_b)
+        assert r.est_intersection <= min(r.est_a, r.est_b)
+        assert abs(r.est_intersection - exact) <= max(3, 0.05 * max(exact, 1)), (
+            a, b, exact, r.est_intersection,
+        )
