@@ -108,3 +108,147 @@ _ORDERS_PROFILE_ORACLE = " UNION ALL ".join(
 )
 def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(table(spark, sf_dir, "orders"))
+
+
+def check_constraints(
+    df: DataFrame,
+    row_rules: dict[str, "F.Column"] | None = None,
+    unique: list[str] | None = None,
+    references: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """Data-quality gate (the deequ/expectations shape): evaluate
+    named constraints and return one row per rule —
+    (rule, n_violations, passed).
+
+    - ``row_rules``: name → boolean Column that is True when the ROW
+      VIOLATES the rule. All row rules fold into ONE conditional-sum
+      aggregate over a single scan (no per-rule pass).
+    - ``unique``: key columns that must be unique — one groupBy
+      counting keys seen more than once (violations = extra rows).
+    - ``references``: column → (dim, dim_key): child values that
+      must exist in the dimension — a left-anti join per reference
+      (keyed, AQE-sized; the dim never fans out).
+
+    Violation counts are exact integers, so the report is
+    engine-identical and oracle-checkable.
+    """
+    spark = df.sparkSession
+    parts = []
+    if row_rules:
+        agg = df.agg(
+            *[
+                F.sum(cond.cast("long")).alias(name)
+                for name, cond in row_rules.items()
+            ]
+        )
+        stacked = agg.select(
+            F.expr(
+                "stack({n}, {args}) AS (rule, n_violations)".format(
+                    n=len(row_rules),
+                    args=", ".join(
+                        f"'{name}', `{name}`" for name in row_rules
+                    ),
+                )
+            )
+        )
+        parts.append(stacked)
+    for cols in unique or []:
+        dupes = (
+            df.groupBy(cols)
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias(
+                    "n_violations"
+                )
+            )
+            .select(
+                F.lit(f"unique({cols})").alias("rule"), "n_violations"
+            )
+        )
+        parts.append(dupes)
+    for col, (dim, dim_key) in (references or {}).items():
+        orphans = (
+            df.select(F.col(col))
+            .where(F.col(col).isNotNull())
+            .join(
+                dim.select(F.col(dim_key).alias(col)), col, "left_anti"
+            )
+            .agg(F.count("*").alias("n_violations"))
+            .select(
+                F.lit(f"references({col}->{dim_key})").alias("rule"),
+                "n_violations",
+            )
+        )
+        parts.append(orphans)
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule")
+
+
+@register(
+    "dq_orders_constraints",
+    oracle="""
+        SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM (
+            SELECT 'nonnull_custkey' AS rule,
+                   COUNT(*) - COUNT(o_custkey) AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'positive_totalprice',
+                   SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL
+            SELECT 'orderdate_in_range',
+                   SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate >= TIMESTAMP '2005-01-01'
+                            THEN 1 ELSE 0 END)
+            FROM orders
+            UNION ALL
+            SELECT 'unique([''o_orderkey''])',
+                   COALESCE(SUM(cnt - 1), 0)
+            FROM (
+                SELECT COUNT(*) AS cnt FROM orders
+                GROUP BY o_orderkey HAVING COUNT(*) > 1
+            )
+            UNION ALL
+            SELECT 'references(o_custkey->c_custkey)', COUNT(*)
+            FROM orders o
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+              )
+        )
+        ORDER BY rule
+    """,
+    doc="Data-quality gate on orders: null/range/positivity row rules "
+    "in one conditional-sum scan, key uniqueness, and referential "
+    "integrity against customer — exact violation counts per rule "
+    "(the deequ/expectations shape).",
+    tags=("profiling", "quality", "aggregate"),
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        row_rules={
+            "nonnull_custkey": F.col("o_custkey").isNull(),
+            "positive_totalprice": F.col("o_totalprice") <= 0,
+            "orderdate_in_range": (
+                (F.col("o_orderdate") < "1990-01-01")
+                | (F.col("o_orderdate") >= "2005-01-01")
+            ),
+        },
+        unique=[["o_orderkey"]],
+        references={"o_custkey": (cust, "c_custkey")},
+    )

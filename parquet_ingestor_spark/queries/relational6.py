@@ -1685,3 +1685,76 @@ def q91_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q92_share_of_parent",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_regionkey, n.n_name,
+                   SUM(CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 100)
+                            AS BIGINT)) AS cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT r.r_name, rev.n_name,
+               rev.cents / 100.0 AS revenue,
+               CAST(rev.cents AS DOUBLE)
+                   / SUM(rev.cents) OVER (PARTITION BY rev.n_regionkey)
+                   AS share_of_region,
+               CAST(rev.cents AS DOUBLE)
+                   / SUM(rev.cents) OVER () AS share_of_total
+        FROM rev JOIN region r ON rev.n_regionkey = r.r_regionkey
+        ORDER BY r.r_name, rev.n_name
+    """,
+    doc="Hierarchical share-of-parent report: nation revenue as a "
+    "share of its region and of the grand total — windowed sums over "
+    "EXACT integer cents (the window only ever holds <= 25 nation "
+    "rows), one IEEE division per share.",
+    tags=("relational", "window", "hierarchy"),
+)
+def q92_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact scan aggregates to nation rows BEFORE any window —
+    the share windows run over the 25-row nation aggregate, never
+    corpus rows, and integer-cents sums make both window totals
+    associative-exact at any partitioning."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_region = Window.partitionBy("n_regionkey")
+    w_all = Window.partitionBy()
+    return (
+        rev.join(F.broadcast(region), rev.n_regionkey == region.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("cents") / 100.0).alias("revenue"),
+            (
+                F.col("cents").cast("double")
+                / F.sum("cents").over(w_region)
+            ).alias("share_of_region"),
+            (
+                F.col("cents").cast("double") / F.sum("cents").over(w_all)
+            ).alias("share_of_total"),
+        )
+        .orderBy("r_name", "n_name")
+    )

@@ -999,3 +999,31 @@ def test_point_in_time_join_boundaries(spark):
         r.fid: r.seg for r in point_in_time_join(facts, dim).collect()
     }
     assert got == {100: None, 101: "OLD", 102: "OLD", 103: "NEW", 104: "NEW"}
+
+
+def test_check_constraints_counts_violations(spark):
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 20, -1.0), (2, None, 3.0), (3, 99, 0.0)],
+        "k long, fk long, v double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "d long")
+    out = {
+        r.rule: (r.n_violations, r.passed)
+        for r in check_constraints(
+            df,
+            row_rules={
+                "nonnull_fk": F.col("fk").isNull(),
+                "positive_v": F.col("v") <= 0,
+            },
+            unique=[["k"]],
+            references={"fk": (dim, "d")},
+        ).collect()
+    }
+    assert out["nonnull_fk"] == (1, False)
+    assert out["positive_v"] == (2, False)
+    assert out["unique(['k'])"] == (1, False)  # k=1 twice -> 1 extra row
+    assert out["references(fk->d)"] == (1, False)  # fk=99 orphan
