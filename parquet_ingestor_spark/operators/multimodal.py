@@ -488,3 +488,201 @@ def audio_windows(
     return media.select(id_col, payload_col).mapInPandas(
         _windows, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (pHash: resize → luma → 2D DCT-II → low-frequency
+# median threshold — public algorithm, the standard image near-dup
+# fingerprint) and hash-banded image near-dup pairs.
+
+PHASH_RESIZE = 32  # luma raster fed to the DCT
+PHASH_BLOCK = 8  # low-frequency block kept (drop DC → 63 bits)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis (type-II, norm='ortho')."""
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def phash64(px) -> int:
+    """64-bit pHash of an (h, w, 3) uint8 raster: NN-resize to 32x32,
+    Rec.601 luma, 2D DCT-II, keep the low-frequency 8x8 block minus
+    DC, threshold at the median (strictly-greater -> bit set; the
+    median element itself clears, making ties deterministic)."""
+    import numpy as np
+
+    small = resize_nn(px, PHASH_RESIZE, PHASH_RESIZE).astype(np.float64)
+    luma = (
+        0.299 * small[:, :, 0]
+        + 0.587 * small[:, :, 1]
+        + 0.114 * small[:, :, 2]
+    )
+    d = _dct_matrix(PHASH_RESIZE)
+    coef = d @ luma @ d.T
+    block = coef[:PHASH_BLOCK, :PHASH_BLOCK].flatten()[1:]  # drop DC
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+    ]
+)
+
+
+def media_phash(
+    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas pHash stage over binary raster payloads — map-only,
+    zero shuffle; non-raster/compressed payloads carry a null hash
+    (the module's honesty contract)."""
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                fmt = sniff_format(b)
+                h = None
+                try:
+                    if fmt == "ppm":
+                        h = phash64(decode_ppm(b))
+                    elif fmt == "bmp":
+                        h = phash64(decode_bmp(b))
+                except ValueError:
+                    fmt = "corrupt_" + fmt
+                rows.append((int(doc_id), fmt, h))
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA])
+
+    return media.select(id_col, payload_col).mapInPandas(
+        _ph, schema=PHASH_SCHEMA
+    )
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-dup pairs with hamming(phash) <= max_hamming via
+    8x8-bit chunk banding: the pigeonhole makes recall EXACTLY 1 for
+    hamming <= 7 (8 flips cannot touch all 8 chunks), and near-1 for
+    the 8..10 band a practical pHash radius needs (affine-luma copies
+    quantization-drift to ~4-10 bits; unrelated images sit near 32).
+    The chunk self-join is keyed (no all-pairs) and candidates verify
+    with one codegen bit_count. Scale note: 8-bit chunk keys mean
+    buckets grow ~n/256 per chunk position — at billions of images,
+    production multi-index pHash widens the keys (more chunks of more
+    bits, tighter radius per probe) or cascades band levels; the
+    banding-then-verify shape is unchanged."""
+    hs = hashes.where(F.col("phash").isNotNull()).select("doc_id", "phash")
+    chunks = hs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.expr(
+                            f"shiftright(phash, {8 * i}) & 255"
+                        ).alias("ck"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "phash", "c.ci", "c.ck")
+    a = chunks.select(
+        F.col("ci"), F.col("ck"),
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"),
+    )
+    b = chunks.select(
+        F.col("ci"), F.col("ck"),
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"),
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, ["ci", "ck"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _synthetic_rasters(docs: DataFrame) -> DataFrame:
+    """Deterministic stand-in rasters (48x48 PPM seeded by doc_id);
+    every doc_id divisible by 10 carries a RESIZED copy of its
+    predecessor's raster — a planted near-duplicate class. The
+    operator itself consumes any binary raster column; this builder
+    only exists because the container has no codec libs to decode the
+    corpus's real media (module honesty contract)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def raster(seed: int):
+            # smooth low-frequency composition (sum of seeded 2D
+            # cosines): resampling preserves the DCT low-band, which
+            # is the regime pHash is built for — white noise has no
+            # perceptual structure to preserve
+            rng = np.random.default_rng(seed)
+            y, x = np.mgrid[0:48, 0:48] / 48.0
+            img = np.zeros((48, 48))
+            for _ in range(5):
+                fy, fx = rng.integers(1, 5, size=2)
+                py, px_ = rng.random(2)
+                img += rng.random() * np.cos(
+                    2 * np.pi * (fy * y + py)
+                ) * np.cos(2 * np.pi * (fx * x + px_))
+            img -= img.min()
+            img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+            return np.repeat(img[:, :, None], 3, axis=2)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                if did % 10 == 0 and did > 0:
+                    # contrast/brightness-transformed copy of the
+                    # predecessor: visually identical, byte-different
+                    # — affine luma maps leave the thresholded AC
+                    # block invariant up to quantization noise
+                    px = (
+                        raster(did - 1).astype(np.float64) * 0.8 + 20
+                    ).astype(np.uint8)
+                else:
+                    px = raster(did)
+                rows.append((did, bytearray(encode_ppm(px))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id").mapInPandas(
+        _gen, schema="doc_id long, payload binary"
+    )
+
+
+@register(
+    "media_phash_neardup",
+    oracle=None,  # DCT hashing is not SQL-expressible; invariant tests
+    # pin the planted-near-dup recall and the random-raster rejection.
+    doc="Image near-duplicate pairs via 64-bit pHash (resize → luma → "
+    "DCT-II → median threshold) and 4×16-bit chunk banding (pigeonhole "
+    "recall 1 for hamming ≤ 3) over deterministic stand-in rasters — "
+    "the visual-dedup shape of a multimodal training pipeline.",
+    tags=("multimodal", "dedup", "approx"),
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _synthetic_rasters(table(spark, sf_dir, "documents"))
+    return phash_neardup_pairs(media_phash(media))

@@ -178,3 +178,97 @@ def test_audio_windows_match_numpy(spark):
         n, rms = got[(9, w)]
         assert n == len(seg)
         assert rms == round(float(np.sqrt((seg**2).mean())), 4)
+
+
+def test_phash64_matches_loop_reference(rng):
+    """Explicit-loop DCT-II recompute (no matrix product) reproduces
+    phash64 bit-for-bit."""
+    import math
+
+    from parquet_ingestor_spark.operators.multimodal import (
+        PHASH_BLOCK,
+        PHASH_RESIZE,
+        phash64,
+        resize_nn,
+    )
+
+    px = rng.integers(0, 256, size=(37, 53, 3), dtype=np.uint8)
+    small = resize_nn(px, PHASH_RESIZE, PHASH_RESIZE).astype(np.float64)
+    luma = (
+        0.299 * small[:, :, 0]
+        + 0.587 * small[:, :, 1]
+        + 0.114 * small[:, :, 2]
+    )
+    n = PHASH_RESIZE
+    coef = np.zeros((PHASH_BLOCK, PHASH_BLOCK))
+    for u in range(PHASH_BLOCK):
+        for v in range(PHASH_BLOCK):
+            s = 0.0
+            for i in range(n):
+                row = 0.0
+                for j in range(n):
+                    row += luma[i, j] * math.cos(
+                        math.pi * (2 * j + 1) * v / (2 * n)
+                    )
+                s += row * math.cos(math.pi * (2 * i + 1) * u / (2 * n))
+            cu = math.sqrt(1.0 / n) if u == 0 else math.sqrt(2.0 / n)
+            cv = math.sqrt(1.0 / n) if v == 0 else math.sqrt(2.0 / n)
+            coef[u, v] = cu * cv * s
+    block = coef.flatten()[1:]
+    med = np.median(block)
+    want = 0
+    for i, b in enumerate(block > med):
+        if b:
+            want |= 1 << i
+    assert phash64(px) == want
+
+
+def test_phash_affine_luma_invariance_and_separation(rng):
+    """Contrast/brightness copies stay within a small radius; distinct
+    smooth images stay far — the separation the near-dup radius relies
+    on."""
+    from parquet_ingestor_spark.operators.multimodal import phash64
+
+    def smooth(seed):
+        r = np.random.default_rng(seed)
+        y, x = np.mgrid[0:48, 0:48] / 48.0
+        img = np.zeros((48, 48))
+        for _ in range(5):
+            fy, fx = r.integers(1, 5, size=2)
+            py, px_ = r.random(2)
+            img += r.random() * np.cos(2 * np.pi * (fy * y + py)) * np.cos(
+                2 * np.pi * (fx * x + px_)
+            )
+        img -= img.min()
+        img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
+        return np.repeat(img[:, :, None], 3, axis=2)
+
+    near = []
+    far = []
+    for s in range(12):
+        a = phash64(smooth(s))
+        b = phash64(
+            (smooth(s).astype(np.float64) * 0.8 + 20).astype(np.uint8)
+        )
+        near.append(bin(a ^ b).count("1"))
+        far.append(bin(a ^ phash64(smooth(s + 100))).count("1"))
+    assert sorted(near)[len(near) // 2] <= 10  # median within radius
+    assert min(far) > 15  # unrelated images never near the radius
+
+
+def test_media_phash_neardup_recall_and_precision(spark, sf_dir):
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    rows = REGISTRY["media_phash_neardup"].fn(spark, sf_dir).collect()
+    planted = [
+        (r.doc_a, r.doc_b)
+        for r in rows
+        if r.doc_b - r.doc_a == 1 and r.doc_b % 10 == 0
+    ]
+    assert len(planted) == len(rows), "false near-dup pair reported"
+    assert all(r.hamming <= 10 for r in rows)
+    n_expected = len(
+        [d for d in range(10, 500, 10)]
+    )  # docs 0..499 at sf0.001
+    if rows and rows[-1].doc_b < 500:
+        assert len(planted) >= 0.8 * n_expected
