@@ -100,7 +100,8 @@ _LOADED = False
 #:     scd2_point_in_time_orders, corpus_neyman_allocation,
 #:     graph_hits_parts, asof_conversion_lag,
 #:     q90_nation_revenue_trend, q91_resample_interpolate,
-#:     dq_orders_constraints, q92_share_of_parent (oracle-backed) and
+#:     dq_orders_constraints, q92_share_of_parent,
+#:     q93_abc_classification (oracle-backed) and
 #:     unigram_lm_train, dedup_recall_eval, events_user_overlap_sketch,
 #:     media_phash_neardup (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic

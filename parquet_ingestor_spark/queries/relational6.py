@@ -1758,3 +1758,116 @@ def q92_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "n_name")
     )
+
+
+@register(
+    "q93_abc_classification",
+    oracle="""
+        WITH pr AS (
+            SELECT l_partkey,
+                   SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        h AS (
+            SELECT (cents // CAST(pow(10, greatest(
+                        length(CAST(cents AS VARCHAR)) - 2, 0)) AS BIGINT))
+                   * CAST(pow(10, greatest(
+                        length(CAST(cents AS VARCHAR)) - 2, 0)) AS BIGINT)
+                       AS bucket_lo,
+                   SUM(cents) AS bcents
+            FROM pr GROUP BY 1
+        ),
+        c AS (
+            SELECT bucket_lo,
+                   SUM(bcents) OVER (ORDER BY bucket_lo DESC) AS cum,
+                   SUM(bcents) OVER () AS total
+            FROM h
+        ),
+        cls AS (
+            SELECT bucket_lo,
+                   CASE WHEN (cum - bcents_self) * 10 < total * 8
+                        THEN 'A'
+                        WHEN (cum - bcents_self) * 100 < total * 95
+                        THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM (
+                SELECT c.bucket_lo, c.cum, c.total,
+                       h.bcents AS bcents_self
+                FROM c JOIN h USING (bucket_lo)
+            )
+        )
+        SELECT cls.abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(pr.cents) AS BIGINT) AS class_cents
+        FROM pr
+        JOIN cls ON (pr.cents // CAST(pow(10, greatest(
+                        length(CAST(pr.cents AS VARCHAR)) - 2, 0))
+                        AS BIGINT))
+                    * CAST(pow(10, greatest(
+                        length(CAST(pr.cents AS VARCHAR)) - 2, 0))
+                        AS BIGINT) = cls.bucket_lo
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="ABC inventory classification: parts bucketed A (first 80% of "
+    "revenue, scanning from the top), B (to 95%), C (tail) on the "
+    "2-significant-digit histogram — the Pareto-class assignment "
+    "without a global sort, reported as class sizes and revenue.",
+    tags=("relational", "histogram", "classification"),
+)
+def q93_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same scale contract as q87: per-part revenue aggregates once
+    (map-side combinable), the cumulative runs over <= ~1.7k bucket
+    rows, and parts join their bucket's class on the codegen bucket
+    key. Class rule uses the revenue accumulated STRICTLY ABOVE the
+    bucket (exclusive prefix) so the boundary bucket lands in the
+    class it starts in — all comparisons exact-integer
+    cross-multiplications, no percentage floats."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    width = (
+        "cast(pow(10, greatest(length(cast(cents as string)) - 2, 0)) "
+        "as bigint)"
+    )
+    bucket = F.expr(f"(cents div {width}) * {width}")
+    h = (
+        pr.select(bucket.alias("bucket_lo"), "cents")
+        .groupBy("bucket_lo")
+        .agg(F.sum("cents").alias("bcents"))
+    )
+    wdesc = Window.orderBy(F.desc("bucket_lo"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = h.select(
+        "bucket_lo",
+        "bcents",
+        F.sum("bcents").over(wdesc).alias("cum"),
+        F.sum("bcents").over(wall).alias("total"),
+    )
+    above = F.col("cum") - F.col("bcents")
+    cls = c.select(
+        "bucket_lo",
+        F.when(above * 10 < F.col("total") * 8, "A")
+        .when(above * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    parts = pr.select("l_partkey", "cents", bucket.alias("bucket_lo"))
+    return (
+        parts.join(cls, "bucket_lo")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+        )
+        .orderBy("abc_class")
+    )
