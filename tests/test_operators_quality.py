@@ -1027,3 +1027,35 @@ def test_check_constraints_counts_violations(spark):
     assert out["positive_v"] == (2, False)
     assert out["unique(['k'])"] == (1, False)  # k=1 twice -> 1 extra row
     assert out["references(fk->d)"] == (1, False)  # fk=99 orphan
+
+
+def test_ppjoin_equals_exact_under_hot_shingle(spark):
+    """Adversarial Zipf-head case: every doc shares one boilerplate
+    shingle (the share-any join's quadratic hot key). PPJoin must
+    return exactly the exact-join result — the planted near-dup pair
+    and nothing else — because the hot shingle orders LAST and never
+    enters a prefix."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        ppjoin_pairs,
+        shingle_col,
+    )
+
+    boiler = "all rights reserved"
+    rows = [(i, f"unique{i} body{i} text{i} w{i}a w{i}b {boiler}") for i in range(40)]
+    # planted near-dup: long docs differing by one trailing token
+    base = " ".join(f"same{i}" for i in range(50))
+    rows += [
+        (100, f"{base} x {boiler}"),
+        (101, f"{base} y {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = docs.select("doc_id", shingle_col("text").alias("shingles"))
+    got = sorted(tuple(r) for r in ppjoin_pairs(sh).collect())
+    want = sorted(
+        tuple(r) for r in exact_jaccard_pairs(sh, 0.8).collect()
+    )
+    assert got == want
+    assert any(a == 100 and b == 101 for a, b, _ in got)

@@ -84,7 +84,7 @@ def test_window_maximizes_never_checked_coverage():
     names = list(REGISTRY)
     never = [n for n in names if n not in checked]
     outside = [n for n in never if n not in set(names[:50])]
-    assert len(outside) <= 54, outside
+    assert len(outside) <= 55, outside
     # the window is exactly the driver's budget — no padding slack
     assert len(_WINDOW_FIRST) == 50
 
