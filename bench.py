@@ -81,6 +81,9 @@ HEADLINE = (
     "q88_moving_average",
     "snapshot_diff_orders",
     "table_profile_orders",
+    "dedup_ppjoin_pairs",
+    "media_phash_neardup",
+    "q93_abc_classification",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both

@@ -887,11 +887,21 @@ def ppjoin_pairs(
     boilerplate (Zipf-head) shingles order LAST and almost never
     enter a prefix, so the hot-key quadratic fan-out that
     exact_jaccard_pairs suffers collapses to rare-token buckets.
-    Verification joins the doc shingle ARRAYS back onto the candidate
-    pairs (two keyed joins) and counts the intersection in codegen —
-    per-candidate O(|doc|), no second shuffle explosion. The ceil is
-    exact integer arithmetic ((t_num·n + t_den − 1) div t_den): a
-    float 0.8·n rounds the wrong way on exact multiples.
+
+    Three more exactness-preserving cuts from the same paper ride the
+    candidate join: (1) the candidate key is ``xxhash64(sh)``, not the
+    shingle string — a hash collision only ADDS a candidate, and
+    verification rejects it, so the shuffle ships 8-byte keys with no
+    effect on the output; (2) the LENGTH filter (J >= t forces
+    t·max(na,nb) <= min(na,nb)); (3) the POSITIONAL filter — a
+    collision at 1-based prefix ranks (ra, rb) bounds the overlap by
+    1 + min(na−ra, nb−rb), which must reach the required
+    α = ceil(t·(na+nb)/(1+t)). Verification joins the doc shingle
+    ARRAYS back onto the survivors (two keyed joins) and counts the
+    intersection in codegen — per-candidate O(|doc|), no second
+    shuffle explosion. All ceils are exact integer arithmetic
+    ((t_num·n + t_den − 1) div t_den): a float 0.8·n rounds the
+    wrong way on exact multiples.
     """
     from pyspark.sql import Window
 
@@ -907,12 +917,44 @@ def ppjoin_pairs(
     prefix_len = F.col("n") - F.expr(
         f"({t_num} * n + {t_den} - 1) div {t_den}"
     ) + F.lit(1)
-    prefix = ranked.join(sz, "doc_id").where(F.col("rn") <= prefix_len)
-    pa = prefix.select(F.col("sh"), F.col("doc_id").alias("doc_a"))
-    pb = prefix.select(F.col("sh"), F.col("doc_id").alias("doc_b"))
+    prefix = (
+        ranked.join(sz, "doc_id")
+        .where(F.col("rn") <= prefix_len)
+        .select(
+            F.xxhash64("sh").alias("hk"), "doc_id", "rn", "n"
+        )
+    )
+    pa = prefix.select(
+        "hk",
+        F.col("doc_id").alias("doc_a"),
+        F.col("rn").alias("ra"),
+        F.col("n").alias("na_p"),
+    )
+    pb = prefix.select(
+        "hk",
+        F.col("doc_id").alias("doc_b"),
+        F.col("rn").alias("rb"),
+        F.col("n").alias("nb_p"),
+    )
+    # required overlap α = ceil(t·(na+nb)/(1+t)), exact in integers
+    alpha = F.expr(
+        f"({t_num} * (na_p + nb_p) + {t_num} + {t_den} - 1) "
+        f"div ({t_num} + {t_den})"
+    )
     cand = (
-        pa.join(pb, "sh")
+        pa.join(pb, "hk")
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.lit(t_num) * F.greatest("na_p", "nb_p")
+            <= F.lit(t_den) * F.least("na_p", "nb_p")
+        )
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("na_p") - F.col("ra"), F.col("nb_p") - F.col("rb")
+            )
+            >= alpha
+        )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -684,5 +684,13 @@ def _synthetic_rasters(docs: DataFrame) -> DataFrame:
     tags=("multimodal", "dedup", "approx"),
 )
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = _synthetic_rasters(table(spark, sf_dir, "documents"))
+    # Spread docs across all cores before the raster/DCT stages: the
+    # documents table is a handful of parquet splits, and without this
+    # the whole Arrow pipeline runs on as many cores as there are
+    # files. At 100 TB the scan has thousands of splits and AQE folds
+    # this away; on small inputs it is 1 core vs all of them (the same
+    # move _doc_shingles makes for the sketch-dedup family).
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
+    media = _synthetic_rasters(docs)
     return phash_neardup_pairs(media_phash(media))
