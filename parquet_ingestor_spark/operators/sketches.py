@@ -345,3 +345,170 @@ def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_pairwise_overlap(
         table(spark, sf_dir, "events"), "event_type", "user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom filter (bit_or over packed long words)
+#
+# The membership member of the sketch family (HLL above = cardinality,
+# KLL = quantiles, Misra-Gries in text.py = frequency): a fixed-size
+# bitmap answering "definitely new vs maybe seen" with ZERO false
+# negatives — the screen a training pipeline runs on every incoming
+# batch against the fingerprints of everything already ingested,
+# without joining the history itself. Reference parity note: the
+# reference pipeline has no sketch layer at all (its dedup is
+# row-exact, /root/reference — SURVEY.md §2.4 extension); this is
+# public-textbook Bloom (Bloom 1970, CACM).
+#
+# Representation: the m-bit array packs into m/64 BIGINT words, one
+# (word, bits) DataFrame row per non-zero word — never more than m/64
+# rows regardless of corpus size, and built by a map-side-combinable
+# bit_or aggregation (one narrow scan, k-way position explode, no UDF
+# anywhere). Union of two filters = bit_or by word (an exact monoid —
+# unlike HLL/KLL there is not even estimation error in the merge), so
+# per-shard / per-micro-batch partials fold into exactly the bitmap a
+# single pass would have produced; the sharded-vs-oneshot law is
+# frame equality, not a tolerance.
+#
+# Probe is a keyed join on the word index, NOT a forced broadcast: at
+# test SF the ≤ m/64-row bitmap broadcasts from stats/AQE, while a
+# 100 TB-sized filter (m ≈ 10 bits per key for 1% FP → tens of GB at
+# 10^10 keys) degrades gracefully to a shuffle join on the word key —
+# the same no-unbounded-hints policy as everywhere else in the repo.
+
+
+def _bloom_positions(key: "F.Column", num_bits: int, num_hashes: int):
+    """k deterministic bit positions via seeded xxhash64 (seed = probe
+    index, mixed in as an extra hash argument), each folded into
+    [0, num_bits) with pmod (xxhash64 is signed)."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key: "F.Column", num_bits: int, num_hashes: int
+) -> DataFrame:
+    """Build the (word, bits) bitmap: ≤ num_bits/64 rows, all codegen.
+
+    ``num_bits`` must be a multiple of 64 (packing invariant)."""
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    pos = df.select(
+        F.explode(_bloom_positions(key, num_bits, num_hashes)).alias("pos")
+    )
+    return (
+        pos.groupBy(F.expr("pos div 64").alias("word"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias(
+                "bits"
+            )
+        )
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Exact union of two bitmaps: bit_or by word (commutative,
+    associative, idempotent — safe under batch replay)."""
+    return (
+        a.unionByName(b)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    bitmap: DataFrame,
+    df: DataFrame,
+    key: "F.Column",
+    num_bits: int,
+    num_hashes: int,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Screen ``df`` against the bitmap: adds ``out_col`` (boolean).
+
+    False ⇒ DEFINITELY not inserted (the Bloom theorem); True ⇒ seen
+    or a false positive at the configured (m, k, n) rate. Each row
+    probes its k positions via a word-keyed join; a probe word absent
+    from the bitmap (all-zero word never materialized) is a miss.
+
+    The probe is a SET operation on rows: the k exploded positions
+    regroup on the full row struct, so byte-identical input rows
+    collapse to one output row. (A nondeterministic row id would not
+    survive here — monotonically_increasing_id lands ABOVE the
+    generator in the optimized plan and stamps each exploded position
+    with its own id, splitting every row into k groups.)
+    """
+    probes = df.select(
+        F.struct(*df.columns).alias("_row"),
+        F.explode(_bloom_positions(key, num_bits, num_hashes)).alias("pos"),
+    ).select(
+        "_row",
+        F.expr("pos div 64").alias("word"),
+        (F.col("pos") % 64).alias("bit"),
+    )
+    hit = (
+        F.col("bits").isNotNull()
+        & (F.expr("shiftright(bits, cast(bit as int)) & 1") == 1)
+    )
+    return (
+        probes.join(bitmap, "word", "left")
+        .groupBy("_row")
+        .agg(F.min(hit.cast("int")).alias("_all_hit"))
+        .select("_row.*", (F.col("_all_hit") == 1).alias(out_col))
+    )
+
+
+#: Entry sizing: ~16 bits per history shingle at the bench SF (sf0.1
+#: history ≈ 250k distinct shingles) + 5 probes → sub-1% theoretical
+#: FP; 2^22 bits pack into ≤ 65,536 words (512 KB — join-side noise).
+#: At larger corpora m is the knob to grow with n (bits ≈ 10·n for
+#: 1%); the bitmap row count grows linearly but stays a keyed join.
+BLOOM_BITS = 1 << 22
+BLOOM_HASHES = 5
+
+
+@register(
+    "corpus_bloom_seen",
+    oracle=None,  # deterministic output, but seeded-xxhash64 bit
+    # positions are not reproducible in DuckDB SQL; invariant tests pin
+    # the zero-false-negative theorem, the FP rate vs theory, and the
+    # sharded≡oneshot merge law (exact frame equality).
+    doc="Screen one source's shingles against a mergeable Bloom filter "
+    "of every OTHER source's shingles: per doc (n_shingles, "
+    "n_maybe_seen), where a shingle's miss is a PROOF it never "
+    "appeared in history — the ingest-batch novelty screen that "
+    "never joins the history corpus itself.",
+    tags=("sketch", "dedup", "corpus"),
+)
+def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History = 3-gram shingles of sources ≠ src0; probe = src0's
+    shingles, one row per (doc, shingle), re-aggregated per doc. One
+    history scan builds the bitmap; probes join it by word index
+    (broadcast at this SF from stats, keyed shuffle when m outgrows
+    the broadcast threshold — no hint either way)."""
+    from .dedup import shingle_col
+
+    docs = table(spark, sf_dir, "documents")
+    history = docs.where(F.col("source") != "src0").select(
+        F.explode(shingle_col("text")).alias("sh")
+    )
+    probe = (
+        docs.where(F.col("source") == "src0")
+        .select("doc_id", F.explode(shingle_col("text")).alias("sh"))
+    )
+    bitmap = bloom_build(history, F.col("sh"), BLOOM_BITS, BLOOM_HASHES)
+    flagged = bloom_probe(
+        bitmap, probe, F.col("sh"), BLOOM_BITS, BLOOM_HASHES
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("maybe_seen").cast("bigint")).alias("n_maybe_seen"),
+        )
+        .orderBy("doc_id")
+    )

@@ -105,7 +105,7 @@ _LOADED = False
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and
 #:     unigram_lm_train, dedup_recall_eval, events_user_overlap_sketch,
-#:     media_phash_neardup (rows-only by design:
+#:     corpus_bloom_seen, media_phash_neardup (rows-only by design:
 #:     iterative EM with bit-exact Python differential / probabilistic
 #:     audit with pinned precision-recall guarantees)
 #:     — every one is locally oracle-green

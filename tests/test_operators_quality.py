@@ -1059,3 +1059,129 @@ def test_ppjoin_equals_exact_under_hot_shingle(spark):
     )
     assert got == want
     assert any(a == 100 and b == 101 for a, b, _ in got)
+
+
+def test_bloom_zero_false_negatives_and_fp_rate(spark):
+    """Every inserted key must probe maybe_seen (the Bloom theorem —
+    zero false negatives, exactly); a disjoint probe set's FP rate
+    must sit near the (m, k, n) theory. The filter is deliberately
+    undersized (m=2048 for n=500) so false positives actually occur
+    and the rate assertion bites."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m, k, n = 2048, 3, 500
+    ins = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(n)], "id long, key string"
+    )
+    bm = bloom_build(ins, F.col("key"), m, k)
+    got = bloom_probe(bm, ins, F.col("key"), m, k).collect()
+    assert len(got) == n
+    assert all(r.maybe_seen for r in got)  # theorem, not probability
+
+    fresh = spark.createDataFrame(
+        [(i, f"other-{i}") for i in range(n)], "id long, key string"
+    )
+    flags = [
+        r.maybe_seen
+        for r in bloom_probe(bm, fresh, F.col("key"), m, k).collect()
+    ]
+    rate = sum(flags) / len(flags)
+    theory = (1 - math.exp(-k * n / m)) ** k  # ≈ 0.14 at this sizing
+    assert 0 < rate <= 2.5 * theory
+
+
+def test_bloom_probe_rejects_when_words_absent(spark):
+    """A generously sized filter (2^16 bits, 3 keys) leaves almost
+    every word row unmaterialized — fresh probes must come back
+    definitely-new through the left-join-null path, not error."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    m, k = 1 << 16, 3
+    ins = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(3)], "id long, key string"
+    )
+    bm = bloom_build(ins, F.col("key"), m, k)
+    fresh = spark.createDataFrame(
+        [(i, f"other-{i}") for i in range(100)], "id long, key string"
+    )
+    out = bloom_probe(bm, fresh, F.col("key"), m, k).collect()
+    assert len(out) == 100
+    assert not any(r.maybe_seen for r in out)
+
+
+def test_bloom_merge_law_is_exact(spark):
+    """Unlike HLL/KLL the Bloom merge is EXACT: building per shard and
+    bit_or-folding must equal the one-shot bitmap frame-for-frame."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    m, k = 4096, 4
+    df = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(400)], "id long, key string"
+    )
+    oneshot = bloom_build(df, F.col("key"), m, k)
+    merged = bloom_merge(
+        bloom_build(df.where("id % 2 = 0"), F.col("key"), m, k),
+        bloom_build(df.where("id % 2 = 1"), F.col("key"), m, k),
+    )
+    a = sorted(tuple(r) for r in oneshot.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+
+
+def test_corpus_bloom_seen_dominates_exact_membership(spark, sf_dir):
+    """End-to-end no-false-negatives: per doc, the Bloom count of
+    maybe-seen shingles must be ≥ the EXACT count of shingles present
+    in history (equality up to false positives), and ≤ n_shingles."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.dedup import shingle_col
+    from parquet_ingestor_spark.operators.sketches import corpus_bloom_seen
+
+    out = {
+        r.doc_id: (r.n_shingles, r.n_maybe_seen)
+        for r in corpus_bloom_seen(spark, sf_dir).collect()
+    }
+    docs = table(spark, sf_dir, "documents")
+    hist = (
+        docs.where(F.col("source") != "src0")
+        .select(F.explode(shingle_col("text")).alias("sh"))
+        .distinct()
+    )
+    probe = docs.where(F.col("source") == "src0").select(
+        "doc_id", F.explode(shingle_col("text")).alias("sh")
+    )
+    exact = {
+        r.doc_id: (r.n, r.seen)
+        for r in probe.join(
+            hist.withColumn("_hit", F.lit(1)), "sh", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("seen"),
+        )
+        .collect()
+    }
+    assert set(out) == set(exact)
+    for did, (n, maybe) in out.items():
+        n_ex, seen_ex = exact[did]
+        assert n == n_ex
+        assert seen_ex <= maybe <= n
