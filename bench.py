@@ -84,6 +84,8 @@ HEADLINE = (
     "dedup_ppjoin_pairs",
     "media_phash_neardup",
     "q93_abc_classification",
+    "corpus_bloom_seen",
+    "q94_contingency_chi2",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both

@@ -101,7 +101,8 @@ _LOADED = False
 #:     graph_hits_parts, asof_conversion_lag,
 #:     q90_nation_revenue_trend, q91_resample_interpolate,
 #:     dq_orders_constraints, q92_share_of_parent,
-#:     q93_abc_classification, dedup_ppjoin_pairs (oracle-backed;
+#:     q93_abc_classification, q94_contingency_chi2,
+#:     dedup_ppjoin_pairs (oracle-backed;
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and
 #:     unigram_lm_train, dedup_recall_eval, events_user_overlap_sketch,

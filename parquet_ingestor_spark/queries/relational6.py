@@ -1871,3 +1871,86 @@ def q93_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@register(
+    "q94_contingency_chi2",
+    oracle="""
+        WITH cells AS (
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT o_orderstatus, o_orderpriority, obs,
+                   CAST(SUM(obs) OVER (PARTITION BY o_orderstatus)
+                        AS BIGINT) AS row_total,
+                   CAST(SUM(obs) OVER (PARTITION BY o_orderpriority)
+                        AS BIGINT) AS col_total,
+                   CAST(SUM(obs) OVER () AS BIGINT) AS grand_total
+            FROM cells
+        )
+        SELECT o_orderstatus, o_orderpriority, obs, row_total,
+               col_total, grand_total,
+               round(CAST(obs * grand_total - row_total * col_total
+                          AS DOUBLE)
+                     * CAST(obs * grand_total - row_total * col_total
+                            AS DOUBLE)
+                     / CAST(grand_total * row_total * col_total
+                            AS DOUBLE), 6) AS cell_chi2
+        FROM t
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    doc="Chi-square contingency table of order status × priority: "
+    "per-cell observed counts, margins, and the cell's chi-square "
+    "contribution (obs·N − rowT·colT)² / (N·rowT·colT) — the "
+    "independence test a data-drift monitor runs between categorical "
+    "columns, with every margin exact-integer.",
+    tags=("relational", "stats", "window"),
+)
+def q94_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the ONLY corpus-sized work is one map-side-
+    combinable count aggregate; margins and contributions run as
+    windows over |statuses|×|priorities| cell rows. Float enters
+    exactly twice per cell — two int64→double casts and one division,
+    both order-independent — so the oracle hash-matches without any
+    cross-row float summation: the deviation (obs·N − rowT·colT) and
+    the denominator (N·rowT·colT ≤ N³ < 2⁶³ through SF 1) are exact
+    integers first. (dev² would overflow int64 at sf0.1, so the
+    square happens in double — one deterministic rounding, identical
+    in both engines.)"""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    cells = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("obs")
+    )
+    wr = Window.partitionBy("o_orderstatus")
+    wc = Window.partitionBy("o_orderpriority")
+    wall = Window.partitionBy()
+    t = cells.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        F.sum("obs").over(wr).alias("row_total"),
+        F.sum("obs").over(wc).alias("col_total"),
+        F.sum("obs").over(wall).alias("grand_total"),
+    )
+    dev = (
+        F.col("obs") * F.col("grand_total")
+        - F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    den = (
+        F.col("grand_total") * F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    return t.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "obs",
+        "row_total",
+        "col_total",
+        "grand_total",
+        F.round(dev * dev / den, 6).alias("cell_chi2"),
+    ).orderBy("o_orderstatus", "o_orderpriority")
