@@ -101,7 +101,7 @@ _LOADED = False
 #:     graph_hits_parts, asof_conversion_lag,
 #:     q90_nation_revenue_trend, q91_resample_interpolate,
 #:     dq_orders_constraints, q92_share_of_parent,
-#:     q93_abc_classification, q94_contingency_chi2,
+#:     q93_abc_classification, q94_contingency_chi2, q95_touch_attribution,
 #:     dedup_ppjoin_pairs (oracle-backed;
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and

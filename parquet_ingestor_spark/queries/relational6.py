@@ -1954,3 +1954,79 @@ def q94_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grand_total",
         F.round(dev * dev / den, 6).alias("cell_chi2"),
     ).orderBy("o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "q95_touch_attribution",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, event_type, value,
+                   first_value(CASE WHEN event_type IN ('click', 'view')
+                                    THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS first_touch,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_touch
+            FROM events
+        )
+        SELECT first_touch, last_touch,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM w
+        WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="First-touch × last-touch marketing attribution: each purchase "
+    "credits the user's earliest and latest preceding click/view, "
+    "reported as the 2×2 touch matrix with purchase counts and "
+    "integer-cents revenue (purchases with no preceding touch drop — "
+    "they have nothing to attribute to).",
+    tags=("relational", "window", "events"),
+)
+def q95_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE shuffle — the per-user event-order window
+    (attribution inherently needs each user's full journey on one
+    partition; per-user rows are bounded, so no skew pathology) —
+    then a cells-sized aggregate. first/last with ignorenulls over
+    the strictly-preceding frame keeps purchase rows transparent to
+    the carry; ordering ties break on event_id so replays are
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        attributed.where(
+            (F.col("event_type") == "purchase")
+            & F.col("first_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
