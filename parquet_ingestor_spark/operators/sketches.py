@@ -512,3 +512,91 @@ def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance: fold per-batch Bloom bitmaps into parquet state
+# and screen each micro-batch against everything seen BEFORE it.
+
+
+def _latest_epoch_below(path: str, bound: int) -> int:
+    """Largest epoch directory strictly below ``bound`` (-1 if none) —
+    the replay-safe state floor: a replayed batch re-reads the same
+    pre-state and overwrites its own epoch."""
+    import os
+
+    if not os.path.isdir(path):
+        return -1
+    vs = [
+        int(d.split("=")[1])
+        for d in os.listdir(path)
+        if "=" in d and int(d.split("=")[1]) < bound
+    ]
+    return max(vs, default=-1)
+
+
+def stream_bloom_screen(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_col: str,
+    num_bits: int = BLOOM_BITS,
+    num_hashes: int = BLOOM_HASHES,
+    query_name: str = "bloom_screen",
+):
+    """The streaming ingest-dedup gate: every micro-batch is screened
+    against the Bloom bitmap of ALL prior batches (rows flagged
+    ``maybe_seen``; false is a proof of novelty), written to
+    ``screened/epoch=<batch_id>``, and then folded into the bitmap at
+    ``bitmap/epoch=<batch_id>``.
+
+    Same epoch discipline as ``stream_hll_users``: state is keyed by
+    streaming batch_id and a batch reads the largest epoch STRICTLY
+    below its own id, so a crash-replay re-screens against the same
+    pre-state and overwrites the same epoch — and even a true double
+    fold is absorbed outright, because bit_or is idempotent (the
+    strongest replay story of the sketch family). State is ≤
+    num_bits/64 rows forever, regardless of stream length.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _latest_epoch_below(
+            os.path.join(state_dir, "bitmap"), int(batch_id)
+        )
+        state = (
+            spark.read.parquet(
+                os.path.join(state_dir, "bitmap", f"epoch={e}")
+            )
+            if e >= 0
+            else None
+        )
+        bitmap = (
+            state
+            if state is not None
+            else spark.createDataFrame([], "word long, bits long")
+        )
+        bloom_probe(
+            bitmap, batch_df, F.col(key_col), num_bits, num_hashes
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "screened", f"epoch={int(batch_id)}")
+        )
+        fresh = bloom_build(batch_df, F.col(key_col), num_bits, num_hashes)
+        folded = bloom_merge(state, fresh) if state is not None else fresh
+        folded.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "bitmap", f"epoch={int(batch_id)}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

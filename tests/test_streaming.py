@@ -410,3 +410,81 @@ def test_hll_pairwise_overlap_tracks_exact(spark, sf_dir):
         assert abs(r.est_intersection - exact) <= max(3, 0.05 * max(exact, 1)), (
             a, b, exact, r.est_intersection,
         )
+
+
+def test_stream_bloom_screen_flags_and_replays(spark, tmp_path):
+    """The streaming Bloom gate: each micro-batch screens against the
+    bitmap of all PRIOR batches — a key's first occurrence flags
+    definitely-new, every later occurrence flags maybe-seen (no false
+    negatives, and the filter is sized so false positives are ~1e-8);
+    a crash-replay with a fresh checkpoint reproduces the identical
+    bitmap (bit_or is idempotent)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.sketches import (
+        bloom_probe,
+        stream_bloom_screen,
+    )
+
+    m, k = 1 << 16, 3
+    landing = str(tmp_path / "landing")
+    batches = [
+        [(i, f"key-{i}") for i in range(50)],
+        [(100 + i, f"key-{25 + i}") for i in range(50)],
+        [(200 + i, f"key-{i}") for i in range(10)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, "id long, key string").coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("id long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    state_dir = str(tmp_path / "state")
+    q = stream_bloom_screen(stream, state_dir, "key", m, k)
+    q.awaitTermination(120)
+
+    screened = spark.read.option("basePath", os.path.join(state_dir, "screened")) \
+        .parquet(os.path.join(state_dir, "screened"))
+    rows = screened.collect()
+    assert len(rows) == 110
+    first_epoch: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r.epoch, r.key)):
+        first_epoch.setdefault(r.key, r.epoch)
+    for r in rows:
+        if r.epoch == first_epoch[r.key]:
+            assert not r.maybe_seen, (r.key, r.epoch)
+        else:
+            assert r.maybe_seen, (r.key, r.epoch)  # no false negatives
+
+    bitmap_dir = os.path.join(state_dir, "bitmap")
+    last = max(int(d.split("=")[1]) for d in os.listdir(bitmap_dir))
+    bitmap = spark.read.parquet(os.path.join(bitmap_dir, f"epoch={last}"))
+    allkeys = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(75)], "id long, key string"
+    )
+    flagged = bloom_probe(bitmap, allkeys, F.col("key"), m, k).collect()
+    assert all(r.maybe_seen for r in flagged)
+    final_words = sorted(tuple(r) for r in bitmap.collect())
+
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    stream2 = (
+        spark.readStream.schema("id long, key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q2 = stream_bloom_screen(stream2, state_dir, "key", m, k)
+    q2.awaitTermination(120)
+    last2 = max(int(d.split("=")[1]) for d in os.listdir(bitmap_dir))
+    replayed = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(bitmap_dir, f"epoch={last2}")
+        ).collect()
+    )
+    assert replayed == final_words, "replay changed the bitmap"
