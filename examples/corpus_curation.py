@@ -29,6 +29,7 @@ from parquet_ingestor_spark.operators.corpus import (
     dedup_clusters,
     scrub_pii,
 )
+from parquet_ingestor_spark.operators.dedup import shingle_col
 from parquet_ingestor_spark.operators.lines import line_dedup
 from parquet_ingestor_spark.operators.mixture import (
     dsir_logweights,
@@ -36,6 +37,7 @@ from parquet_ingestor_spark.operators.mixture import (
     mixture_weights,
     temperature_weights,
 )
+from parquet_ingestor_spark.operators.sketches import bloom_build, bloom_probe
 from parquet_ingestor_spark.operators.text import (
     corpus_shuffle_shard,
     gopher_rules,
@@ -171,6 +173,33 @@ def main() -> None:
         .collect()
     )
 
+    # 7. ingest gate for the NEXT crawl batch: a Bloom bitmap of the
+    #    curated corpus's shingles screens incoming docs without ever
+    #    re-joining the corpus (a shingle miss is a PROOF of novelty).
+    #    The dropped docs stand in for the next batch here.
+    m, k = 1 << 20, 5
+    bitmap = bloom_build(
+        curated.select(F.explode(shingle_col("text")).alias("sh")),
+        F.col("sh"),
+        m,
+        k,
+    )
+    incoming = canon.join(clean.select("doc_id"), "doc_id", "left_anti")
+    inc_sh = incoming.select(
+        "doc_id", F.explode(shingle_col("text")).alias("sh")
+    )
+    novelty = (
+        bloom_probe(bitmap, inc_sh, F.col("sh"), m, k)
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("maybe_seen").cast("int")) / F.count("*")
+            ).alias("seen_frac")
+        )
+    )
+    n_incoming = incoming.count()
+    n_mostly_novel = novelty.filter("seen_frac < 0.5").count()
+
     print(f"input docs:     {n0}")
     print(f"curated docs:   {n1}")
     print(f"training packs: {n_packs}")
@@ -198,6 +227,10 @@ def main() -> None:
         + ", …"
     )
     print("shard sizes:    " + ", ".join(str(r["count"]) for r in shard_counts))
+    print(
+        f"ingest gate:    {n_mostly_novel}/{n_incoming} stand-in batch "
+        "docs mostly novel vs curated-corpus bloom"
+    )
     packs.show(10, truncate=False)
     print(f"curated corpus at {out_dir}")
 

@@ -890,3 +890,80 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("tok")
     )
     return blocklist_flag(docs, block)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_PAIRS_CTE},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (
+            SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        ),
+        j AS (
+            SELECT c.doc_id, c.cluster_id, d.n_chars
+            FROM comp c JOIN documents d USING (doc_id)
+        ),
+        best AS (
+            SELECT cluster_id, doc_id AS keep_doc
+            FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM j
+            ) WHERE rn = 1
+        )
+        SELECT j.doc_id, j.cluster_id, b.keep_doc,
+               j.doc_id = b.keep_doc AS keep
+        FROM j JOIN best b USING (cluster_id)
+        ORDER BY j.doc_id
+    """,
+    doc="Quality-aware dedup decision: within each near-dup cluster "
+    "keep the RICHEST copy (max n_chars, min doc_id tiebreak) instead "
+    "of the min-id keeper — the rule curation actually wants when "
+    "duplicates differ by truncation. Output marks every doc with its "
+    "cluster's keeper and a keep flag.",
+    tags=("dedup", "corpus", "iterative"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster assignment as ``dedup_clusters``; the keeper pick
+    is ONE map-side-combinable ``max(struct(n_chars, -doc_id))`` per
+    cluster — an aggregate, not a per-cluster rank window, so the
+    Zipf-head boilerplate cluster never funnels through one window
+    partition (the corpus_line_dedup de-skew rule applied to
+    representative selection)."""
+    docs = table(spark, sf_dir, "documents")
+    edges = exact_jaccard_pairs(
+        _doc_shingles(spark, sf_dir), JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    comp = connected_components(docs.select("doc_id"), edges).select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("b")
+    ).select(
+        "cluster_id", (-F.col("b.neg_id")).alias("keep_doc")
+    )
+    return (
+        j.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "keep_doc",
+            (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

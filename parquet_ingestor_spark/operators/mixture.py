@@ -278,6 +278,53 @@ def stratified_sample(docs: DataFrame, modulus: int = 1_000_000) -> DataFrame:
     )
 
 
+SAMPLE_K = 10
+
+
+@register(
+    "corpus_hash_sample_k",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rn
+            FROM documents
+        )
+        SELECT doc_id, source FROM r WHERE rn <= {SAMPLE_K}
+        ORDER BY doc_id
+    """,
+    doc="Exact-k uniform sample per stratum: EXACTLY min(k, |stratum|) "
+    "docs per source, chosen by md5(doc_id) order — the deterministic "
+    "complement of corpus_stratified_sample's Bernoulli admission "
+    "(that one hits k only in expectation; eval sets and per-source "
+    "spot-check panels need the exact count).",
+    tags=("text", "training", "sampling"),
+)
+def corpus_hash_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 of the key is a uniform deterministic order, so rank ≤ k
+    under it IS a uniform sample — replayable, join-stable, no RNG
+    state. Scale shape: row_number ≤ k over the stratum window
+    triggers Spark's WindowGroupLimit pushdown (plan-tested), which
+    top-k-prunes inside each map task BEFORE the shuffle — the
+    per-stratum skew a naive rank-all-rows window would hit never
+    materializes; only ~k·tasks rows reach the exchange."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= SAMPLE_K)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Length banding
 

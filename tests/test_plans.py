@@ -574,3 +574,12 @@ def test_table_profile_exact_expands_once(spark, sf_dir):
     # the approx twin's no-Expand plan is pinned in the planted test
     plan = plan_of(spark, sf_dir, "table_profile_orders")
     assert plan.count("Expand") == 1
+
+
+def test_hash_sample_k_uses_window_group_limit(spark, sf_dir):
+    """The exact-k stratum sample must hit Spark's WindowGroupLimit
+    pushdown: rank ≤ k prunes to ~k rows per map task BEFORE the
+    stratum shuffle, so the Zipf-head stratum never funnels its full
+    row count through one window partition."""
+    plan = plan_of(spark, sf_dir, "corpus_hash_sample_k")
+    assert "WindowGroupLimit" in plan
