@@ -102,7 +102,7 @@ _LOADED = False
 #:     q90_nation_revenue_trend, q91_resample_interpolate,
 #:     dq_orders_constraints, q92_share_of_parent,
 #:     q93_abc_classification, q94_contingency_chi2, q95_touch_attribution,
-#:     corpus_hash_sample_k, dedup_keep_best,
+#:     corpus_hash_sample_k, dedup_keep_best, q96_top_event_paths,
 #:     dedup_ppjoin_pairs (oracle-backed;
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and

@@ -2030,3 +2030,56 @@ def q95_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_touch", "last_touch")
     )
+
+
+@register(
+    "q96_top_event_paths",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type, 1) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS step2,
+                   lead(event_type, 2) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS step3
+            FROM events
+        )
+        SELECT event_type AS step1, step2, step3,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM s
+        WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n_paths DESC, step1, step2, step3
+        LIMIT 20
+    """,
+    doc="Sequential pattern mining: the 20 most common 3-step event "
+    "paths across user journeys (consecutive triples via lead over "
+    "each user's event order) — the path-analysis staple behind "
+    "funnel discovery.",
+    tags=("relational", "window", "events"),
+)
+def q96_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One per-user order window (lead twice over the same sort — a
+    single exchange+sort serves both), a map-side-combinable triple
+    count over at most |types|³ groups, and TakeOrdered for the
+    top-20 (no global sort). Tiebreak on the full path keeps the
+    LIMIT deterministic for the oracle hash."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("step1"),
+        F.lead("event_type", 1).over(w).alias("step2"),
+        F.lead("event_type", 2).over(w).alias("step3"),
+    )
+    return (
+        s.where(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count("*").alias("n_paths"))
+        .orderBy(
+            F.desc("n_paths"), "step1", "step2", "step3"
+        )
+        .limit(20)
+    )
