@@ -107,6 +107,10 @@ HEADLINE = (
 # sim_recall_eval it is an offline audit whose cost is the exact
 # quadratic baselines, not a production path (the sketch paths it
 # audits are already benched above).
+# dedup_keep_best is deliberately NOT a headline entry: its cost is
+# the same connected-components pass dedup_clusters already benches
+# plus one argmax aggregate — benching it would double-count the CC
+# family.
 
 
 def main() -> None:
