@@ -600,3 +600,174 @@ def stream_bloom_screen(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public algorithm) —
+# the mergeable FREQUENCY sketch completing the quartet next to HLL
+# (distinct), KLL (quantiles) and Bloom (membership). A d×w grid of
+# counters; each key increments one cell per row at a hashed column;
+# a point estimate is the min over its d cells — always >= the true
+# count, over by at most ~e/w of the stream mass w.h.p. Cells are
+# plain sums, so per-shard sketches merge by cellwise addition
+# (linearity) — the same fold-and-merge state shape as the other
+# three sketches, sized d·w counters regardless of corpus size.
+#
+# Determinism contract: positions come from the repo's md5-bucket
+# rule (`_cm_pos`), which DuckDB reproduces bit-identically — so
+# unlike typical sketch entries, the WHOLE sketch and every estimate
+# hash-verify against the SQL oracle (no rows-only concession).
+# ---------------------------------------------------------------------------
+
+#: Sketch geometry. Width is the accuracy knob (overestimate ≤
+#: ~e/width of total mass, w.h.p. over rows); depth drives the
+#: failure probability e^-depth. 4×64 is deliberately small so the
+#: smoke SFs exercise real collisions; production sizes width to the
+#: tolerated absolute error — the plan shape is identical.
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def _cm_pos(key: "F.Column", j: int, width: int) -> "F.Column":
+    """Row-j counter column for a key: first 24 md5 bits of
+    ``"j:key"`` mod width — the md5-bucket determinism rule
+    (`mixture._admission_bucket`), seeded per row by the prefix."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{j}:"), key.cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_build(
+    counts: DataFrame,
+    key: "F.Column",
+    cnt: str = "cnt",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Build the (j, p, cell) grid from pre-aggregated ``(key, cnt)``
+    rows — ≤ depth·width rows out.
+
+    Feeding the keyed aggregate (not raw rows) through the hash
+    fan-out is the scale shape: the corpus-sized input collapses in a
+    map-side-combinable groupBy FIRST, and only key-cardinality rows
+    are exploded ``depth`` ways. The result is identical by linearity
+    (every occurrence of a key lands in the same cells)."""
+    pos = F.array(*[_cm_pos(key, j, width) for j in range(depth)])
+    return (
+        counts.select(F.col(cnt).alias("_c"), F.posexplode(pos))
+        .groupBy(F.col("pos").alias("j"), F.col("col").alias("p"))
+        .agg(F.sum("_c").cast("bigint").alias("cell"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cellwise sum — CM sketches are linear, so shard sketches fold
+    into exactly the whole-stream sketch (commutative, associative)."""
+    return (
+        a.unionByName(b)
+        .groupBy("j", "p")
+        .agg(F.sum("cell").cast("bigint").alias("cell"))
+    )
+
+
+def cm_estimate(
+    counts: DataFrame,
+    cells: DataFrame,
+    key: "F.Column",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate every key in ``counts``: min over its depth
+    cells. ``cells`` is ≤ depth·width rows — AQE broadcasts it from
+    stats (no hint), so the probe never shuffles the key table."""
+    pos = F.array(*[_cm_pos(key, j, width) for j in range(depth)])
+    probe = counts.select(
+        *counts.columns, F.posexplode(pos).alias("j", "p")
+    )
+    return (
+        probe.join(cells, ["j", "p"])
+        .groupBy(*counts.columns)
+        .agg(F.min("cell").cast("bigint").alias("cm_estimate"))
+    )
+
+
+@register(
+    "events_cm_counts",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id, event_type
+        ),
+        px AS (
+            SELECT user_id, event_type, cnt, j,
+                   ('0x' || substring(md5(j::VARCHAR || ':'
+                       || user_id::VARCHAR || '|' || event_type), 1, 6)
+                   )::BIGINT % {CM_WIDTH} AS p
+            FROM c,
+                 (SELECT unnest(range({CM_DEPTH})) AS j)
+        ),
+        cells AS (
+            SELECT j, p, CAST(SUM(cnt) AS BIGINT) AS cell
+            FROM px GROUP BY j, p
+        )
+        SELECT px.user_id, px.event_type,
+               CAST(px.cnt AS BIGINT) AS true_cnt,
+               CAST(MIN(cells.cell) AS BIGINT) AS cm_estimate,
+               CAST(MIN(cells.cell) - px.cnt AS BIGINT) AS overcount
+        FROM px JOIN cells USING (j, p)
+        GROUP BY px.user_id, px.event_type, px.cnt
+        ORDER BY px.user_id, px.event_type
+    """,
+    doc=f"Count-Min sketch ({CM_DEPTH}×{CM_WIDTH}) over per-user "
+    "action counts: every estimate >= truth, overcount bounds the "
+    "collision noise — and the md5 position rule makes the whole "
+    "sketch hash-identical to the SQL oracle (a fully verifiable "
+    "approximate structure).",
+    tags=("events", "sketch", "approx", "aggregate"),
+)
+def events_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, true_cnt, cm_estimate, overcount) for
+    every key. One keyed aggregate over events (map-side partials),
+    one ≤ 256-row grid, one broadcast probe join — the corpus is
+    scanned once and never re-shuffled."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("user_id", "event_type")
+    )
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    key = F.concat_ws("|", F.col("user_id").cast("string"), "event_type")
+    cells = cm_build(counts, key)
+    est = cm_estimate(
+        counts.select(
+            "user_id", "event_type", F.col("cnt").alias("true_cnt")
+        ),
+        cells,
+        key,
+    )
+    return est.select(
+        "user_id",
+        "event_type",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("true_cnt"))
+        .cast("bigint")
+        .alias("overcount"),
+    ).orderBy("user_id", "event_type")

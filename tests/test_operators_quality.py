@@ -1185,3 +1185,49 @@ def test_corpus_bloom_seen_dominates_exact_membership(spark, sf_dir):
         n_ex, seen_ex = exact[did]
         assert n == n_ex
         assert seen_ex <= maybe <= n
+
+
+def test_cm_merge_law_is_exact_and_estimates_dominate(spark):
+    """Count-Min is LINEAR: per-shard grids summed cellwise must equal
+    the one-shot grid exactly, and every point estimate must be >= the
+    true count (the sketch never undercounts)."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.operators.sketches import (
+        cm_build,
+        cm_estimate,
+        cm_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k-{i % 37}") for i in range(500)], "id long, key string"
+    )
+    counts = df.groupBy("key").agg(F.count("*").alias("cnt"))
+    key = F.col("key")
+    oneshot = cm_build(counts, key)
+    halves = [
+        df.where(f"id % 2 = {r}")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        for r in (0, 1)
+    ]
+    merged = cm_merge(cm_build(halves[0], key), cm_build(halves[1], key))
+    a = sorted(tuple(r) for r in oneshot.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
+    est = cm_estimate(counts, oneshot, key).collect()
+    assert len(est) == 37
+    assert all(r.cm_estimate >= r.cnt for r in est)
+    # 37 keys into 64 columns: pigeonhole-free, but with depth=4 the
+    # min() must still recover several keys exactly (lonely cells).
+    assert any(r.cm_estimate == r.cnt for r in est)
+
+
+def test_events_cm_counts_overcount_nonnegative(spark, sf_dir):
+    """The registered entry's overcount column is the sketch-vs-truth
+    gap: never negative, and zero for at least one key (some key is
+    lonely in at least one of its 4 rows at smoke SF)."""
+    _ensure_loaded()
+    rows = REGISTRY["events_cm_counts"].fn(spark, sf_dir).collect()
+    assert rows and all(r.overcount >= 0 for r in rows)
+    assert any(r.overcount == 0 for r in rows)

@@ -488,3 +488,69 @@ def test_stream_bloom_screen_flags_and_replays(spark, tmp_path):
         ).collect()
     )
     assert replayed == final_words, "replay changed the bitmap"
+
+
+def test_stream_pricing_summary_matches_batch_and_replays(spark, tmp_path):
+    """Incremental aggregate-view maintenance: the streamed fold of
+    exact-integer partials converges to EXACTLY the one-shot batch
+    view, and a crash-replay over the same landing data changes
+    nothing — the epoch discipline is load-bearing here because
+    integer addition is not idempotent."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.matview import (
+        finalize_pricing,
+        fold_partials,
+        pricing_partials,
+        stream_pricing_summary,
+    )
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    cols = ", ".join(f"{c} {t}" for c, t in li.dtypes)
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        li.filter(F.pmod("l_orderkey", F.lit(3)) == i).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    batch = sorted(
+        tuple(r) for r in finalize_pricing(pricing_partials(li)).collect()
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.schema(cols)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = stream_pricing_summary(stream, state_dir)
+        q.awaitTermination(120)
+        epochs = [
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(state_dir, "view"))
+        ]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "view", f"epoch={max(epochs)}")
+            ).collect()
+        )
+
+    state_dir = str(tmp_path / "state")
+    assert _run() == batch
+
+    # crash-replay: fresh checkpoint, same landing files, same state
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    assert _run() == batch, "replay double-added into the view state"
+
+    # fold associativity: one-shot partials == any two-way re-batch
+    a = pricing_partials(li.filter("l_orderkey % 2 = 0"))
+    b = pricing_partials(li.filter("l_orderkey % 2 = 1"))
+    refolded = sorted(
+        tuple(r) for r in finalize_pricing(fold_partials(a, b)).collect()
+    )
+    assert refolded == batch

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Emulate the driver's CORRECTNESS gate locally: run the FIRST N
+registered entries (the window the driver checks) at sf0.01, compare
+each against its DuckDB oracle with the same canonicalization the
+driver uses, and print a pass/fail table.
+
+Usage: python tools/gate_emulate.py [N] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
+from parquet_ingestor_spark.session import get_spark
+from parquet_ingestor_spark.testing import duck_canon, duck_connect, spark_canon
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    _ensure_loaded()
+    spark = get_spark(app_name="gate-emulate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_connect(sf_dir)
+    names = list(REGISTRY)[:n]
+    bad = 0
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        try:
+            got = spark_canon(q.fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error {exc!r}")
+            bad += 1
+            continue
+        dt = time.perf_counter() - t0
+        if q.oracle is None:
+            print(f"rows  {name}: {len(got)} rows ({dt:.1f}s, rows-only)")
+            continue
+        try:
+            want = duck_canon(con, q.oracle)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: oracle error {exc!r}")
+            bad += 1
+            continue
+        if got == want:
+            print(f"ok    {name}: {len(got)} rows ({dt:.1f}s)")
+        else:
+            bad += 1
+            sa, sb = set(got), set(want)
+            print(
+                f"FAIL  {name}: spark={len(got)} oracle={len(want)} "
+                f"only_spark={sorted(sa - sb)[:2]} "
+                f"only_oracle={sorted(sb - sa)[:2]}"
+            )
+    print(f"\n{len(names) - bad}/{len(names)} pass")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
