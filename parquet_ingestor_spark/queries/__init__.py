@@ -103,7 +103,7 @@ _LOADED = False
 #:     dq_orders_constraints, q92_share_of_parent,
 #:     q93_abc_classification, q94_contingency_chi2, q95_touch_attribution,
 #:     corpus_hash_sample_k, dedup_keep_best, q96_top_event_paths,
-#:     events_cm_counts, pricing_summary_incremental,
+#:     events_cm_counts, pricing_summary_incremental, graph_kcore_parts,
 #:     dedup_ppjoin_pairs (oracle-backed;
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and

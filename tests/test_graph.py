@@ -133,3 +133,39 @@ def test_triangle_stats_planted(spark):
         k4 + [(b, a) for a, b in k4], "u long, v long"
     )
     assert triangle_stats(noisy).collect()[0].n_triangles == 4
+
+
+def test_kcore_peels_planted_tendril_keeps_clique(spark):
+    """A 6-clique with a pendant path hanging off it: the density
+    threshold lands at k >= 2 there, so the degree-1 tendril tail
+    peels off round by round while the clique (degree 5 internally)
+    survives every round with its full internal degree."""
+    from parquet_ingestor_spark.operators.graph import kcore_peel
+
+    clique = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    tendril = [(5, 10), (10, 11), (11, 12)]
+    e = spark.createDataFrame(clique + tendril, "u long, v long")
+    # m=18, n=9 -> k = (4*36) div (5*9) = 3
+    got = {r.x: r.deg for r in kcore_peel(e, rounds=3).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0] == 5 and got[5] == 5  # clique degrees intact
+
+
+def test_kcore_alive_sets_only_shrink(spark, sf_dir):
+    """Monotone guarantee: each extra peel round returns a SUBSET of
+    the previous round's survivors (never resurrects a node)."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.graph import kcore_peel
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
+    prev = None
+    for r in (1, 2, 3):
+        alive = {row.x for row in kcore_peel(edges, rounds=r).collect()}
+        if prev is not None:
+            assert alive <= prev, f"round {r} resurrected nodes"
+        prev = alive
