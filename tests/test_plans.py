@@ -550,10 +550,14 @@ def test_triangles_all_joins_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "graph_triangles")
     assert "CartesianProduct" not in plan
     # the three single-row stat aggregates may broadcast-cross; the
-    # wedge and closure joins must be keyed
+    # adjacency annotation joins must be keyed
     assert plan.count("SortMergeJoin") + plan.count(
         "ShuffledHashJoin"
     ) + plan.count("BroadcastHashJoin") >= 2
+    # the count must come from per-edge out-neighborhood intersection
+    # (O(m)-row shuffles), never a materialized wedge self-join whose
+    # closure join shuffles sum-of-degree-squared rows
+    assert "array_intersect" in plan
 
 
 def test_sessionize_windows_share_one_sort(spark, sf_dir):
