@@ -86,6 +86,8 @@ HEADLINE = (
     "q93_abc_classification",
     "corpus_bloom_seen",
     "q94_contingency_chi2",
+    "events_cm_counts",
+    "graph_kcore_parts",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both
@@ -111,6 +113,11 @@ HEADLINE = (
 # the same connected-components pass dedup_clusters already benches
 # plus one argmax aggregate — benching it would double-count the CC
 # family.
+# pricing_summary_incremental is deliberately NOT a headline entry:
+# like dedup_clusters_incremental its toy-SF wall time is dominated
+# by scheduling its sequential per-batch folds, not the data path
+# (whose scan cost q15_pricing_summary already owns); the driver's
+# sf0.01 gate checks its correctness.
 
 
 def main() -> None:
