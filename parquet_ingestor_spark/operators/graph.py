@@ -481,6 +481,7 @@ def kcore_peel(
     rounds: int = _KCORE_ROUNDS,
     k_num: int = _KCORE_NUM,
     k_den: int = _KCORE_DEN,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Peel ``rounds`` times at the density-derived threshold; returns
     the surviving (x, deg) — deg measured in the subgraph that
@@ -490,12 +491,20 @@ def kcore_peel(
     set against the alive set — no fan-out, semi joins emit at most
     the edge row) plus one degree aggregate with map-side partials.
     The threshold rides along as a single-row broadcast. A fixed
-    round count keeps the plan bounded and the result deterministic
-    (full-fixpoint peeling is round-count-dependent only in how much
-    of the cascade completes; production picks rounds by SLA and the
-    monotone guarantee — alive sets only shrink — still holds)."""
-    e = edges.select("u", "v").where(F.col("u") != F.col("v")).dropDuplicates(
-        ["u", "v"]
+    round count keeps the result deterministic (full-fixpoint peeling
+    is round-count-dependent only in how much of the cascade
+    completes; production picks rounds by SLA and the monotone
+    guarantee — alive sets only shrink — still holds). The shrunken
+    edge set is lineage-truncated every round (the pagerank
+    contract): without it each round's filter re-expands the entire
+    upstream plan and the pair-mining scan multiplies by the round
+    count."""
+    e = truncate_lineage(
+        edges.select("u", "v")
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"]),
+        checkpoint_dir,
+        eager=True,
     )
     deg = _degrees(e)
     k = (
@@ -515,7 +524,11 @@ def kcore_peel(
         if r < rounds - 1:
             au = alive.select(F.col("x").alias("u"))
             av = alive.select(F.col("x").alias("v"))
-            e = e.join(au, "u", "left_semi").join(av, "v", "left_semi")
+            e = truncate_lineage(
+                e.join(au, "u", "left_semi").join(av, "v", "left_semi"),
+                checkpoint_dir,
+                eager=True,
+            )
             deg = _degrees(e)
     return alive
 

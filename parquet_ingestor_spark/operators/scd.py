@@ -488,3 +488,122 @@ def scd2_point_in_time_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = point_in_time_join(facts, dim)
     return out.select("o_orderkey", "k", "seg").orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert: apply a keyed change feed (insert/update/delete ops)
+# to a base snapshot in one keyed full-outer join — the Type-1 "latest
+# state wins" maintenance verb next to the Type-2 history above
+# (MERGE INTO semantics per the ANSI SQL:2003 statement; Delta/Iceberg
+# expose the same verb — here it is plain DataFrame algebra over
+# parquet snapshots, matching this repo's snapshot_diff/compaction
+# toolkit).
+# ---------------------------------------------------------------------------
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply ``changes`` (one row per key, ``op`` ∈ {'U','D'}; all
+    non-op columns are the new image) to ``base``:
+
+    - matched + 'D'      → row deleted
+    - matched + 'U'      → row replaced by the change image
+    - not matched + 'U'  → inserted (upsert)
+    - not matched + 'D'  → no-op (idempotent delete)
+
+    One keyed full-outer join — the base never fans out, applying the
+    same feed twice is a no-op (replace/delete are idempotent), and
+    AQE broadcasts the change side while it fits (no hint: a CDC
+    batch can be any size).
+    """
+    data_cols = [c for c in base.columns if c != key]
+    ch = changes.select(
+        F.col(key).alias("_k"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_n_{c}") for c in data_cols],
+    )
+    joined = base.join(ch, base[key] == ch["_k"], "full_outer")
+    keep = (
+        F.col("_op").isNull()  # unchanged base row
+        | (F.col("_op") == "U")  # replaced or inserted image
+    )
+    return joined.where(keep).select(
+        F.coalesce(base[key], F.col("_k")).alias(key),
+        *[
+            F.when(F.col("_op") == "U", F.col(f"_n_{c}"))
+            .otherwise(base[c])
+            .alias(c)
+            for c in data_cols
+        ],
+    )
+
+
+@register(
+    "orders_merge_apply",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents
+            FROM orders WHERE o_orderkey % 5 <> 0
+        ),
+        changes AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END AS op,
+                   'P' AS o_orderstatus,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT) * 11 // 10
+                       AS price_cents
+            FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 = 0
+        )
+        SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.o_orderstatus
+                    ELSE b.o_orderstatus END AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.price_cents
+                    ELSE b.price_cents END / 100.0 AS o_totalprice
+        FROM base b
+        FULL OUTER JOIN changes c USING (o_orderkey)
+        WHERE c.op IS NULL OR c.op = 'U'
+        ORDER BY o_orderkey
+    """,
+    doc="MERGE INTO semantics over parquet snapshots: a keyed change "
+    "feed (updates repricing +10% in exact cents and flipping status "
+    "to 'P'; deletes) applied to a base snapshot in ONE full-outer "
+    "join — upserts insert, deletes of absent keys no-op, replays are "
+    "idempotent.",
+    tags=("maintenance", "join", "cdc"),
+)
+def orders_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic feed derives from orders itself so the oracle is
+    closed-form: base = keys not ≡0 (mod 5) (an older snapshot);
+    changes = keys ≡0 (mod 10) or (mod 7), deletes where ≡0 (mod 3).
+    That mix exercises every MERGE arm: matched update, matched
+    delete, unmatched insert (every %10 key is absent from base),
+    unmatched delete. Prices ride the q71 cents rule (+10% as integer
+    cents), so the replacement image is engine-exact."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    base = o.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("price_cents"),
+    )
+    changes = o.where(
+        (F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.lit("P").alias("o_orderstatus"),
+        F.expr(
+            "cast(round(o_totalprice * 100, 0) as bigint) * 11 div 10"
+        ).alias("price_cents"),
+    )
+    merged = merge_apply(base, changes, key="o_orderkey")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("price_cents") / 100.0).alias("o_totalprice"),
+    ).orderBy("o_orderkey")

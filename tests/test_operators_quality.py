@@ -1231,3 +1231,27 @@ def test_events_cm_counts_overcount_nonnegative(spark, sf_dir):
     rows = REGISTRY["events_cm_counts"].fn(spark, sf_dir).collect()
     assert rows and all(r.overcount >= 0 for r in rows)
     assert any(r.overcount == 0 for r in rows)
+
+
+def test_merge_apply_arms_and_idempotence(spark):
+    """All four MERGE arms on a planted snapshot, and replaying the
+    same feed is a no-op (replace/delete are idempotent)."""
+    from parquet_ingestor_spark.operators.scd import merge_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, "U", "B", 22),   # matched update
+            (3, "D", None, None),  # matched delete
+            (4, "U", "d", 40),   # unmatched insert
+            (5, "D", None, None),  # unmatched delete -> no-op
+        ],
+        "k long, op string, s string, v long",
+    )
+    once = merge_apply(base, feed, key="k")
+    got = sorted(tuple(r) for r in once.collect())
+    assert got == [(1, "a", 10), (2, "B", 22), (4, "d", 40)]
+    twice = merge_apply(once, feed, key="k")
+    assert sorted(tuple(r) for r in twice.collect()) == got

@@ -587,3 +587,13 @@ def test_hash_sample_k_uses_window_group_limit(spark, sf_dir):
     row count through one window partition."""
     plan = plan_of(spark, sf_dir, "corpus_hash_sample_k")
     assert "WindowGroupLimit" in plan
+
+
+def test_kcore_rounds_reuse_materialized_edges(spark, sf_dir):
+    # the pagerank contract applied to the peel: every round's filter
+    # must read the truncated edge blocks (ExistingRDD), never
+    # re-expand the pair-mining join — an untruncated loop multiplies
+    # the corpus scan by the round count (500 scan nodes at 3 rounds)
+    plan = plan_of(spark, sf_dir, "graph_kcore_parts")
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan
