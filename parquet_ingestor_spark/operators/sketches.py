@@ -771,3 +771,89 @@ def events_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overcount"),
     ).orderBy("user_id", "event_type")
+
+
+def cm_fold_batch(
+    state: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Fold one micro-batch into Count-Min grid state: the batch
+    collapses to per-key counts first (map-side partials), fans out
+    ``depth`` ways, and cell-sums into the prior grid. Pure integer
+    addition — commutative and associative, but NOT idempotent, so
+    callers must key state by epoch (see ``stream_cm_counts``)."""
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols]
+    )
+    counts = batch.groupBy(*key_cols).agg(F.count("*").alias("cnt"))
+    fresh = cm_build(
+        counts.select(key.alias("_k"), "cnt"),
+        F.col("_k"),
+        depth=depth,
+        width=width,
+    )
+    if state is None:
+        return fresh
+    return cm_merge(state, fresh)
+
+
+def stream_cm_counts(
+    stream_df: DataFrame,
+    state_dir: str,
+    key_cols: list[str],
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    query_name: str = "cm_counts_maintenance",
+):
+    """Structured-Streaming wrapper: maintain a Count-Min frequency
+    grid from a stream via ``foreachBatch`` + epoch-keyed parquet
+    state (the ``stream_pricing_summary`` discipline — integer sums
+    are not idempotent, so a replayed batch must re-read the largest
+    epoch STRICTLY below its own id and overwrite its epoch, never
+    double-add). State is ≤ depth·width rows forever, regardless of
+    stream length; estimate on read with ``cm_estimate``.
+
+    Returns the StreamingQuery; callers own awaitTermination/stop.
+    """
+    import os
+
+    def _epoch_below(bound: int) -> int:
+        p = os.path.join(state_dir, "grid")
+        if not os.path.isdir(p):
+            return -1
+        vs = [
+            int(d.split("=")[1])
+            for d in os.listdir(p)
+            if "=" in d and int(d.split("=")[1]) < bound
+        ]
+        return max(vs, default=-1)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        e = _epoch_below(int(batch_id))
+        state = (
+            spark.read.parquet(os.path.join(state_dir, "grid", f"epoch={e}"))
+            if e >= 0
+            else None
+        )
+        folded = cm_fold_batch(
+            state, batch_df, key_cols, depth=depth, width=width
+        )
+        folded.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "grid", f"epoch={int(batch_id)}")
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_process)
+        .queryName(query_name)
+        .option(
+            "checkpointLocation", os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -554,3 +554,66 @@ def test_stream_pricing_summary_matches_batch_and_replays(spark, tmp_path):
         tuple(r) for r in finalize_pricing(fold_partials(a, b)).collect()
     )
     assert refolded == batch
+
+
+def test_stream_cm_counts_matches_batch_and_replays(spark, tmp_path):
+    """The streamed Count-Min fold converges to EXACTLY the one-shot
+    batch grid (cellwise integer sums are associative), and a
+    crash-replay changes nothing — integer addition is not
+    idempotent, so this is the epoch discipline's proof for the
+    frequency sketch."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.sketches import (
+        cm_build,
+        stream_cm_counts,
+    )
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_type"
+    )
+    landing = str(tmp_path / "landing")
+    for i in range(3):
+        ev.filter(F.pmod("user_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    key = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.col("event_type")
+    )
+    batch_grid = sorted(
+        tuple(r) for r in cm_build(counts, key).collect()
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.schema("user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = stream_cm_counts(
+            stream, state_dir, key_cols=["user_id", "event_type"]
+        )
+        q.awaitTermination(120)
+        epochs = [
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(state_dir, "grid"))
+        ]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "grid", f"epoch={max(epochs)}")
+            ).collect()
+        )
+
+    state_dir = str(tmp_path / "state")
+    assert _run() == batch_grid
+    shutil.rmtree(os.path.join(state_dir, "_checkpoint"))
+    assert _run() == batch_grid, "replay double-added into the grid"
