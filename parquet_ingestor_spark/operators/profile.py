@@ -1,4 +1,4 @@
-"""Table profiling: per-column data-quality statistics in one pass —
+"""Table profiling: per-column data-quality statistics —
 the DESCRIBE/deequ-style audit a pipeline runs on every new drop
 before trusting it (null rates, cardinalities, value ranges).
 
@@ -7,14 +7,15 @@ shape at ingest (/root/reference/ingestor/ingestor.go error routing);
 column-level profiling extends that to dataset-level acceptance checks
 (SURVEY.md §2 extensions).
 
-Scale notes: everything except distinct counts folds into ONE
-map-side-combinable aggregate over a single scan (count/nulls/min/max
-are associative). Exact per-column distinct counts make Spark plan an
-Expand (input × #profiled-columns before partial aggregation) — the
-honest exact shape, kept here because the oracle hash-checks it; at
-100 TB swap ``exact_distinct=False`` to fold HLL sketches
-(``approx_count_distinct``) into the same single pass with no Expand,
-the trade the q34/events_hll_users entries already demonstrate.
+Scale notes: count/nulls/min/max fold into ONE map-side-combinable
+aggregate over the raw scan (all associative). Exact per-column
+distinct counts make Spark plan an Expand (input × #profiled-columns
+before partial aggregation) — the honest exact shape, kept because
+the oracle hash-checks it, but run as a SEPARATE aggregate: any
+aggregate sharing the Expand's plan is evaluated on the expanded
+rows too, which measured ~2× the split cost (see profile_table).
+At 100 TB swap ``exact_distinct=False`` for HLL sketches
+(``approx_count_distinct``) — no Expand in that plan at all.
 Output is #columns rows either way.
 """
 
@@ -46,24 +47,34 @@ def _fmt(col, dtype: T.DataType):
 def profile_table(
     df: DataFrame, cols: list[str] | None = None, exact_distinct: bool = True
 ) -> DataFrame:
-    """One-pass column profile: (column, n_rows, n_nulls, n_distinct,
-    min_value, max_value), one row per profiled column."""
+    """Column profile: (column, n_rows, n_nulls, n_distinct,
+    min_value, max_value), one row per profiled column. Two scans by
+    design — see the split note below."""
     cols = cols or df.columns
     dtypes = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
-    aggs = [F.count("*").alias("__n")]
-    for c in cols:
-        nd = (
+    # Two aggregates, not one: the multi-column exact distinct plans
+    # as an Expand (each input row duplicated once per distinct
+    # group), and ANY aggregate sharing that plan is evaluated on the
+    # expanded rows too — folding min/max/null into the same agg
+    # roughly doubles the job (measured 2.8s vs 1.0s + 0.5s split at
+    # sf0.1). The split keeps min/max/null on the un-expanded scan;
+    # the two single-row results broadcast-cross back together.
+    nd_aggs = [
+        (
             F.count_distinct(F.col(c))
             if exact_distinct
             else F.approx_count_distinct(F.col(c))
-        )
-        aggs += [
+        ).alias(f"{c}__nd")
+        for c in cols
+    ]
+    mm_aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        mm_aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nn"),
-            nd.alias(f"{c}__nd"),
             _fmt(F.min(F.col(c)), dtypes[c]).alias(f"{c}__mn"),
             _fmt(F.max(F.col(c)), dtypes[c]).alias(f"{c}__mx"),
         ]
-    one = df.agg(*aggs)
+    one = df.agg(*mm_aggs).crossJoin(F.broadcast(df.agg(*nd_aggs)))
     stack_args = ", ".join(
         f"'{c}', `{c}__nn`, `{c}__nd`, `{c}__mn`, `{c}__mx`" for c in cols
     )
@@ -101,7 +112,7 @@ _ORDERS_PROFILE_ORACLE = " UNION ALL ".join(
 @register(
     "table_profile_orders",
     oracle=_ORDERS_PROFILE_ORACLE,
-    doc="One-pass per-column profile of the orders table: null count, "
+    doc="Per-column profile of the orders table: null count, "
     "exact distinct count, type-aware min/max — the dataset acceptance "
     "audit (deequ/DESCRIBE shape).",
     tags=("profiling", "aggregate"),
