@@ -889,10 +889,12 @@ def ppjoin_pairs(
     exact_jaccard_pairs suffers collapses to rare-token buckets.
 
     Three more exactness-preserving cuts from the same paper ride the
-    candidate join: (1) the candidate key is ``xxhash64(sh)``, not the
-    shingle string — a hash collision only ADDS a candidate, and
-    verification rejects it, so the shuffle ships 8-byte keys with no
-    effect on the output; (2) the LENGTH filter (J >= t forces
+    candidate join: (1) EVERY keyed stage (frequency count, rank
+    window tiebreak, candidate join) uses ``xxhash64(sh)``, never the
+    shingle string — a hash collision only merges two tokens' counts
+    or ADDS a candidate, and verification rejects impostors, so the
+    shuffles ship 8-byte keys with no effect on the output; (2) the
+    LENGTH filter (J >= t forces
     t·max(na,nb) <= min(na,nb)); (3) the POSITIONAL filter — a
     collision at 1-based prefix ranks (ra, rb) bounds the overlap by
     1 + min(na−ra, nb−rb), which must reach the required
@@ -906,12 +908,22 @@ def ppjoin_pairs(
     from pyspark.sql import Window
 
     threshold = t_num / t_den
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    freq = ex.groupBy("sh").agg(F.count("*").alias("freq"))
-    exf = ex.join(freq, "sh")
-    w = Window.partitionBy("doc_id").orderBy("freq", "sh")
+    # Shingle strings never enter a shuffle: every stage from the
+    # frequency count to the candidate join keys on the 8-byte
+    # xxhash64 of the shingle (the text_dup_spans rule — ~10× fewer
+    # shuffle bytes than ~100-byte gram strings). Correctness is
+    # unaffected: PPJoin's completeness theorem holds for ANY
+    # consistent global token order, and a hash collision only merges
+    # two rare tokens' frequency counts / buckets — that can only ADD
+    # candidates, which verification rejects.
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("hk"))
+    freq = ex.groupBy("hk").agg(F.count("*").alias("freq"))
+    exf = ex.join(freq, "hk")
+    w = Window.partitionBy("doc_id").orderBy("freq", "hk")
     ranked = exf.select(
-        "doc_id", "sh", F.row_number().over(w).alias("rn")
+        "doc_id", "hk", F.row_number().over(w).alias("rn")
     )
     sz = sh.select("doc_id", F.size("shingles").alias("n"))
     prefix_len = F.col("n") - F.expr(
@@ -920,9 +932,7 @@ def ppjoin_pairs(
     prefix = (
         ranked.join(sz, "doc_id")
         .where(F.col("rn") <= prefix_len)
-        .select(
-            F.xxhash64("sh").alias("hk"), "doc_id", "rn", "n"
-        )
+        .select("hk", "doc_id", "rn", "n")
     )
     pa = prefix.select(
         "hk",
