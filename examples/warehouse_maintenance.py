@@ -62,15 +62,45 @@ def main() -> None:
     dim = scd2_apply(cur, upd)
     dim.groupBy("is_current").count().show()
 
+    print("=== 4. merge: apply a CDC feed (updates + deletes + upserts)")
+    from parquet_ingestor_spark.operators.scd import merge_apply
+
+    base = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, "D").otherwise("U").alias("op"),
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+    )
+    merged = merge_apply(base, feed, key="o_orderkey")
+    print(f"base rows: {base.count()}  after merge: {merged.count()}")
+
+    print("=== 5. incremental view: fold 3 lineitem batches, equal to batch")
+    from parquet_ingestor_spark.operators.matview import (
+        finalize_pricing,
+        fold_partials,
+        pricing_partials,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    state = None
+    for i in range(3):
+        state = fold_partials(
+            state, pricing_partials(li.where(F.col("l_orderkey") % 3 == i))
+        )
+    finalize_pricing(state).show()
+
     with tempfile.TemporaryDirectory() as tmp:
-        print("=== 4. compact: rewrite a fragmented sink directory")
+        print("=== 6. compact: rewrite a fragmented sink directory")
         frag = os.path.join(tmp, "frag")
         orders.repartition(24).write.parquet(frag)
         n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
         n_after = compact_parquet(spark, frag, target_mb=64)
         print(f"files: {n_before} -> {n_after}")
 
-        print("=== 5. z-order: recluster for 2-dim data skipping")
+        print("=== 7. z-order: recluster for 2-dim data skipping")
         zdir = os.path.join(tmp, "zorders")
         write_zordered(
             table(spark, sf_dir, "lineitem"),
