@@ -186,3 +186,37 @@ def test_bloom_filter_cols_written_and_readable(spark, tmp_path):
         "h = md5(cast(77 as string))"
     )
     assert [r.id for r in needle.collect()] == [77]
+
+
+@pytest.mark.parametrize("fmt", ["orc", "json", "csv"])
+def test_format_breadth_roundtrip_exact(spark, tmp_path, fmt):
+    """Beyond parquet, the Spark-native sink/source pair must
+    round-trip ORC, JSON-lines and CSV byte-losslessly for the
+    envelope column shapes the pipeline writes (ints, strings,
+    doubles carried as strings to dodge text-format float repr)."""
+    from parquet_ingestor_spark.catalog import table
+
+    src = (
+        table(spark, "/root/testdata/sf0.001", "orders")
+        .selectExpr(
+            "o_orderkey",
+            "o_orderstatus",
+            "cast(round(o_totalprice * 100, 0) as bigint) AS price_cents",
+        )
+        .orderBy("o_orderkey")
+    )
+    path = str(tmp_path / f"rt.{fmt}")
+    w = src.write.format(fmt).mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", True)
+    w.save(path)
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        r = r.option("header", True).option("inferSchema", True)
+    if fmt in ("json",):
+        back = r.schema(src.schema).load(path)
+    else:
+        back = r.load(path)
+    a = sorted(tuple(x) for x in src.collect())
+    b = sorted(tuple(x) for x in back.collect())
+    assert a == b, fmt
