@@ -88,6 +88,7 @@ HEADLINE = (
     "q94_contingency_chi2",
     "events_cm_counts",
     "graph_kcore_parts",
+    "graph_link_scores",
 )
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both

@@ -104,7 +104,7 @@ _LOADED = False
 #:     q93_abc_classification, q94_contingency_chi2, q95_touch_attribution,
 #:     corpus_hash_sample_k, dedup_keep_best, q96_top_event_paths,
 #:     events_cm_counts, pricing_summary_incremental, graph_kcore_parts,
-#:     orders_merge_apply,
+#:     orders_merge_apply, graph_link_scores,
 #:     dedup_ppjoin_pairs (oracle-backed;
 #:     ppjoin reuses the baseline's oracle, hash-proving the
 #:     prefix-filter rewrite output-identical) and
