@@ -521,9 +521,24 @@ def merge_apply(
     batch can be any size).
     """
     data_cols = [c for c in base.columns if c != key]
+    # Fail fast on op codes outside the contract: without the guard an
+    # unknown op would fall through the keep-filter and silently act
+    # as a DELETE — the worst possible default for a typo'd feed. The
+    # raise_error branch costs nothing on valid rows (codegen branch).
+    op_checked = (
+        F.when(F.col(op_col).isin("U", "D"), F.col(op_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_apply: invalid op (want U or D): "),
+                    F.coalesce(F.col(op_col), F.lit("NULL")),
+                )
+            ).cast("string")
+        )
+    )
     ch = changes.select(
         F.col(key).alias("_k"),
-        F.col(op_col).alias("_op"),
+        op_checked.alias("_op"),
         *[F.col(c).alias(f"_n_{c}") for c in data_cols],
     )
     joined = base.join(ch, base[key] == ch["_k"], "full_outer")

@@ -1255,3 +1255,16 @@ def test_merge_apply_arms_and_idempotence(spark):
     assert got == [(1, "a", 10), (2, "B", 22), (4, "d", 40)]
     twice = merge_apply(once, feed, key="k")
     assert sorted(tuple(r) for r in twice.collect()) == got
+
+
+def test_merge_apply_rejects_unknown_op(spark):
+    """An op code outside {U, D} must raise, never silently act as a
+    delete (the typo'd-feed footgun)."""
+    import pytest as _pytest
+
+    from parquet_ingestor_spark.operators.scd import merge_apply
+
+    base = spark.createDataFrame([(1, "a")], "k long, s string")
+    feed = spark.createDataFrame([(1, "X", "b")], "k long, op string, s string")
+    with _pytest.raises(Exception, match="invalid op"):
+        merge_apply(base, feed, key="k").collect()
