@@ -79,7 +79,31 @@ def main() -> None:
     print("recall@5 audit:")
     report.show(truncate=False)
 
-    # 4. the one-call registered audit (what a pipeline schedules)
+    # 4. persist the index, then serve from files (train once /
+    # serve many; the postings scan prunes to probed partitions)
+    import tempfile
+
+    from parquet_ingestor_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_index_search,
+        ivf_index_write,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        n_lists = ivf_index_write(emb, tmp)
+        queries = [
+            (r.vec_id, list(r.embedding))
+            for r in emb.filter(f"vec_id < {N_QUERIES}")
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        served = ivf_index_search(spark, tmp, queries)
+        same = sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, ivf.collect())
+        )
+        print(f"persisted index ({n_lists} lists) == in-process: {same}")
+
+    # 5. the one-call registered audit (what a pipeline schedules)
     REGISTRY["sim_recall_eval"].fn(spark, sf_dir).show(truncate=False)
 
 

@@ -1226,3 +1226,159 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("method")
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index lifecycle: train/assign ONCE, write the index as
+# parquet, serve MANY times from the files — the production split the
+# in-process entries above deliberately skip (they re-derive the
+# codebook per call so the driver's oracle gate stays hermetic).
+# Layout: <path>/centroids (list_id, centroid) — n_lists rows of
+# model state; <path>/postings partitioned BY list_id (vec_id,
+# embedding) — so a probe's scan prunes to exactly the probed
+# partitions (PartitionFilters on list_id; at 100 TB a 3-probe query
+# reads ~3/n_lists of the corpus from disk, not filter-after-scan).
+# ---------------------------------------------------------------------------
+
+
+def ivf_index_write(
+    emb: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    centroid_mat=None,
+) -> int:
+    """Build and persist the IVF index; returns ``n_lists``.
+
+    The codebook rule matches ``ivf_search`` (deterministic
+    first-n vectors by default, corpus-scaled list count; pass a
+    ``kmeans_fit`` matrix for the trained path), so a persisted index
+    serves bit-identical results to the in-process entry. Assignment
+    is one map-only numpy pass (argmax over the broadcast codebook);
+    the only write-side shuffle is parquet's own per-partition file
+    layout."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    if centroid_mat is not None:
+        cm = np.asarray(centroid_mat, dtype=np.float64).copy()
+    else:
+        if n_lists is None:
+            n_lists = scaled_k(emb.count())
+        crows = sorted(
+            emb.filter(F.col("vec_id") < n_lists)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
+        cm = np.array([r.embedding for r in crows], dtype=np.float64)
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    n_lists = cm.shape[0]
+    b = spark.sparkContext.broadcast(cm)
+
+    def _assign(batches):
+        cmat = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "list_id": np.argmax(vm @ cmat.T, axis=1).astype(
+                        "int32"
+                    ),
+                    "vec_id": pdf["vec_id"].values,
+                    "embedding": pdf["embedding"].values,
+                }
+            )
+
+    emb.select("vec_id", "embedding").mapInPandas(
+        _assign, schema="list_id int, vec_id long, embedding array<double>"
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
+        os.path.join(path, "postings")
+    )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in cm[i]]) for i in range(n_lists)],
+        "list_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return n_lists
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    nprobe: int = IVF_NPROBE,
+    k_top: int = TOPK,
+) -> DataFrame:
+    """Serve top-k from a persisted index without touching the
+    training path: centroids load as bounded model state, probe lists
+    are picked driver-side, and the postings scan carries a STATIC
+    ``list_id IN (...)`` partition filter — only the probed
+    partitions are read (PartitionFilters in the plan, asserted by
+    test). Candidates score in one numpy pass; the only shuffle is
+    the final tiny top-k window."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r.list_id,
+    )
+    cm = np.array([r.centroid for r in crows], dtype=np.float64)
+    q_ids = [int(q[0]) for q in queries]
+    qm = np.array([q[1] for q in queries], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(qm @ cm.T), axis=1, kind="stable")[:, :nprobe]
+    probed = sorted({int(x) for x in probe.ravel()})
+    b = spark.sparkContext.broadcast((q_ids, qm, probe))
+
+    def _score(batches):
+        q_ids_, qm_, probe_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            vm /= np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = vm @ qm_.T
+            lists = pdf["list_id"].values
+            vec_ids = pdf["vec_id"].values
+            rows = []
+            for qi, qid in enumerate(q_ids_):
+                mask = np.isin(lists, probe_[qi])
+                if not mask.any():
+                    continue
+                ms = sims[mask, qi]
+                mv = vec_ids[mask]
+                top = min(k_top, len(ms))
+                idx = np.argpartition(-ms, top - 1)[:top]
+                rows.extend(
+                    (qid, int(mv[ri]), float(ms[ri])) for ri in idx
+                )
+            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+
+    candidates = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .where(F.col("list_id").isin(probed))  # static partition prune
+        .select("list_id", "vec_id", "embedding")
+        .mapInPandas(_score, schema="q_id long, vec_id long, sim double")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc(F.round("sim", 4)), F.asc("vec_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "q_id",
+            "vec_id",
+            F.round("sim", 4).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("q_id", "rank")
+    )

@@ -1268,3 +1268,50 @@ def test_merge_apply_rejects_unknown_op(spark):
     feed = spark.createDataFrame([(1, "X", "b")], "k long, op string, s string")
     with _pytest.raises(Exception, match="invalid op"):
         merge_apply(base, feed, key="k").collect()
+
+
+def test_persisted_ivf_index_serves_identically_and_prunes(spark, sf_dir, tmp_path):
+    """Index lifecycle: write once, serve from files — results must be
+    bit-identical to the in-process ivf_search (same codebook rule),
+    and the postings scan must carry a list_id partition filter (only
+    probed partitions read, the 100 TB serve contract)."""
+    import os
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        N_QUERIES,
+        ivf_index_search,
+        ivf_index_write,
+        ivf_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    n_lists = ivf_index_write(emb, path)
+    assert os.path.isdir(os.path.join(path, "postings", "list_id=0"))
+
+    queries = [
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(f"vec_id < {N_QUERIES}")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    served = ivf_index_search(spark, path, queries)
+    direct = ivf_search(emb)
+    a = sorted(tuple(r) for r in served.collect())
+    b = sorted(tuple(r) for r in direct.collect())
+    assert a == b
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # pruning is real: fewer partition dirs scanned than exist
+    n_dirs = len(
+        [
+            d
+            for d in os.listdir(os.path.join(path, "postings"))
+            if d.startswith("list_id=")
+        ]
+    )
+    assert n_dirs == n_lists
