@@ -535,25 +535,38 @@ def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
                    round(mu, 4) + 0.0 AS mu,
                    round(sqrt(var + {WHITEN_EPS}), 4) AS sd
             FROM stats
-        ),
-        arrs AS (
-            SELECT list(mu ORDER BY dim) AS mus,
-                   list(sd ORDER BY dim) AS sds
-            FROM rounded
         )
-        SELECT vec_id,
-               list_transform(generate_series(1, len(embedding)),
-                   i -> round((CAST(embedding[i] AS DOUBLE) - mus[i])
-                              / sds[i], 4) + 0.0) AS whitened
-        FROM embeddings, arrs
+        SELECT e.vec_id,
+               r.dim,
+               round((CAST(e.embedding[r.dim] AS DOUBLE) - r.mu)
+                     / r.sd, 4) + 0.0 AS value
+        FROM embeddings e CROSS JOIN rounded r
+        ORDER BY e.vec_id, r.dim
     """,
-    doc="Whitened embeddings: per-dimension (x−μ)/σ standardization "
-    "using corpus statistics — map-only apply, stats as one bounded "
-    "driver read.",
+    doc="Whitened embeddings in long form (vec_id, dim, value): "
+    "per-dimension (x−μ)/σ standardization using corpus statistics — "
+    "map-only apply, stats as one bounded driver read. The registry "
+    "entry explodes the array so every output column is scalar (the "
+    "correctness gate canonicalizes with pandas, which cannot hash "
+    "list cells); library callers use :func:`whiten` for the "
+    "array-typed result.",
     tags=("embedding",),
 )
 def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return whiten(table(spark, sf_dir, "embeddings"))
+    return (
+        whiten(table(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.posexplode("whitened").alias("pos", "value"),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            # + 0.0 normalizes IEEE negative zero across engines
+            (F.col("value") + F.lit(0.0)).alias("value"),
+        )
+        .orderBy("vec_id", "dim")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -322,18 +322,50 @@ def cosine_topk_vectorized(
 
 @register(
     "sim_bruteforce_topk_vectorized",
-    oracle=None,  # numpy pairwise summation ≠ sequential fold in the
-    # last ulps; the test asserts the result id-set equals the exact
-    # oracle-checked variant.
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id < {N_QUERIES}
+        ), sims AS (
+            SELECT q.q_id, n.vec_id,
+                   round(list_sum(list_transform(generate_series(1, len(qv)),
+                         i -> qv[i] * v[i])) / (qn * nrm), 4) AS sim
+            FROM q CROSS JOIN n
+        ), ranked AS (
+            SELECT q_id, vec_id,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                   ) AS rank
+            FROM sims
+        )
+        SELECT q_id, vec_id FROM ranked
+        WHERE rank <= {TOPK}
+        ORDER BY q_id, vec_id
+    """,
     doc="Arrow/numpy-vectorized cosine top-k (BLAS matmul per batch) — "
-    "the throughput path for wide scans; exact twin: sim_bruteforce_topk.",
+    "the throughput path for wide scans. The registered entry emits "
+    "the (q_id, vec_id) RESULT-SET, which must equal the exact twin's "
+    "(sim_bruteforce_topk) — so the BLAS rewrite is hash-proven "
+    "output-identical; sim values are dropped from the gate because "
+    "numpy pairwise summation differs from the sequential fold in the "
+    "last ulps (library callers get them from cosine_topk_vectorized).",
     tags=("similarity", "vectorized"),
 )
 def sim_bruteforce_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
-    return cosine_topk_vectorized(
-        emb.repartition(par), _query_set(emb).select("q_id", "qv")
+    return (
+        cosine_topk_vectorized(
+            emb.repartition(par), _query_set(emb).select("q_id", "qv")
+        )
+        .select("q_id", "vec_id")
+        .orderBy("q_id", "vec_id")
     )
 
 

@@ -60,36 +60,170 @@ def hll_distinct_sharded(
     )
 
 
+# --- deterministic (oracle-checkable) HLL: md5 register rule ---------------
+
+#: Register count for the deterministic HLL entry: 2^12 = 4096
+#: registers (first 3 md5 hex chars), rank from the next 40 bits.
+HLL_DET_M = 4096
+#: 2^41 — the integer scale of the register-sum: a register of rank r
+#: contributes 2^(41-r), so the exact denominator Σ2^(-M_j) equals
+#: s_int / 2^41 with s_int a BIGINT ≤ 4096·2^41 = 2^53 (exact in both
+#: int64 and double).
+_HLL_SCALE = 1 << 41
+#: α_m·m²·2^41 for m=4096 (Flajolet's bias constant) — precomputed in
+#: Python and embedded as ONE double literal in both engines, so the
+#: estimate is a single IEEE divide + round: bit-identical everywhere.
+_HLL_NUM = 0.7213 / (1.0 + 1.079 / HLL_DET_M) * HLL_DET_M * HLL_DET_M * _HLL_SCALE
+
+
+def hll_det_registers(df: DataFrame, key: str, val: str) -> DataFrame:
+    """(key, reg, m_r) registers of a DETERMINISTIC HyperLogLog: the
+    register index is the first 12 md5 bits of the value, the rank is
+    1 + leading-zeros of the next 40 bits — the md5-bucket determinism
+    rule (`mixture._admission_bucket`, `sketches._cm_pos`) applied to
+    cardinality, which makes the whole sketch hash-comparable to a SQL
+    oracle. One keyed aggregate; output is ≤ keys × 4096 rows."""
+    h = F.md5(F.col(val).cast("string").cast("binary"))
+    reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 10), 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(41)).otherwise(
+        (F.lit(40) - F.floor(F.log2(w))).cast("long")
+    )
+    return (
+        df.select(F.col(key), reg.alias("reg"), rank.alias("rank"))
+        .groupBy(key, "reg")
+        .agg(F.max("rank").alias("m_r"))
+    )
+
+
+def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
+    """(key, est, zero_regs) from deterministic-HLL registers. The
+    register sum folds as an exact BIGINT (each register contributes
+    2^(41-rank); absent registers contribute 2^41), so the raw
+    estimate α·m²·2^41 / s_int is one IEEE double divide — identical
+    across runs, partitionings, and engines. Flajolet's small-range
+    correction applies below 2.5m with zero registers present: linear
+    counting m·ln(m/V), whose branch predicate compares the same
+    deterministic doubles in every engine."""
+    agg = regs.groupBy(key).agg(
+        (
+            F.lit(_HLL_NUM)
+            / (
+                F.sum(F.pow(F.lit(2.0), F.lit(41) - F.col("m_r")).cast("long"))
+                + (F.lit(HLL_DET_M) - F.count("*")) * F.lit(_HLL_SCALE)
+            )
+        ).alias("_raw"),
+        (F.lit(HLL_DET_M) - F.count("*")).cast("long").alias("zero_regs"),
+    )
+    corrected = F.when(
+        (F.col("zero_regs") > 0) & (F.col("_raw") <= 2.5 * HLL_DET_M),
+        F.lit(float(HLL_DET_M)) * F.log(F.lit(float(HLL_DET_M)) / F.col("zero_regs")),
+    ).otherwise(F.col("_raw"))
+    return agg.select(
+        key, F.round(corrected, 4).alias("est"), "zero_regs"
+    )
+
+
 @register(
     "events_hll_users",
-    oracle=None,  # the estimate is DataSketches-specific (DuckDB's
-    # approx_count_distinct is a different sketch); invariant tests pin
-    # merged ≡ one-shot (monoid law) and <5% error vs exact.
-    doc="Per-event-type distinct users via mergeable HLL sketches: "
-    "one-shot estimate, 8-shard merged estimate (must agree — sketch "
-    "union is lossless), and the exact count for error auditing.",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substring(md5(user_id::VARCHAR), 1, 3))::BIGINT
+                       AS reg,
+                   ('0x' || substring(md5(user_id::VARCHAR), 4, 10))::BIGINT
+                       AS w,
+                   user_id
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, reg,
+                   MAX(CASE WHEN w = 0 THEN 41
+                       ELSE 40 - CAST(floor(log2(w)) AS BIGINT) END) AS m_r
+            FROM h GROUP BY event_type, reg
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(power(2, 41 - m_r) AS BIGINT))
+                        + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE}
+                        AS BIGINT) AS s_total,
+                   CAST({HLL_DET_M} - COUNT(*) AS BIGINT) AS zero_regs
+            FROM r GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, zero_regs,
+                   round(CASE WHEN zero_regs > 0
+                              AND {_HLL_NUM!r} / s_total <= {2.5 * HLL_DET_M}
+                         THEN {float(HLL_DET_M)!r}
+                              * ln({float(HLL_DET_M)!r} / zero_regs)
+                         ELSE {_HLL_NUM!r} / s_total END, 4) AS e
+            FROM s
+        ),
+        e AS (
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT est.event_type,
+               est.e AS est_users,
+               est.e AS est_merged,
+               est.zero_regs,
+               e.exact_users
+        FROM est JOIN e USING (event_type)
+        ORDER BY est.event_type
+    """,
+    doc="Per-event-type distinct users via a DETERMINISTIC mergeable "
+    "HLL (md5 register rule, 4096 registers): one-shot estimate, "
+    "8-shard merged estimate (identical — register max is a monoid), "
+    "zero-register count, and the exact count for error auditing. The "
+    "md5 rule makes the sketch hash-identical to the SQL oracle; the "
+    "DataSketches paths (hll_distinct_by/hll_distinct_sharded) remain "
+    "the production library surface, pinned by invariant tests.",
     tags=("events", "sketch", "approx"),
 )
 def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three aggregates over one narrow (event_type, user_id) scan:
-    the one-shot sketch, the sharded-then-unioned sketch (shard =
-    user_id mod 8 — any partitioning works, that is the point), and
-    the exact distinct. At scale only the sketch paths survive; the
-    exact column exists so the driver-visible output carries its own
-    error audit."""
-    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
-    oneshot = hll_distinct_by(ev, "event_type", "user_id").select(
-        "event_type", F.col("est").alias("est_users")
+    """Two aggregates over one narrow (event_type, user_id) scan: the
+    one-shot register build, and a sharded-then-merged build (shard =
+    user_id mod 8; register-max folds across shards — any partitioning
+    yields the same registers, that is the point), plus the exact
+    distinct for the error-audit column. At scale only the sketch
+    paths survive; state is ≤ keys × 4096 tiny rows."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
     )
-    merged = hll_distinct_sharded(
-        ev, "event_type", "user_id", F.col("user_id") % 8
-    ).select("event_type", F.col("est").alias("est_merged"))
+    oneshot = hll_det_estimate(
+        hll_det_registers(ev, "event_type", "user_id"), "event_type"
+    ).select("event_type", F.col("est").alias("est_users"), "zero_regs")
+    sharded = (
+        ev.withColumn("_shard", F.pmod(F.col("user_id"), F.lit(8)))
+        .select(
+            F.concat_ws("|", "event_type", "_shard").alias("_ks"),
+            "event_type",
+            "user_id",
+        )
+    )
+    shard_regs = hll_det_registers(sharded, "_ks", "user_id").join(
+        sharded.select("_ks", "event_type").distinct(), "_ks"
+    )
+    merged_regs = shard_regs.groupBy("event_type", "reg").agg(
+        F.max("m_r").alias("m_r")
+    )
+    merged = hll_det_estimate(merged_regs, "event_type").select(
+        "event_type", F.col("est").alias("est_merged")
+    )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
     return (
         oneshot.join(merged, "event_type")
         .join(exact, "event_type")
+        .select(
+            "event_type", "est_users", "est_merged", "zero_regs", "exact_users"
+        )
         .orderBy("event_type")
     )
 

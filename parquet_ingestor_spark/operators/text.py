@@ -207,18 +207,35 @@ WINNOW_K = 8  # char k-gram length
 WINNOW_W = 4  # winnowing window (mins selected per window)
 
 
-def winnow_fingerprints_col(text_col: str = "text") -> Column:
+def winnow_fingerprints_col(
+    text_col: str = "text", hash_rule: str = "xxhash64"
+) -> Column:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS
     algorithm): hash every char k-gram, slide a w-window over the hash
     sequence, keep each window's minimum; the distinct minima are the
     document's fingerprints. Guarantees any match of length ≥ k+w-1
     shares a fingerprint — the locality property plain min-hashing
-    lacks. All expression-level: k-gram hashing via substring+xxhash64
-    bound once through a lambda, window minima via array_min(slice)."""
+    lacks. All expression-level: k-gram hashing bound once through a
+    lambda, window minima via array_min(slice).
+
+    ``hash_rule``: ``"xxhash64"`` (default — the production hash, one
+    cheap JVM op per gram) or ``"md5_48"`` (first 48 md5 bits — the
+    md5-bucket determinism rule, 2-3× the hash cost but reproducible
+    in any engine, which is what makes the registered entry
+    oracle-checkable)."""
     t = text_col
+    if hash_rule == "xxhash64":
+        gram_hash = f"xxhash64(substring({t}, i, {WINNOW_K}))"
+    elif hash_rule == "md5_48":
+        gram_hash = (
+            f"CAST(conv(substring(md5(CAST(substring({t}, i, {WINNOW_K}) "
+            f"AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+        )
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"unknown hash_rule {hash_rule!r}")
     hashes = (
         f"transform(sequence(1, greatest(length({t}) - {WINNOW_K - 1}, 1)), "
-        f"i -> xxhash64(substring({t}, i, {WINNOW_K})))"
+        f"i -> {gram_hash})"
     )
     return F.expr(
         f"array_distinct(transform(array({hashes}), hs -> "
@@ -231,10 +248,33 @@ def winnow_fingerprints_col(text_col: str = "text") -> Column:
 
 @register(
     "text_winnow_fingerprints",
-    oracle=None,  # xxhash64-derived: no DuckDB twin; tests run a
-    # pure-Python winnowing oracle over the same k-grams.
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, i,
+                   ('0x' || substring(md5(substring(text, i, {WINNOW_K})),
+                            1, 12))::BIGINT AS h
+            FROM documents,
+                 LATERAL unnest(generate_series(
+                     1, greatest(length(text) - {WINNOW_K - 1}, 1))) AS t(i)
+        ),
+        m AS (
+            SELECT doc_id, i,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM g
+        )
+        SELECT DISTINCT doc_id, wmin AS fp
+        FROM m
+        WHERE i <= greatest(n - {WINNOW_W - 1}, 1)
+        ORDER BY doc_id, fp
+    """,
     doc="Winnowing (MOSS) rolling-hash fingerprints: guarantees shared "
-    "fingerprints for any common substring ≥ k+w-1 chars.",
+    "fingerprints for any common substring ≥ k+w-1 chars. Registered "
+    "with the md5-48 hash rule so the window-min selection is "
+    "hash-identical to the SQL oracle; production callers keep the "
+    "xxhash64 default of winnow_fingerprints_col.",
     tags=("text", "fingerprint"),
 )
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +284,9 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "doc_id")
         .select(
             "doc_id",
-            F.explode(winnow_fingerprints_col()).alias("fp"),
+            F.explode(
+                winnow_fingerprints_col(hash_rule="md5_48")
+            ).alias("fp"),
         )
         .orderBy("doc_id", "fp")
     )

@@ -66,6 +66,34 @@ def spark_canon(df: DataFrame) -> list[str]:
     return canon_rows(cols, [tuple(r) for r in df.collect()])
 
 
+def driver_canon_probe(columns: list[str], rows: list[tuple]) -> None:
+    """Reproduce the DRIVER's canonicalization mechanics on a result
+    slice so driver-only failure classes surface locally.
+
+    The driver's correctness gate canonicalizes with pandas: sort
+    columns by name, then ``sort_values`` over ALL columns before
+    value-hashing. pandas factorizes object columns to sort them, and
+    factorize hashes every cell — an unhashable cell (list / dict /
+    ndarray, e.g. an ``array<double>`` output column) raises
+    ``TypeError: unhashable type``. That is exactly how ``emb_whiten``
+    shipped a red driver row in round 4 while this repo's string-based
+    :func:`canon_rows` accepted it. This probe runs the same pandas
+    operations (plus an explicit per-column factorize, so even a
+    single-column list output is caught) and lets the TypeError
+    propagate; value comparison stays with :func:`canon_rows`.
+    """
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(list(rows)[:256], columns=columns)
+    cols = sorted(pdf.columns)
+    if len(pdf) == 0:
+        return
+    for c in cols:
+        if pdf[c].dtype == object:
+            pd.factorize(pdf[c])  # raises on unhashable cells
+    pdf[cols].sort_values(by=cols)
+
+
 def duck_canon(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str]:
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]

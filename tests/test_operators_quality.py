@@ -78,17 +78,35 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
 
 
 def test_vectorized_topk_matches_exact(spark, sf_dir):
+    """The registered entry emits the (q_id, vec_id) result-set (sims
+    are ulp-unstable under BLAS reordering, so they stay out of the
+    hash gate); it must equal the exact fold's top-k set. The library
+    function's per-rank output is additionally checked rank-by-rank."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        _query_set,
+        cosine_topk_vectorized,
+    )
+
     exact = {
         (r.q_id, r.rank): r.vec_id
         for r in REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
     }
-    fast = {
-        (r.q_id, r.rank): r.vec_id
+    fast_set = {
+        (r.q_id, r.vec_id)
         for r in REGISTRY["sim_bruteforce_topk_vectorized"]
         .fn(spark, sf_dir)
         .collect()
     }
-    assert fast == exact
+    assert fast_set == {(q, v) for (q, _), v in exact.items()}
+    emb = table(spark, sf_dir, "embeddings")
+    lib = {
+        (r.q_id, r.rank): r.vec_id
+        for r in cosine_topk_vectorized(
+            emb, _query_set(emb).select("q_id", "qv")
+        ).collect()
+    }
+    assert lib == exact
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
@@ -108,20 +126,34 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
-def test_winnow_matches_python_oracle(spark, sf_dir):
-    """Pure-Python winnowing over the same xxhash64 k-gram hashes
-    (hashes pulled from Spark so the hash function is shared)."""
+@pytest.mark.parametrize("hash_rule", ["xxhash64", "md5_48"])
+def test_winnow_matches_python_oracle(spark, sf_dir, hash_rule):
+    """Pure-Python winnowing over the same k-gram hashes (hashes
+    pulled from Spark so the hash function is shared) — for BOTH hash
+    rules: xxhash64 (the production default) and md5_48 (the rule the
+    registered oracle-backed entry uses)."""
     import pyspark.sql.functions as F
 
-    from parquet_ingestor_spark.operators.text import WINNOW_K, WINNOW_W
+    from parquet_ingestor_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints_col,
+    )
 
+    if hash_rule == "xxhash64":
+        gram_hash = f"xxhash64(substring(text, i, {WINNOW_K}))"
+    else:
+        gram_hash = (
+            f"CAST(conv(substring(md5(CAST(substring(text, i, {WINNOW_K}) "
+            f"AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+        )
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .withColumn(
             "hs",
             F.expr(
                 f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)), "
-                f"i -> xxhash64(substring(text, i, {WINNOW_K})))"
+                f"i -> {gram_hash})"
             ),
         )
         .select("doc_id", "hs")
@@ -134,10 +166,18 @@ def test_winnow_matches_python_oracle(spark, sf_dir):
         return {min(hs[j : j + WINNOW_W]) for j in range(len(hs) - WINNOW_W + 1)}
 
     want = {(r.doc_id, fp) for r in docs for fp in winnow(r.hs)}
-    got = {
-        (r.doc_id, r.fp)
-        for r in REGISTRY["text_winnow_fingerprints"].fn(spark, sf_dir).collect()
-    }
+    if hash_rule == "md5_48":
+        got_df = REGISTRY["text_winnow_fingerprints"].fn(spark, sf_dir)
+    else:
+        got_df = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id",
+                F.explode(
+                    winnow_fingerprints_col(hash_rule=hash_rule)
+                ).alias("fp"),
+            )
+        )
+    got = {(r.doc_id, r.fp) for r in got_df.collect()}
     assert got == want
 
 

@@ -19,6 +19,7 @@ anti-pattern without a dedicated test.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import types as T
 
 from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
 
@@ -43,12 +44,45 @@ _NAMES = sorted(n for n in REGISTRY if n not in _ITERATIVE)
 
 @pytest.mark.parametrize("name", _NAMES)
 def test_no_cartesian_no_row_udf(spark, sf_dir, name):
-    plan = (
-        REGISTRY[name]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    df = REGISTRY[name].fn(spark, sf_dir)
+    _assert_driver_hashable_schema(name, df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: unkeyed cross join"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
+
+
+#: Output types proven to survive the driver's pandas-based
+#: canonicalization (collect → pandas → sort_values → value-hash).
+#: Array/Map/Struct cells are unhashable in pandas' factorize and
+#: crashed the gate in round 4 (emb_whiten); anything outside this set
+#: needs an explicit compatibility proof before it ships.
+_HASHABLE_TYPES = (
+    T.BooleanType,
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+    T.StringType,
+    T.BinaryType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _assert_driver_hashable_schema(name: str, df) -> None:
+    """No oracle-backed entry may emit a top-level column the driver's
+    pandas canonicalizer cannot hash (round-4 emb_whiten failure
+    class). Rows-only entries are exempt — the driver only counts
+    their rows — but oracle-backed outputs must be scalar columns."""
+    if REGISTRY[name].oracle is None:
+        return
+    for f in df.schema.fields:
+        assert isinstance(f.dataType, _HASHABLE_TYPES), (
+            f"{name}: oracle-backed entry emits driver-unhashable "
+            f"column {f.name!r} of type {f.dataType.simpleString()} — "
+            "emit long-form scalars or a checksum instead"
+        )

@@ -17,7 +17,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
 from parquet_ingestor_spark.session import get_spark
-from parquet_ingestor_spark.testing import duck_canon, duck_connect, spark_canon
+from parquet_ingestor_spark.testing import (
+    canon_rows,
+    driver_canon_probe,
+    duck_canon,
+    duck_connect,
+)
 
 
 def main() -> None:
@@ -33,11 +38,22 @@ def main() -> None:
         q = REGISTRY[name]
         t0 = time.perf_counter()
         try:
-            got = spark_canon(q.fn(spark, sf_dir))
+            df = q.fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {exc!r}")
             bad += 1
             continue
+        try:
+            # driver-faithful pandas canonicalization probe: catches
+            # schemas (list/struct cells) the driver cannot hash
+            driver_canon_probe(cols, rows)
+        except TypeError as exc:
+            print(f"FAIL  {name}: driver-canon incompatible output ({exc})")
+            bad += 1
+            continue
+        got = canon_rows(cols, rows)
         dt = time.perf_counter() - t0
         if q.oracle is None:
             print(f"rows  {name}: {len(got)} rows ({dt:.1f}s, rows-only)")
