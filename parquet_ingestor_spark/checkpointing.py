@@ -37,6 +37,31 @@ from pyspark.sql import DataFrame
 _LAST_CHECKPOINT_DIR: str | None = None
 
 
+def latest_epoch_below(path: str, bound: int) -> int:
+    """Largest ``epoch=N`` directory under ``path`` strictly below
+    ``bound`` (-1 if none) — the replay-safe state floor for epoch-
+    keyed foreachBatch state: a replayed batch re-reads the same
+    pre-state and overwrites its own epoch, never double-folding.
+
+    Only well-formed ``epoch=<digits>`` entries count; a stray
+    temp/staging directory containing '=' is ignored rather than
+    raising ValueError inside foreachBatch and failing the
+    micro-batch. Shared by every epoch-keyed stream maintainer
+    (sketches/scd/matview/mixture/incremental)."""
+    import os
+
+    if not os.path.isdir(path):
+        return -1
+    vs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("epoch=")
+        and d.split("=", 1)[1].isdigit()
+        and int(d.split("=", 1)[1]) < bound
+    ]
+    return max(vs, default=-1)
+
+
 def truncate_lineage(
     df: DataFrame, checkpoint_dir: str | None = None, eager: bool = False
 ) -> DataFrame:

@@ -33,6 +33,7 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
+    right_order: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the matching right row per
     ``direction``, with DuckDB/pandas ``ASOF JOIN`` semantics
@@ -49,6 +50,15 @@ def asof_join(
     one per-key sort; ``nearest``'s two carry windows share that sort
     (identical partitioning and ordering), so it costs no extra
     exchange over the single-direction forms.
+
+    ``right_order``: optional right-side column breaking ties when
+    several right rows share the same (key, ts) — without it, which
+    row's columns carry is whatever order the sort happens to produce
+    (nondeterministic across runs/partitionings), so callers must
+    either pass it or guarantee (key, ts) unique on the right. With
+    it, the winner is deterministic: the greatest ``right_order``
+    value for the backward frame, the smallest for the forward frame
+    (the row adjacent to the left row in the ascending sort).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown as-of direction: {direction!r}")
@@ -74,7 +84,18 @@ def asof_join(
             *[F.col(c).alias(f"_r_{c}") for c in rcols],
         )
     )
-    order = Window.partitionBy(on).orderBy("_ts", "_side")
+    # the tiebreak column only orders WITHIN a (_ts, _side) group, and
+    # the two sides never share a _side value, so left rows (whose
+    # _r_* columns are all null) keep their position relative to right
+    # rows regardless of null-ordering
+    order_cols = ["_ts", "_side"]
+    if right_order is not None:
+        if right_order not in rcols:
+            raise ValueError(
+                f"right_order column {right_order!r} not on right side"
+            )
+        order_cols.append(f"_r_{right_order}")
+    order = Window.partitionBy(on).orderBy(*order_cols)
     w_back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_fwd = order.rowsBetween(
         Window.currentRow if direction == "forward" else 1,
@@ -146,7 +167,7 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
     return (
-        asof_join(purchases, clicks, on="user_id")
+        asof_join(purchases, clicks, on="user_id", right_order="click_id")
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id")
     )
@@ -181,7 +202,13 @@ def asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
     return (
-        asof_join(clicks, purchases, on="user_id", direction="forward")
+        asof_join(
+            clicks,
+            purchases,
+            on="user_id",
+            direction="forward",
+            right_order="purchase_id",
+        )
         .select("click_id", "user_id", "purchase_id")
         .orderBy("click_id")
     )
@@ -224,7 +251,13 @@ def asof_nearest_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_id").alias("view_id")
     )
     return (
-        asof_join(views, purchases, on="user_id", direction="nearest")
+        asof_join(
+            views,
+            purchases,
+            on="user_id",
+            direction="nearest",
+            right_order="purchase_id",
+        )
         .select("view_id", "user_id", "purchase_id")
         .orderBy("view_id")
     )
@@ -313,7 +346,9 @@ def asof_tolerance_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    joined = asof_join(purchases, clicks, on="user_id")
+    joined = asof_join(
+        purchases, clicks, on="user_id", right_order="click_id"
+    )
     within = (
         F.col("ts").cast("double") - F.col("click_ts").cast("double")
     ) <= 3600.0

@@ -370,6 +370,8 @@ def hits_bipartite(
     Returns (auth, authority) — the authority-side scores after
     ``rounds`` full rounds.
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select("hub", "auth").dropDuplicates(["hub", "auth"])
     e = truncate_lineage(e, eager=True)
     h = e.select("hub").distinct().select(

@@ -283,16 +283,10 @@ def stream_dedup_clusters(
     """
     import os
 
+    from ..checkpointing import latest_epoch_below
+
     def _epoch_below(sub: str, bound: int) -> int:
-        p = os.path.join(state_dir, sub)
-        if not os.path.isdir(p):
-            return -1
-        vs = [
-            int(d.split("=")[1])
-            for d in os.listdir(p)
-            if "=" in d and int(d.split("=")[1]) < bound
-        ]
-        return max(vs, default=-1)
+        return latest_epoch_below(os.path.join(state_dir, sub), bound)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -147,15 +147,9 @@ def pricing_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _epoch_below(state_dir: str, sub: str, bound: int) -> int:
-    p = os.path.join(state_dir, sub)
-    if not os.path.isdir(p):
-        return -1
-    vs = [
-        int(d.split("=")[1])
-        for d in os.listdir(p)
-        if "=" in d and int(d.split("=")[1]) < bound
-    ]
-    return max(vs, default=-1)
+    from ..checkpointing import latest_epoch_below
+
+    return latest_epoch_below(os.path.join(state_dir, sub), bound)
 
 
 def stream_pricing_summary(

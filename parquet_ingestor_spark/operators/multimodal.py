@@ -678,9 +678,10 @@ def _synthetic_rasters(docs: DataFrame) -> DataFrame:
     oracle=None,  # DCT hashing is not SQL-expressible; invariant tests
     # pin the planted-near-dup recall and the random-raster rejection.
     doc="Image near-duplicate pairs via 64-bit pHash (resize → luma → "
-    "DCT-II → median threshold) and 4×16-bit chunk banding (pigeonhole "
-    "recall 1 for hamming ≤ 3) over deterministic stand-in rasters — "
-    "the visual-dedup shape of a multimodal training pipeline.",
+    "DCT-II → median threshold) and 8×8-bit chunk banding (pigeonhole "
+    "recall 1 for hamming ≤ 7, near-1 out to the hamming-10 radius) "
+    "over deterministic stand-in rasters — the visual-dedup shape of "
+    "a multimodal training pipeline.",
     tags=("multimodal", "dedup", "approx"),
 )
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,8 +52,11 @@ def scd2_apply(
     open_rows = current.where(F.col("is_current"))
     closed_rows = current.where(~F.col("is_current"))
 
+    # eqNullSafe: a plain != evaluates to NULL for NULL→value or
+    # value→NULL transitions, silently carrying the row unchanged —
+    # null-bearing feeds must still close-and-insert on those.
     changed = open_rows.join(upd, key).where(
-        F.col(attr) != F.col("__new_attr")
+        ~F.col(attr).eqNullSafe(F.col("__new_attr"))
     )
     closed_now = changed.select(
         key,
@@ -200,16 +203,10 @@ def stream_scd2(
     """
     import os
 
+    from ..checkpointing import latest_epoch_below
+
     def _epoch_below(bound: int) -> int:
-        p = os.path.join(state_dir, "dim")
-        if not os.path.isdir(p):
-            return -1
-        vs = [
-            int(d.split("=")[1])
-            for d in os.listdir(p)
-            if "=" in d and int(d.split("=")[1]) < bound
-        ]
-        return max(vs, default=-1)
+        return latest_epoch_below(os.path.join(state_dir, "dim"), bound)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -280,6 +277,11 @@ def table_diff(
     compare_cols = compare_cols or [
         c for c in old.columns if c not in key_cols and c in new.columns
     ]
+    if not compare_cols:
+        raise ValueError(
+            "table_diff needs at least one comparable non-key column "
+            "shared by both sides (got none)"
+        )
     o = old.select(
         *[F.col(c).alias(f"__o_{c}") for c in key_cols + compare_cols]
     )

@@ -386,16 +386,10 @@ def stream_hll_users(
     """
     import os
 
+    from ..checkpointing import latest_epoch_below
+
     def _epoch_below(bound: int) -> int:
-        p = os.path.join(state_dir, "sketch")
-        if not os.path.isdir(p):
-            return -1
-        vs = [
-            int(d.split("=")[1])
-            for d in os.listdir(p)
-            if "=" in d and int(d.split("=")[1]) < bound
-        ]
-        return max(vs, default=-1)
+        return latest_epoch_below(os.path.join(state_dir, "sketch"), bound)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -654,19 +648,12 @@ def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _latest_epoch_below(path: str, bound: int) -> int:
-    """Largest epoch directory strictly below ``bound`` (-1 if none) —
-    the replay-safe state floor: a replayed batch re-reads the same
-    pre-state and overwrites its own epoch."""
-    import os
+    """Replay-safe state floor — delegates to the shared
+    :func:`..checkpointing.latest_epoch_below` (well-formed
+    ``epoch=<digits>`` entries only)."""
+    from ..checkpointing import latest_epoch_below
 
-    if not os.path.isdir(path):
-        return -1
-    vs = [
-        int(d.split("=")[1])
-        for d in os.listdir(path)
-        if "=" in d and int(d.split("=")[1]) < bound
-    ]
-    return max(vs, default=-1)
+    return latest_epoch_below(path, bound)
 
 
 def stream_bloom_screen(
@@ -954,16 +941,10 @@ def stream_cm_counts(
     """
     import os
 
+    from ..checkpointing import latest_epoch_below
+
     def _epoch_below(bound: int) -> int:
-        p = os.path.join(state_dir, "grid")
-        if not os.path.isdir(p):
-            return -1
-        vs = [
-            int(d.split("=")[1])
-            for d in os.listdir(p)
-            if "=" in d and int(d.split("=")[1]) < bound
-        ]
-        return max(vs, default=-1)
+        return latest_epoch_below(os.path.join(state_dir, "grid"), bound)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -995,6 +995,57 @@ def test_scd2_apply_lifecycle(spark):
     assert k1 == [("A", False), ("A2", False), ("A3", True)]
 
 
+def test_scd2_apply_null_transitions(spark):
+    """NULL→value and value→NULL are CHANGES (close + reopen), not
+    silent carries: a plain != evaluates to NULL on those rows and
+    would drop them from both branches — the change predicate must be
+    null-safe."""
+    import datetime as dt
+
+    from parquet_ingestor_spark.operators.scd import scd2_apply
+
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    cur = spark.createDataFrame(
+        [(1, None, t0, None, True), (2, "B", t0, None, True),
+         (3, None, t0, None, True)],
+        "k long, seg string, effective_from timestamp, "
+        "effective_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "X", t1), (2, None, t1), (3, None, t1)],
+        "k long, seg string, ts timestamp",
+    )
+    rows = sorted(
+        ((r.k, r.seg, r.effective_from, r.effective_to, r.is_current)
+         for r in scd2_apply(cur, upd).collect()),
+        key=str,
+    )
+    assert rows == sorted([
+        (1, None, t0, t1, False),   # NULL→X closes
+        (1, "X", t1, None, True),
+        (2, "B", t0, t1, False),    # B→NULL closes
+        (2, None, t1, None, True),
+        (3, None, t0, None, True),  # NULL→NULL is a no-op
+    ], key=str)
+
+
+def test_latest_epoch_below_ignores_stray_dirs(tmp_path):
+    """A stray temp/staging dir containing '=' must not raise inside
+    foreachBatch — only well-formed epoch=<digits> entries count."""
+    import os
+
+    from parquet_ingestor_spark.checkpointing import latest_epoch_below
+
+    p = tmp_path / "state"
+    for d in ("epoch=0", "epoch=3", "epoch=7", "_tmp=staging",
+              "epoch=abc", "part=5", "unrelated"):
+        os.makedirs(p / d)
+    assert latest_epoch_below(str(p), 7) == 3
+    assert latest_epoch_below(str(p), 99) == 7
+    assert latest_epoch_below(str(p), 0) == -1
+    assert latest_epoch_below(str(tmp_path / "missing"), 5) == -1
+
+
 def test_table_diff_classes_and_null_safety(spark):
     from parquet_ingestor_spark.operators.scd import table_diff
 
@@ -1010,6 +1061,17 @@ def test_table_diff_classes_and_null_safety(spark):
     # 1 unchanged (absent), 2 null->value change, 3 removed,
     # 4 unchanged with null attr (null-safe), 5 added
     assert got == {2: "changed", 3: "removed", 5: "added"}
+    # no comparable column: explicit error, not F.when(None, ...)
+    with pytest.raises(ValueError, match="comparable"):
+        table_diff(old.select("k"), new.select("k"), ["k"])
+
+
+def test_hits_rejects_nonpositive_rounds(spark):
+    from parquet_ingestor_spark.operators.graph import hits_bipartite
+
+    edges = spark.createDataFrame([(1, 2)], "hub long, auth long")
+    with pytest.raises(ValueError, match="rounds"):
+        hits_bipartite(edges, rounds=0)
 
 
 def test_point_in_time_join_boundaries(spark):

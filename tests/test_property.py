@@ -40,6 +40,40 @@ events = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(left=events, right=events)
+def test_asof_join_tiebreak_deterministic(left, right):
+    """With right_order set, equal-(key, ts) right rows resolve to a
+    DEFINED winner (max right_order for the backward frame) — the same
+    answer as the quadratic definition with that tiebreak — under any
+    partitioning. Without it the carried row is sort-order luck."""
+    ldf = _spark.createDataFrame(
+        [(k, ts, i) for k, ts, i in left], "k long, ts long, l_id long"
+    )
+    rdf = _spark.createDataFrame(right, "k long, ts long, r_id long")
+    want = set()
+    for k, lts, lid in left:
+        prior = [(ts, rid) for rk, ts, rid in right if rk == k and ts <= lts]
+        want.add((lid, max(prior)[1] if prior else None))
+    for nparts in (1, 7):
+        got = {
+            (r.l_id, r.r_id)
+            for r in asof_join(
+                ldf.repartition(nparts),
+                rdf.repartition(nparts),
+                on="k",
+                left_ts="ts",
+                right_ts="ts",
+                right_order="r_id",
+            ).collect()
+        }
+        assert got == want, nparts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=events, right=events)
 def test_asof_join_matches_bruteforce(left, right):
     """asof_join(L, R) row-for-row equals the quadratic definition:
     the right row with the max ts ≤ left ts per key."""
