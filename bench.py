@@ -121,6 +121,33 @@ HEADLINE = (
 # sf0.01 gate checks its correctness.
 
 
+def _extra_probes():
+    """Bench-only scaling probes (NOT registry entries — they measure
+    the registered pipelines at different knob settings, round-4
+    verdict #6): the iterative graph entries at 2x their registered
+    round counts. The lineage-truncation contract claims per-round
+    cost is flat (constant-size plans, no lineage growth); these
+    datapoints let a reviewer check it numerically:
+    time(x2) - time(x1) ~= x1's per-round marginal cost × rounds,
+    i.e. x2 < 2× x1 (the fixed edge-mining cost amortizes), and never
+    superlinear."""
+    from parquet_ingestor_spark.operators.graph import (
+        _KCORE_ROUNDS,
+        _PAGERANK_ITERS,
+        kcore_parts,
+        pagerank_parts,
+    )
+
+    return {
+        "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
+            s, d, 2 * _PAGERANK_ITERS
+        ),
+        "graph_kcore_parts_x2rounds": lambda s, d: kcore_parts(
+            s, d, 2 * _KCORE_ROUNDS
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -153,16 +180,15 @@ def main() -> None:
     # and end for the same reason. SPARK_GRAFT_ONLY=a,b,c filters the
     # headline set for local iteration.
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    headline = (
-        tuple(q for q in HEADLINE if q in set(only.split(",")))
-        if only
-        else HEADLINE
-    )
+    extra = _extra_probes()
+    names = tuple(HEADLINE) + tuple(extra)
+    if only:
+        names = tuple(q for q in names if q in set(only.split(",")))
     load0 = os.getloadavg()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in headline:
-        fn = REGISTRY[name].fn
+    for name in names:
+        fn = extra[name] if name in extra else REGISTRY[name].fn
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:

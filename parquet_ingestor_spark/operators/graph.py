@@ -163,6 +163,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every node, so no dangling-mass correction is needed. The
     5-round loop is declared iteration-by-iteration; each round is one
     keyed join + one partial-agg sum (see ``pagerank_tokens``)."""
+    return pagerank_parts(spark, sf_dir, _PAGERANK_ITERS)
+
+
+def pagerank_parts(
+    spark: SparkSession, sf_dir: str, iterations: int
+) -> DataFrame:
+    """The graph_pagerank pipeline at a caller-chosen round count —
+    bench.py runs it at 2× the registered iterations to demonstrate
+    cost grows LINEARLY in rounds (the lineage-truncation contract:
+    per-round plans stay constant-size, so wall time per extra round
+    is flat)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
@@ -186,7 +197,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank_tokens(
-        edges, iterations=_PAGERANK_ITERS, edges_canonical=True
+        edges, iterations=iterations, edges_canonical=True
     )
     return ranks.select(
         F.col("node").alias("part"), F.col("tokens").alias("rank_tokens")
@@ -601,6 +612,16 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge mining matches graph_triangles (u < v halves the pair
     fan-out; one orderkey shuffle); the peel loop then touches only
     the edge table and node-cardinality alive sets."""
+    return kcore_parts(spark, sf_dir, _KCORE_ROUNDS)
+
+
+def kcore_parts(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> DataFrame:
+    """The graph_kcore_parts pipeline at a caller-chosen peel-round
+    count — bench.py runs it at 2× the registered rounds as the
+    linear-in-rounds scaling probe (same contract as
+    :func:`pagerank_parts`)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u")
@@ -610,7 +631,7 @@ def graph_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v")
     return (
-        kcore_peel(edges)
+        kcore_peel(edges, rounds=rounds)
         .select(
             F.col("x").alias("part"),
             F.col("deg").cast("bigint").alias("core_deg"),

@@ -312,7 +312,10 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def media_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def media_features_batch(
+    pdf: pd.DataFrame,
+    decoders: "dict[str, object] | None" = None,
+) -> pd.DataFrame:
     """Per-batch REAL feature extraction for codec-free formats.
 
     PPM/BMP → dimensions + mean Rec.601 luma; WAV → sample count,
@@ -320,9 +323,19 @@ def media_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     through with null features — at scale those route to a decode
     service or a PIL-equipped cluster; this container cannot decode
     them and does not pretend to.
+
+    ``decoders`` is the production injection point: a dict mapping a
+    sniffed format name (``"jpeg"``, ``"png"``, …) to a callable
+    ``bytes → (h, w, 3) uint8 raster``. A container with codec libs
+    plugs in e.g. ``{"jpeg": pil_jpeg_decode}`` without touching the
+    operator; formats without an entry keep the pass-through default.
+    Callables ship to executors inside the mapInPandas closure —
+    functions from importable modules pickle by reference, locally
+    defined ones by value (cloudpickle); both work.
     """
     import numpy as np
 
+    decoders = decoders or {}
     rows = []
     for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
         b = bytes(payload)
@@ -333,6 +346,8 @@ def media_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 px = decode_ppm(b)
             elif fmt == "bmp":
                 px = decode_bmp(b)
+            elif fmt in decoders:
+                px = decoders[fmt](b)
             else:
                 px = None
             if px is not None:
@@ -353,14 +368,20 @@ def media_features_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def extract_media_features(
-    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoders: "dict[str, object] | None" = None,
 ) -> DataFrame:
-    """mapInPandas real-decode stage over a binary media column."""
+    """mapInPandas real-decode stage over a binary media column.
+    ``decoders`` (format → bytes-to-raster callable) is the codec
+    injection point — see :func:`media_features_batch`."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield media_features_batch(
-                pdf.rename(columns={id_col: "doc_id", payload_col: "payload"})
+                pdf.rename(columns={id_col: "doc_id", payload_col: "payload"}),
+                decoders=decoders,
             )
 
     return media.select(id_col, payload_col).mapInPandas(

@@ -122,6 +122,37 @@ def test_media_features_end_to_end(spark, rng):
     assert got[4].n_bytes == len(rows[3][1])
 
 
+def test_media_features_decoder_injection(spark):
+    """A production container plugs codec libs in via the ``decoders``
+    dict without touching the operator: the injected format decodes
+    like a first-class one; formats without an entry keep the honest
+    pass-through default."""
+
+    def _fake_jpeg_decode(b: bytes):
+        # stand-in codec: any 'jpeg' payload decodes to a fixed 2x3
+        # mid-gray raster (cloudpickle ships nested functions by value
+        # inside the mapInPandas closure, as a real PIL wrapper would)
+        return np.full((2, 3, 3), 128, dtype=np.uint8)
+
+    rows = [
+        (1, bytearray(b"\xff\xd8\xff\xe0 compressed")),  # jpeg
+        (2, bytearray(b"\x89PNG\r\n\x1a\n payload")),     # png, no decoder
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r
+        for r in extract_media_features(
+            media, decoders={"jpeg": _fake_jpeg_decode}
+        ).collect()
+    }
+    assert (got[1].fmt, got[1].width, got[1].height) == ("jpeg", 3, 2)
+    assert got[1].mean_luma == 128.0  # uniform gray: luma == 128 exactly
+    assert got[2].fmt == "png" and got[2].width is None
+    # default path unchanged: no decoders → jpeg passes through
+    base = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert base[1].width is None and base[1].mean_luma is None
+
+
 def test_resize_nn_matches_numpy_reference(rng):
     from parquet_ingestor_spark.operators.multimodal import resize_nn
 

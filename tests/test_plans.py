@@ -155,6 +155,26 @@ def test_sf_scaled_sides_carry_no_broadcast_hint(spark, sf_dir):
             )
 
 
+def test_q10_supplier_broadcasts_from_stats_at_sf01(spark):
+    """Round-4 verdict #4: after dropping the unbounded supplier hint,
+    AQE/stats must still BroadcastHashJoin supplier while the side
+    fits (22 KB at sf0.1 — far under the 64 MB threshold), with no
+    ResolvedHint subtree touching the supplier table. The one
+    remaining SortMergeJoin is li⋈orders — two fact-derived sides,
+    which is exactly the shape that must NOT broadcast at 100 TB. The
+    r3→r4 bench delta on q10 (1.05→1.39 s) is the price of that
+    correctness: stats-based planning instead of a hint that OOMs at
+    scale."""
+    sf01 = "/root/testdata/sf0.1"
+    df = REGISTRY["q10_revenue_per_nation"].fn(spark, sf01)
+    df.collect()  # finalize AQE so the executed plan is the real one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [l_suppkey" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for sub in _hinted_subtrees(analyzed):
+        assert "s_suppkey" not in sub and "supplier" not in sub, sub
+
+
 def test_topk_ngrams_no_full_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "text_topk_ngrams")
     assert "TakeOrderedAndProject" in plan
