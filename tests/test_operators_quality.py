@@ -695,18 +695,23 @@ def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
     from parquet_ingestor_spark.queries import REGISTRY
     import pyspark.sql.functions as F
 
-    fn = REGISTRY["emb_whiten"].fn
+    fn = REGISTRY["emb_whiten"].fn  # long form: (vec_id, dim, value)
     a = fn(spark, sf_dir)
     stats = (
-        a.select(F.posexplode("whitened").alias("pos", "z"))
-        .groupBy("pos")
-        .agg(F.avg("z").alias("m"), F.var_pop("z").alias("v"))
+        a.groupBy("dim")
+        .agg(F.avg("value").alias("m"), F.var_pop("value").alias("v"))
         .collect()
     )
+    assert len(stats) == 64
     for r in stats:
         assert abs(r.m) < 0.01, r
         assert abs(r.v - 1.0) < 0.05, r
     assert sorted(map(str, a.collect())) == sorted(map(str, fn(spark, sf_dir).collect()))
+    # the array-typed library surface is unchanged
+    from parquet_ingestor_spark.operators.embeddings import whiten
+
+    row = whiten(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).first()
+    assert len(row.whitened) == 64
 
 
 def test_pca_project_matches_numpy(spark, sf_dir):

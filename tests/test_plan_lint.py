@@ -51,22 +51,21 @@ def test_no_cartesian_no_row_udf(spark, sf_dir, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time UDF"
 
 
-#: Output types proven to survive the driver's pandas-based
-#: canonicalization (collect → pandas → sort_values → value-hash).
-#: Array/Map/Struct cells are unhashable in pandas' factorize and
-#: crashed the gate in round 4 (emb_whiten); anything outside this set
-#: needs an explicit compatibility proof before it ships.
+#: Output types PROVEN to survive the driver's pandas-based
+#: canonicalization (collect → pandas → sort_values → value-hash) by
+#: green driver rows across rounds 1-4: bool/int/long/double/string/
+#: date/timestamp. Array/Map/Struct cells are unhashable in pandas'
+#: factorize and crashed the gate in round 4 (emb_whiten); decimal/
+#: binary/float are deliberately NOT allowed either — no entry has
+#: ever proven them against the driver's renderer, so an entry wanting
+#: them must first earn a green row (cast to double/string/bigint
+#: instead, as every current entry does).
 _HASHABLE_TYPES = (
     T.BooleanType,
-    T.ByteType,
-    T.ShortType,
     T.IntegerType,
     T.LongType,
-    T.FloatType,
     T.DoubleType,
-    T.DecimalType,
     T.StringType,
-    T.BinaryType,
     T.DateType,
     T.TimestampType,
     T.TimestampNTZType,

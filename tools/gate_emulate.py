@@ -47,12 +47,18 @@ def main() -> None:
             continue
         try:
             # driver-faithful pandas canonicalization probe: catches
-            # schemas (list/struct cells) the driver cannot hash
+            # schemas (list/struct cells) the driver cannot hash.
+            # Rows-only entries only get a row COUNT from the driver,
+            # so a non-hashable schema there is a warning, not a fail.
             driver_canon_probe(cols, rows)
         except TypeError as exc:
-            print(f"FAIL  {name}: driver-canon incompatible output ({exc})")
-            bad += 1
-            continue
+            if q.oracle is not None:
+                print(
+                    f"FAIL  {name}: driver-canon incompatible output ({exc})"
+                )
+                bad += 1
+                continue
+            print(f"warn  {name}: non-hashable output (rows-only): {exc}")
         got = canon_rows(cols, rows)
         dt = time.perf_counter() - t0
         if q.oracle is None:
