@@ -215,6 +215,10 @@ def main() -> None:
         timings[name] = min(runs[name])
         spark.catalog.clearCache()
 
+    # Scaling probes report separately: they measure the SAME pipelines
+    # at different knobs, so folding them into the headline total would
+    # double-count and break round-over-round comparability.
+    probes = {n: timings.pop(n) for n in extra if n in timings}
     total = round(sum(timings.values()), 3)
     # Output contract (round-3 post-mortem): the driver tail-captures
     # stdout and parses the LAST one-line JSON; round 3's single line
@@ -240,17 +244,16 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     except OSError:
         pass  # detail file is best-effort; the stdout contract stands
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if probes:
+        out["scaling_probes"] = probes
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
