@@ -460,19 +460,164 @@ def hll_pairwise_overlap(
     ).orderBy("key_a", "key_b")
 
 
+def _hll_det_est_expr() -> "F.Column":
+    """Aggregate expression: the deterministic-HLL estimate from a
+    grouped register set (columns ``m_r`` in scope) — the same
+    exact-integer fold + linear-counting branch as
+    :func:`hll_det_estimate`, usable inside any groupBy."""
+    raw = F.lit(_HLL_NUM) / (
+        F.sum(F.pow(F.lit(2.0), F.lit(41) - F.col("m_r")).cast("long"))
+        + (F.lit(HLL_DET_M) - F.count("*")) * F.lit(_HLL_SCALE)
+    )
+    zeros = F.lit(HLL_DET_M) - F.count("*")
+    return F.when(
+        (zeros > 0) & (raw <= 2.5 * HLL_DET_M),
+        F.lit(float(HLL_DET_M)) * F.log(F.lit(float(HLL_DET_M)) / zeros),
+    ).otherwise(raw)
+
+
+def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
+    """Pairwise distinct-value overlap via DETERMINISTIC-HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the
+    union sketch being the register-wise max (an exact monoid) — so
+    unlike the DataSketches twin (:func:`hll_pairwise_overlap`) every
+    number here is a pure function of the md5 register rule and
+    hash-checkable against a SQL oracle.
+
+    Scale shape: ONE corpus pass builds per-key registers (≤ keys ×
+    4096 tiny rows); the pair fan-out and union fold run over sketch
+    rows only. Estimates stay UNROUNDED through the inclusion-
+    exclusion arithmetic and round once at the output, so the oracle
+    comparison is a single deterministic double pipeline.
+    """
+    regs = hll_det_registers(df, key, val)
+    singles = regs.groupBy(key).agg(_hll_det_est_expr().alias("est"))
+    keys = regs.select(F.col(key)).distinct()
+    pairs = keys.select(F.col(key).alias("key_a")).join(
+        keys.select(F.col(key).alias("key_b")),
+        F.col("key_a") < F.col("key_b"),
+    )
+    # union registers per pair: each pair pulls both sides' register
+    # sets and folds register-wise max — sketch-row volume is
+    # pairs × 4096, corpus-size-independent
+    u = (
+        pairs.join(regs.withColumnRenamed(key, "key_a"), "key_a")
+        .unionByName(
+            pairs.join(regs.withColumnRenamed(key, "key_b"), "key_b")
+        )
+        .groupBy("key_a", "key_b", "reg")
+        .agg(F.max("m_r").alias("m_r"))
+        .groupBy("key_a", "key_b")
+        .agg(_hll_det_est_expr().alias("est_u"))
+    )
+    ea = singles.select(F.col(key).alias("key_a"), F.col("est").alias("ea"))
+    eb = singles.select(F.col(key).alias("key_b"), F.col("est").alias("eb"))
+    return (
+        u.join(ea, "key_a")
+        .join(eb, "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            F.round("ea", 4).alias("est_a"),
+            F.round("eb", 4).alias("est_b"),
+            F.round("est_u", 4).alias("est_union"),
+            F.round(
+                F.greatest(
+                    F.col("ea") + F.col("eb") - F.col("est_u"), F.lit(0.0)
+                ),
+                4,
+            ).alias("est_intersection"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
 @register(
     "events_user_overlap_sketch",
-    oracle=None,  # sketch estimates; the invariant test audits every
-    # pair against exact distinct-user intersections.
-    doc="Pairwise user-audience overlap between event types via HLL "
-    "inclusion-exclusion (est A + est B − est A∪B) — sketch set "
-    "algebra over one corpus pass; |types|² sketch-row pair join.",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substring(md5(user_id::VARCHAR), 1, 3))::BIGINT
+                       AS reg,
+                   ('0x' || substring(md5(user_id::VARCHAR), 4, 10))::BIGINT
+                       AS w
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, reg,
+                   MAX(CASE WHEN w = 0 THEN 41
+                       ELSE 40 - CAST(floor(log2(w)) AS BIGINT) END) AS m_r
+            FROM h GROUP BY event_type, reg
+        ),
+        est1 AS (
+            SELECT event_type,
+                   CASE WHEN ({HLL_DET_M} - COUNT(*)) > 0
+                        AND {_HLL_NUM!r} /
+                            (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
+                             + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
+                            <= {2.5 * HLL_DET_M}
+                   THEN {float(HLL_DET_M)!r}
+                        * ln({float(HLL_DET_M)!r} / ({HLL_DET_M} - COUNT(*)))
+                   ELSE {_HLL_NUM!r} /
+                        (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
+                         + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
+                   END AS est
+            FROM r GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS key_a, b.event_type AS key_b
+            FROM (SELECT DISTINCT event_type FROM r) a,
+                 (SELECT DISTINCT event_type FROM r) b
+            WHERE a.event_type < b.event_type
+        ),
+        ur AS (
+            SELECT p.key_a, p.key_b, r.reg, MAX(r.m_r) AS m_r
+            FROM pairs p JOIN r
+              ON r.event_type = p.key_a OR r.event_type = p.key_b
+            GROUP BY p.key_a, p.key_b, r.reg
+        ),
+        estu AS (
+            SELECT key_a, key_b,
+                   CASE WHEN ({HLL_DET_M} - COUNT(*)) > 0
+                        AND {_HLL_NUM!r} /
+                            (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
+                             + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
+                            <= {2.5 * HLL_DET_M}
+                   THEN {float(HLL_DET_M)!r}
+                        * ln({float(HLL_DET_M)!r} / ({HLL_DET_M} - COUNT(*)))
+                   ELSE {_HLL_NUM!r} /
+                        (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
+                         + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
+                   END AS est_u
+            FROM ur GROUP BY key_a, key_b
+        )
+        SELECT u.key_a, u.key_b,
+               round(ea.est, 4) AS est_a,
+               round(eb.est, 4) AS est_b,
+               round(u.est_u, 4) AS est_union,
+               round(greatest(ea.est + eb.est - u.est_u, 0.0), 4)
+                   AS est_intersection
+        FROM estu u
+        JOIN est1 ea ON ea.event_type = u.key_a
+        JOIN est1 eb ON eb.event_type = u.key_b
+        ORDER BY u.key_a, u.key_b
+    """,
+    doc="Pairwise user-audience overlap between event types via "
+    "DETERMINISTIC-HLL inclusion-exclusion (est A + est B − est A∪B; "
+    "union = register-wise max, an exact monoid) — sketch set algebra "
+    "over one corpus pass, |types|² sketch-row pair join, and every "
+    "estimate hash-identical to the SQL oracle. The DataSketches twin "
+    "(hll_pairwise_overlap) stays the library surface.",
     tags=("sketch", "approx", "events"),
 )
 def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hll_pairwise_overlap(
-        table(spark, sf_dir, "events"), "event_type", "user_id"
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
     )
+    return hll_det_pairwise_overlap(ev, "event_type", "user_id")
 
 
 # ---------------------------------------------------------------------------

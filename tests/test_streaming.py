@@ -412,6 +412,44 @@ def test_hll_pairwise_overlap_tracks_exact(spark, sf_dir):
         )
 
 
+def test_det_overlap_entry_tracks_exact(spark, sf_dir):
+    """The registered (oracle-backed) deterministic-HLL overlap entry
+    satisfies the same quality contract as the DataSketches twin:
+    every pairwise intersection estimate within 5% of the exact
+    distinct-user intersection, union >= max side, intersection <=
+    min side (up to the 4-decimal output rounding)."""
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    got = {
+        (r.key_a, r.key_b): r
+        for r in REGISTRY["events_user_overlap_sketch"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    users = {
+        r.event_type: set(
+            rr.user_id
+            for rr in ev.where(F.col("event_type") == r.event_type)
+            .select("user_id")
+            .distinct()
+            .collect()
+        )
+        for r in ev.select("event_type").distinct().collect()
+    }
+    assert got
+    for (a, b), r in got.items():
+        exact = len(users[a] & users[b])
+        assert r.est_union >= max(r.est_a, r.est_b) - 1e-4
+        assert r.est_intersection <= min(r.est_a, r.est_b) + 1e-4
+        assert abs(r.est_intersection - exact) <= max(3, 0.05 * max(exact, 1)), (
+            a, b, exact, r.est_intersection,
+        )
+
+
 def test_stream_bloom_screen_flags_and_replays(spark, tmp_path):
     """The streaming Bloom gate: each micro-batch screens against the
     bitmap of all PRIOR batches — a key's first occurrence flags
