@@ -214,6 +214,13 @@ def main() -> None:
                 rdd.unpersist(False)
         timings[name] = min(runs[name])
         spark.catalog.clearCache()
+        # A full 60+-entry run accumulates JVM pressure (codegen
+        # classes, shuffle buffers, finalizable blocks) that the r4/r5
+        # detail logs show as 2x tail-entry swings (graph_kcore ran
+        # 10.6/8.2/5.6 s late in a full run vs a stable 3.5 s in any
+        # short run). One explicit GC per entry keeps each entry's
+        # first timed run comparable to its isolated cost.
+        spark.sparkContext._jvm.System.gc()
 
     # Scaling probes report separately: they measure the SAME pipelines
     # at different knobs, so folding them into the headline total would
