@@ -146,8 +146,13 @@ def asof_join(
             SELECT user_id, ts, event_id AS purchase_id FROM events
             WHERE event_type = 'purchase'
         ), c AS (
-            SELECT user_id, ts, event_id AS click_id FROM events
-            WHERE event_type = 'click'
+            -- one row per (user_id, ts): MAX(event_id) mirrors the
+            -- Spark side's right_order tiebreak (backward frame
+            -- carries the greatest id among equal-ts clicks), so the
+            -- oracle is deterministic even on tie-bearing data where
+            -- native ASOF's tie choice is unspecified
+            SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+            WHERE event_type = 'click' GROUP BY user_id, ts
         )
         SELECT p.purchase_id, p.user_id, c.click_id
         FROM p ASOF LEFT JOIN c
@@ -155,7 +160,8 @@ def asof_join(
         ORDER BY p.purchase_id
     """,
     doc="Backward as-of join: each purchase attributed to the user's "
-    "most recent preceding click (merge-as-of: one shuffle + sort).",
+    "most recent preceding click (merge-as-of: one shuffle + sort; "
+    "equal-ts clicks resolve to the greatest click_id on both sides).",
     tags=("join", "asof"),
 )
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,8 +183,13 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_forward_click_purchase",
     oracle="""
         WITH p AS (
-            SELECT user_id, ts, event_id AS purchase_id FROM events
-            WHERE event_type = 'purchase'
+            -- MIN(event_id) per (user_id, ts): the forward frame
+            -- carries the FIRST row in ascending (ts, id) order, so
+            -- equal-ts purchases resolve to the smallest id on both
+            -- sides (ties don't exist in this testdata; the rule
+            -- pins behavior for feeds where they do)
+            SELECT user_id, ts, MIN(event_id) AS purchase_id FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id, ts
         ), c AS (
             SELECT user_id, ts, event_id AS click_id FROM events
             WHERE event_type = 'click'
@@ -228,7 +239,14 @@ def asof_forward_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (
                        PARTITION BY v.view_id
                        ORDER BY abs(epoch(p.ts) - epoch(v.ts)),
-                                CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END
+                                CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END,
+                                -- equal-ts tiebreak mirrors the Spark
+                                -- right_order rule: backward frame
+                                -- carries the greatest id, forward the
+                                -- smallest
+                                CASE WHEN p.ts <= v.ts
+                                     THEN -p.purchase_id
+                                     ELSE p.purchase_id END
                    ) AS rn
             FROM v LEFT JOIN p ON v.user_id = p.user_id
         )
@@ -312,8 +330,9 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts, event_id AS purchase_id FROM events
             WHERE event_type = 'purchase'
         ), c AS (
-            SELECT user_id, ts, event_id AS click_id FROM events
-            WHERE event_type = 'click'
+            -- MAX per (user_id, ts): the backward-frame tiebreak rule
+            SELECT user_id, ts, MAX(event_id) AS click_id FROM events
+            WHERE event_type = 'click' GROUP BY user_id, ts
         )
         SELECT p.purchase_id, p.user_id,
                CASE WHEN p.ts - c.ts <= INTERVAL 1 HOUR

@@ -293,11 +293,18 @@ def cosine_topk_vectorized(
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = vm @ qmat.T  # (batch, nq)
             top = min(k, len(pdf))
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
             rows = []
             vec_ids = pdf["vec_id"].values
             for qi, qid in enumerate(qids):
-                for ri in idx[:, qi]:
+                # per-batch candidate selection must use the SAME
+                # total order as the final global window — (round(sim,
+                # 4) DESC, vec_id ASC) — or a candidate dropped here on
+                # raw sim could tie at 4 decimals with a kept one and
+                # win the global rank on vec_id: the hierarchical
+                # selection is only exact when both levels agree on
+                # the order (lexsort: last key is primary)
+                order = np.lexsort((vec_ids, -np.round(sims[:, qi], 4)))
+                for ri in order[:top]:
                     rows.append((qid, int(vec_ids[ri]), float(sims[ri, qi])))
             yield pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
 

@@ -76,13 +76,18 @@ _HLL_SCALE = 1 << 41
 _HLL_NUM = 0.7213 / (1.0 + 1.079 / HLL_DET_M) * HLL_DET_M * HLL_DET_M * _HLL_SCALE
 
 
-def hll_det_registers(df: DataFrame, key: str, val: str) -> DataFrame:
-    """(key, reg, m_r) registers of a DETERMINISTIC HyperLogLog: the
+def hll_det_registers(
+    df: DataFrame, key: "str | list[str]", val: str
+) -> DataFrame:
+    """(*keys, reg, m_r) registers of a DETERMINISTIC HyperLogLog: the
     register index is the first 12 md5 bits of the value, the rank is
     1 + leading-zeros of the next 40 bits — the md5-bucket determinism
     rule (`mixture._admission_bucket`, `sketches._cm_pos`) applied to
     cardinality, which makes the whole sketch hash-comparable to a SQL
-    oracle. One keyed aggregate; output is ≤ keys × 4096 rows."""
+    oracle. One keyed aggregate; output is ≤ keys × 4096 rows. ``key``
+    may be a list (e.g. ``[key, shard]`` for the mergeable sharded
+    build) — composite keys stay as columns, never string-concatenated."""
+    keys = [key] if isinstance(key, str) else list(key)
     h = F.md5(F.col(val).cast("string").cast("binary"))
     reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
     w = F.conv(F.substring(h, 4, 10), 16, 10).cast("long")
@@ -90,50 +95,62 @@ def hll_det_registers(df: DataFrame, key: str, val: str) -> DataFrame:
         (F.lit(40) - F.floor(F.log2(w))).cast("long")
     )
     return (
-        df.select(F.col(key), reg.alias("reg"), rank.alias("rank"))
-        .groupBy(key, "reg")
+        df.select(*keys, reg.alias("reg"), rank.alias("rank"))
+        .groupBy(*keys, "reg")
         .agg(F.max("rank").alias("m_r"))
     )
 
 
-def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
-    """(key, est, zero_regs) from deterministic-HLL registers. The
-    register sum folds as an exact BIGINT (each register contributes
-    2^(41-rank); absent registers contribute 2^41), so the raw
-    estimate α·m²·2^41 / s_int is one IEEE double divide — identical
-    across runs, partitionings, and engines. Flajolet's small-range
-    correction applies below 2.5m with zero registers present: linear
-    counting m·ln(m/V), whose branch predicate compares the same
-    deterministic doubles in every engine."""
-    agg = regs.groupBy(key).agg(
-        (
-            F.lit(_HLL_NUM)
-            / (
-                F.sum(F.pow(F.lit(2.0), F.lit(41) - F.col("m_r")).cast("long"))
-                + (F.lit(HLL_DET_M) - F.count("*")) * F.lit(_HLL_SCALE)
-            )
-        ).alias("_raw"),
-        (F.lit(HLL_DET_M) - F.count("*")).cast("long").alias("zero_regs"),
+def _hll_det_est_agg() -> "F.Column":
+    """THE deterministic-HLL estimate as an aggregate expression over
+    grouped register rows (column ``m_r`` in scope) — the single
+    definition shared by every consumer (one-shot, sharded-merge,
+    pairwise union). The register sum folds as an exact BIGINT (each
+    register contributes 2^(41-rank); absent registers contribute
+    2^41), so the raw estimate α·m²·2^41 / s_int is one IEEE double
+    divide; Flajolet's small-range correction applies below 2.5m with
+    zero registers present (linear counting m·ln(m/V)), and the branch
+    predicate compares the same deterministic doubles in every
+    engine."""
+    raw = F.lit(_HLL_NUM) / (
+        F.sum(F.pow(F.lit(2.0), F.lit(41) - F.col("m_r")).cast("long"))
+        + (F.lit(HLL_DET_M) - F.count("*")) * F.lit(_HLL_SCALE)
     )
-    corrected = F.when(
-        (F.col("zero_regs") > 0) & (F.col("_raw") <= 2.5 * HLL_DET_M),
-        F.lit(float(HLL_DET_M)) * F.log(F.lit(float(HLL_DET_M)) / F.col("zero_regs")),
-    ).otherwise(F.col("_raw"))
-    return agg.select(
-        key, F.round(corrected, 4).alias("est"), "zero_regs"
+    zeros = F.lit(HLL_DET_M) - F.count("*")
+    return F.when(
+        (zeros > 0) & (raw <= 2.5 * HLL_DET_M),
+        F.lit(float(HLL_DET_M)) * F.log(F.lit(float(HLL_DET_M)) / zeros),
+    ).otherwise(raw)
+
+
+def _hll_det_est_sql() -> str:
+    """The SQL mirror of :func:`_hll_det_est_agg`, as an aggregate
+    expression over grouped register rows (column ``m_r`` in scope) —
+    ONE definition interpolated into every oracle that estimates from
+    deterministic-HLL registers (the `_pagerank_oracle` builder
+    pattern)."""
+    s_total = (
+        f"(SUM(CAST(power(2, 41 - m_r) AS BIGINT))"
+        f" + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})"
+    )
+    return (
+        f"CASE WHEN ({HLL_DET_M} - COUNT(*)) > 0"
+        f" AND {_HLL_NUM!r} / {s_total} <= {2.5 * HLL_DET_M}"
+        f" THEN {float(HLL_DET_M)!r}"
+        f" * ln({float(HLL_DET_M)!r} / ({HLL_DET_M} - COUNT(*)))"
+        f" ELSE {_HLL_NUM!r} / {s_total} END"
     )
 
 
-@register(
-    "events_hll_users",
-    oracle=f"""
-        WITH h AS (
+#: The SQL register-build CTE body shared by the deterministic-HLL
+#: oracles: (event_type, reg, m_r) from events.user_id.
+_HLL_REGS_SQL = f"""
+        h AS (
             SELECT event_type,
                    ('0x' || substring(md5(user_id::VARCHAR), 1, 3))::BIGINT
                        AS reg,
                    ('0x' || substring(md5(user_id::VARCHAR), 4, 10))::BIGINT
-                       AS w,
-                   user_id
+                       AS w
             FROM events
             WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         ),
@@ -142,23 +159,28 @@ def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
                    MAX(CASE WHEN w = 0 THEN 41
                        ELSE 40 - CAST(floor(log2(w)) AS BIGINT) END) AS m_r
             FROM h GROUP BY event_type, reg
-        ),
-        s AS (
+        )
+"""
+
+
+def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
+    """(key, est, zero_regs) from deterministic-HLL registers — one
+    grouped application of :func:`_hll_det_est_agg`."""
+    return regs.groupBy(key).agg(
+        F.round(_hll_det_est_agg(), 4).alias("est"),
+        (F.lit(HLL_DET_M) - F.count("*")).cast("long").alias("zero_regs"),
+    )
+
+
+@register(
+    "events_hll_users",
+    oracle=f"""
+        WITH {_HLL_REGS_SQL},
+        est AS (
             SELECT event_type,
-                   CAST(SUM(CAST(power(2, 41 - m_r) AS BIGINT))
-                        + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE}
-                        AS BIGINT) AS s_total,
+                   round({_hll_det_est_sql()}, 4) AS e,
                    CAST({HLL_DET_M} - COUNT(*) AS BIGINT) AS zero_regs
             FROM r GROUP BY event_type
-        ),
-        est AS (
-            SELECT event_type, zero_regs,
-                   round(CASE WHEN zero_regs > 0
-                              AND {_HLL_NUM!r} / s_total <= {2.5 * HLL_DET_M}
-                         THEN {float(HLL_DET_M)!r}
-                              * ln({float(HLL_DET_M)!r} / zero_regs)
-                         ELSE {_HLL_NUM!r} / s_total END, 4) AS e
-            FROM s
         ),
         e AS (
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
@@ -184,12 +206,13 @@ def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
     tags=("events", "sketch", "approx"),
 )
 def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two aggregates over one narrow (event_type, user_id) scan: the
-    one-shot register build, and a sharded-then-merged build (shard =
-    user_id mod 8; register-max folds across shards — any partitioning
-    yields the same registers, that is the point), plus the exact
-    distinct for the error-audit column. At scale only the sketch
-    paths survive; state is ≤ keys × 4096 tiny rows."""
+    """Three keyed aggregates over the same narrow (event_type,
+    user_id) projection: the one-shot register build, the sharded-
+    then-merged build (shard = user_id mod 8; register-max folds
+    across shards — any partitioning yields the same registers, that
+    is the point), and the exact distinct for the error-audit column.
+    At scale only the sketch aggregates survive (the exact column is
+    the toy-SF audit); sketch state is ≤ keys × 4096 tiny rows."""
     ev = (
         table(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
@@ -198,16 +221,13 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oneshot = hll_det_estimate(
         hll_det_registers(ev, "event_type", "user_id"), "event_type"
     ).select("event_type", F.col("est").alias("est_users"), "zero_regs")
-    sharded = (
-        ev.withColumn("_shard", F.pmod(F.col("user_id"), F.lit(8)))
-        .select(
-            F.concat_ws("|", "event_type", "_shard").alias("_ks"),
-            "event_type",
-            "user_id",
-        )
-    )
-    shard_regs = hll_det_registers(sharded, "_ks", "user_id").join(
-        sharded.select("_ks", "event_type").distinct(), "_ks"
+    # mergeable path: per-(key, shard) registers fold per key with a
+    # register-wise max — composite keys stay as columns (no string
+    # concat, no join-back to recover the key)
+    shard_regs = hll_det_registers(
+        ev.withColumn("_shard", F.pmod(F.col("user_id"), F.lit(8))),
+        ["event_type", "_shard"],
+        "user_id",
     )
     merged_regs = shard_regs.groupBy("event_type", "reg").agg(
         F.max("m_r").alias("m_r")
@@ -460,22 +480,6 @@ def hll_pairwise_overlap(
     ).orderBy("key_a", "key_b")
 
 
-def _hll_det_est_expr() -> "F.Column":
-    """Aggregate expression: the deterministic-HLL estimate from a
-    grouped register set (columns ``m_r`` in scope) — the same
-    exact-integer fold + linear-counting branch as
-    :func:`hll_det_estimate`, usable inside any groupBy."""
-    raw = F.lit(_HLL_NUM) / (
-        F.sum(F.pow(F.lit(2.0), F.lit(41) - F.col("m_r")).cast("long"))
-        + (F.lit(HLL_DET_M) - F.count("*")) * F.lit(_HLL_SCALE)
-    )
-    zeros = F.lit(HLL_DET_M) - F.count("*")
-    return F.when(
-        (zeros > 0) & (raw <= 2.5 * HLL_DET_M),
-        F.lit(float(HLL_DET_M)) * F.log(F.lit(float(HLL_DET_M)) / zeros),
-    ).otherwise(raw)
-
-
 def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
     """Pairwise distinct-value overlap via DETERMINISTIC-HLL
     inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), the
@@ -491,7 +495,7 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
     comparison is a single deterministic double pipeline.
     """
     regs = hll_det_registers(df, key, val)
-    singles = regs.groupBy(key).agg(_hll_det_est_expr().alias("est"))
+    singles = regs.groupBy(key).agg(_hll_det_est_agg().alias("est"))
     keys = regs.select(F.col(key)).distinct()
     pairs = keys.select(F.col(key).alias("key_a")).join(
         keys.select(F.col(key).alias("key_b")),
@@ -508,7 +512,7 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
         .groupBy("key_a", "key_b", "reg")
         .agg(F.max("m_r").alias("m_r"))
         .groupBy("key_a", "key_b")
-        .agg(_hll_det_est_expr().alias("est_u"))
+        .agg(_hll_det_est_agg().alias("est_u"))
     )
     ea = singles.select(F.col(key).alias("key_a"), F.col("est").alias("ea"))
     eb = singles.select(F.col(key).alias("key_b"), F.col("est").alias("eb"))
@@ -535,34 +539,9 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
 @register(
     "events_user_overlap_sketch",
     oracle=f"""
-        WITH h AS (
-            SELECT event_type,
-                   ('0x' || substring(md5(user_id::VARCHAR), 1, 3))::BIGINT
-                       AS reg,
-                   ('0x' || substring(md5(user_id::VARCHAR), 4, 10))::BIGINT
-                       AS w
-            FROM events
-            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-        ),
-        r AS (
-            SELECT event_type, reg,
-                   MAX(CASE WHEN w = 0 THEN 41
-                       ELSE 40 - CAST(floor(log2(w)) AS BIGINT) END) AS m_r
-            FROM h GROUP BY event_type, reg
-        ),
+        WITH {_HLL_REGS_SQL},
         est1 AS (
-            SELECT event_type,
-                   CASE WHEN ({HLL_DET_M} - COUNT(*)) > 0
-                        AND {_HLL_NUM!r} /
-                            (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
-                             + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
-                            <= {2.5 * HLL_DET_M}
-                   THEN {float(HLL_DET_M)!r}
-                        * ln({float(HLL_DET_M)!r} / ({HLL_DET_M} - COUNT(*)))
-                   ELSE {_HLL_NUM!r} /
-                        (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
-                         + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
-                   END AS est
+            SELECT event_type, {_hll_det_est_sql()} AS est
             FROM r GROUP BY event_type
         ),
         pairs AS (
@@ -578,18 +557,7 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
             GROUP BY p.key_a, p.key_b, r.reg
         ),
         estu AS (
-            SELECT key_a, key_b,
-                   CASE WHEN ({HLL_DET_M} - COUNT(*)) > 0
-                        AND {_HLL_NUM!r} /
-                            (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
-                             + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
-                            <= {2.5 * HLL_DET_M}
-                   THEN {float(HLL_DET_M)!r}
-                        * ln({float(HLL_DET_M)!r} / ({HLL_DET_M} - COUNT(*)))
-                   ELSE {_HLL_NUM!r} /
-                        (SUM(CAST(power(2, 41 - m_r) AS BIGINT))
-                         + ({HLL_DET_M} - COUNT(*)) * {_HLL_SCALE})
-                   END AS est_u
+            SELECT key_a, key_b, {_hll_det_est_sql()} AS est_u
             FROM ur GROUP BY key_a, key_b
         )
         SELECT u.key_a, u.key_b,

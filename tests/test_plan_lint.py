@@ -72,6 +72,21 @@ _HASHABLE_TYPES = (
 )
 
 
+_ITERATIVE_ORACLE_BACKED = sorted(
+    n for n in _ITERATIVE if n in REGISTRY and REGISTRY[n].oracle is not None
+)
+
+
+@pytest.mark.parametrize("name", _ITERATIVE_ORACLE_BACKED)
+def test_iterative_oracle_backed_schemas(spark, sf_dir, name):
+    """The _ITERATIVE exclusion above skips the (expensive) plan sweep
+    for driver-loop entries — but the gate-schema rule must still hold
+    for the oracle-backed ones (dedup_clusters and its incremental
+    twin ARE driver-hashed), or a future array/struct output would
+    reproduce the round-4 emb_whiten red row unchecked."""
+    _assert_driver_hashable_schema(name, REGISTRY[name].fn(spark, sf_dir))
+
+
 def _assert_driver_hashable_schema(name: str, df) -> None:
     """No oracle-backed entry may emit a top-level column the driver's
     pandas canonicalizer cannot hash (round-4 emb_whiten failure
