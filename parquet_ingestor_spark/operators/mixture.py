@@ -1311,6 +1311,14 @@ def neyman_allocation(
     exact integer computation (floor division). One
     map-side-combinable aggregate over a single scan; everything
     downstream touches ≤ |strata| rows.
+
+    Output contract (round-5 verdict #1): EVERY emitted column is an
+    engine-exact integer or string — the r5 driver red row traced to a
+    ``round()``-of-double column (``sd_tokens``/``share``) whose
+    canonicalization is environment-sensitive, so the rounded doubles
+    were replaced with their integer quantizations (``sd_milli``,
+    ``share_ppm``). The registry lint in tests/test_registry_window.py
+    enforces this class-wide.
     """
     ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
     s = docs.select(F.col(stratum_col).alias("stratum"), ntok.alias("x")).groupBy(
@@ -1325,13 +1333,12 @@ def neyman_allocation(
             "double"
         )
     ) / F.col("n_docs")
+    sd_milli = F.round(sd * 1000, 0).cast("bigint")
     w = s.select(
         "stratum",
         "n_docs",
-        F.round(sd, 4).alias("sd_tokens"),
-        (F.col("n_docs") * F.round(sd * 1000, 0).cast("bigint")).alias(
-            "w"
-        ),
+        sd_milli.alias("sd_milli"),
+        (F.col("n_docs") * sd_milli).alias("w"),
     )
     tot = w.agg(F.sum("w").alias("w_total"))
     return (
@@ -1339,9 +1346,9 @@ def neyman_allocation(
         .select(
             "stratum",
             "n_docs",
-            "sd_tokens",
+            "sd_milli",
             F.expr(f"({budget} * w) div w_total").alias("n_alloc"),
-            (F.col("w").cast("double") / F.col("w_total")).alias("share"),
+            F.expr("(1000000 * w) div w_total").alias("share_ppm"),
         )
         .orderBy("stratum")
     )
@@ -1362,24 +1369,23 @@ def neyman_allocation(
         ),
         w AS (
             SELECT stratum, n_docs,
-                   round(sqrt(CAST(n_docs * ss - sm * sm AS DOUBLE))
-                         / n_docs, 4) AS sd_tokens,
-                   n_docs * CAST(round(sqrt(CAST(n_docs * ss - sm * sm
+                   CAST(round(sqrt(CAST(n_docs * ss - sm * sm
                                  AS DOUBLE)) / n_docs * 1000)
-                                 AS BIGINT) AS w
+                                 AS BIGINT) AS sd_milli
             FROM s
         ),
-        t AS (SELECT SUM(w) AS w_total FROM w)
-        SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, sd_tokens,
-               ({NEYMAN_BUDGET} * w) // w_total AS n_alloc,
-               CAST(w AS DOUBLE) / w_total AS share
+        t AS (SELECT SUM(n_docs * sd_milli) AS w_total FROM w)
+        SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, sd_milli,
+               ({NEYMAN_BUDGET} * (n_docs * sd_milli)) // w_total AS n_alloc,
+               (1000000 * (n_docs * sd_milli)) // w_total AS share_ppm
         FROM w CROSS JOIN t
         ORDER BY stratum
     """,
     doc="Neyman (variance-optimal) stratified sample allocation over "
     "sources: n_h ∝ N_h·σ_h on doc token counts — exact integer "
     "moments, IEEE-deterministic sqrt, integer milli-unit weights so "
-    "the allocation arithmetic is engine-exact.",
+    "the allocation arithmetic is engine-exact; all output columns "
+    "are integers/strings (no rounded doubles — r5 verdict #1).",
     tags=("corpus", "sampling", "statistics"),
 )
 def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:

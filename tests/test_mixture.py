@@ -445,7 +445,14 @@ def test_neyman_allocation_favors_variance(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id string, source string, text string")
     got = {r.stratum: r for r in neyman_allocation(docs).collect()}
-    assert got["flat"].n_alloc == 0 and got["flat"].sd_tokens == 0.0
+    assert got["flat"].n_alloc == 0 and got["flat"].sd_milli == 0
     assert got["wild"].n_alloc > got["mild"].n_alloc
     assert sum(r.n_alloc for r in got.values()) <= NEYMAN_BUDGET
-    assert abs(sum(r.share for r in got.values()) - 1.0) < 1e-9
+    # share_ppm is a floor-division quantization: sums to 1e6 minus the
+    # sub-ppm remainders (< one ppm per stratum).
+    ppm = sum(r.share_ppm for r in got.values())
+    assert 1_000_000 - len(got) < ppm <= 1_000_000
+    # every column in the registered output is integer/string (the r5
+    # round()-of-double failure class is structurally gone)
+    for f in neyman_allocation(docs).schema.fields:
+        assert f.dataType.typeName() in ("string", "long"), f
