@@ -23,13 +23,21 @@ def ts_lit(df: DataFrame, col: str, value: str) -> Column:
     return F.lit(value).cast(dtype)
 
 
-def round2(col: str | Column) -> Column:
-    """Round a double aggregate to 2 decimals.
+def int_e(col: str | Column, d: int) -> Column:
+    """Engine-exact integer quantization: value × 10^d, rounded
+    half-away-from-zero, emitted as BIGINT.
 
-    Float sums are order-sensitive; both engines (Spark, the DuckDB
-    oracle) compute the same mathematical value but may differ in the
-    last ulps. Rounding well above the noise floor makes the
-    differential hash stable.
+    Float aggregates are order-sensitive; both engines (Spark, the
+    DuckDB oracle) compute the same mathematical value but may differ
+    in the last ulps. Quantizing well above the noise floor makes the
+    differential hash stable — and emitting the quantization as an
+    INTEGER (not a ``round(x, d)`` double) removes the second failure
+    class the round-5 driver red row exposed: a rounded double's
+    canonicalization is environment-sensitive (driver-side pandas /
+    DuckDB ``round`` versions), an integer's is not. Registry lint:
+    tests/test_registry_window.py forbids non-integer ``round()`` in
+    every oracle. Oracle-side twin: ``CAST(round((expr) * 10^d) AS
+    BIGINT) AS name_e{d}``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c, 2)
+    return F.round(c * (10**d), 0).cast("bigint")

@@ -93,14 +93,17 @@ def fold_partials(state: DataFrame | None, fresh: DataFrame) -> DataFrame:
 
 
 def finalize_pricing(state: DataFrame) -> DataFrame:
-    """Render the view from exact-integer state. The only float ops
-    are final divisions of identical integers — engine-identical."""
+    """Render the view from exact-integer state. Every output column
+    stays an exact integer (cents / tenthousandths / ppm units) — no
+    float division or rounded double leaves the operator, so the view
+    hash is engine- and environment-exact (the r5 round()-of-double
+    rule, tests/test_registry_window.py)."""
     return state.select(
         *GROUP,
-        (F.col("qty_c") / 100.0).alias("sum_qty"),
-        (F.col("base_c") / 100.0).alias("sum_base_price"),
-        F.round(F.col("disc_price_tt") / 10000.0, 2).alias("sum_disc_price"),
-        F.round(F.col("disc_c") / 100.0 / F.col("cnt"), 4).alias("avg_disc"),
+        F.col("qty_c").alias("sum_qty_c"),
+        F.col("base_c").alias("sum_base_price_c"),
+        F.col("disc_price_tt").alias("sum_disc_price_tt"),
+        F.expr("(10000 * disc_c) div cnt").alias("avg_disc_e6"),
         F.col("cnt").cast("bigint").alias("count_order"),
     ).orderBy(*GROUP)
 
@@ -112,16 +115,13 @@ N_VIEW_BATCHES = 3
     "pricing_summary_incremental",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0
-                   AS sum_qty,
-               SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
-                   AS sum_base_price,
-               round(SUM(CAST(round(l_extendedprice * (1 - l_discount)
-                       * 10000, 0) AS BIGINT)) / 10000.0, 2)
-                   AS sum_disc_price,
-               round(SUM(CAST(round(l_discount * 100, 0) AS BIGINT))
-                       / 100.0 / COUNT(*), 4)
-                   AS avg_disc,
+               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS sum_base_price_c,
+               SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                       * 10000) AS BIGINT)) AS sum_disc_price_tt,
+               (10000 * SUM(CAST(round(l_discount * 100) AS BIGINT)))
+                       // COUNT(*) AS avg_disc_e6,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
-from ..functions import round2
+from ..functions import int_e
 from . import register
 
 
@@ -22,12 +22,18 @@ from . import register
     "q35_stats_aggs",
     oracle="""
         SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 2) AS price_stddev,
-               round(var_samp(l_discount), 6) AS disc_var,
-               round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-               round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
-               round(MIN(l_extendedprice), 2) AS min_price,
-               round(MAX(l_extendedprice), 2) AS max_price
+               CAST(round(stddev_samp(l_extendedprice) * 100) AS BIGINT)
+                   AS price_stddev_e2,
+               CAST(round(var_samp(l_discount) * 1000000) AS BIGINT)
+                   AS disc_var_e6,
+               CAST(round(covar_samp(l_quantity, l_extendedprice) * 100)
+                   AS BIGINT) AS qty_price_covar_e2,
+               CAST(round(corr(l_quantity, l_extendedprice) * 10000)
+                   AS BIGINT) AS qty_price_corr_e4,
+               CAST(round(MIN(l_extendedprice) * 100) AS BIGINT)
+                   AS min_price_e2,
+               CAST(round(MAX(l_extendedprice) * 100) AS BIGINT)
+                   AS max_price_e2
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -40,16 +46,16 @@ def q35_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            round2(F.stddev_samp("l_extendedprice")).alias("price_stddev"),
-            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-            round2(F.covar_samp("l_quantity", "l_extendedprice")).alias(
-                "qty_price_covar"
+            int_e(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev_e2"),
+            int_e(F.var_samp("l_discount"), 6).alias("disc_var_e6"),
+            int_e(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "qty_price_covar_e2"
             ),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-                "qty_price_corr"
+            int_e(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_corr_e4"
             ),
-            round2(F.min("l_extendedprice")).alias("min_price"),
-            round2(F.max("l_extendedprice")).alias("max_price"),
+            int_e(F.min("l_extendedprice"), 2).alias("min_price_e2"),
+            int_e(F.max("l_extendedprice"), 2).alias("max_price_e2"),
         )
         .orderBy("l_returnflag")
     )
@@ -59,9 +65,12 @@ def q35_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q36_percentiles",
     oracle="""
         SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+               CAST(round(quantile_cont(o_totalprice, 0.5) * 100) AS BIGINT)
+                   AS p50_e2,
+               CAST(round(quantile_cont(o_totalprice, 0.9) * 100) AS BIGINT)
+                   AS p90_e2,
+               CAST(round(quantile_cont(o_totalprice, 0.99) * 100) AS BIGINT)
+                   AS p99_e2
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
@@ -76,9 +85,9 @@ def q36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            round2(F.percentile("o_totalprice", 0.5)).alias("p50"),
-            round2(F.percentile("o_totalprice", 0.9)).alias("p90"),
-            round2(F.percentile("o_totalprice", 0.99)).alias("p99"),
+            int_e(F.percentile("o_totalprice", 0.5), 2).alias("p50_e2"),
+            int_e(F.percentile("o_totalprice", 0.9), 2).alias("p90_e2"),
+            int_e(F.percentile("o_totalprice", 0.99), 2).alias("p99_e2"),
         )
         .orderBy("o_orderpriority")
     )
@@ -97,12 +106,12 @@ def q37_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            round2(
-                F.approx_percentile("o_totalprice", 0.5, 10000)
-            ).alias("p50"),
-            round2(
-                F.approx_percentile("o_totalprice", 0.9, 10000)
-            ).alias("p90"),
+            int_e(
+                F.approx_percentile("o_totalprice", 0.5, 10000), 2
+            ).alias("p50_e2"),
+            int_e(
+                F.approx_percentile("o_totalprice", 0.9, 10000), 2
+            ).alias("p90_e2"),
         )
         .orderBy("o_orderpriority")
     )
@@ -115,8 +124,9 @@ def q37_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) FILTER (WHERE value > 250) AS BIGINT) AS hi_cnt,
                bool_or(value > 480) AS has_extreme,
                bool_and(value > 0) AS all_positive,
-               round(SUM(CASE WHEN user_id % 2 = 0 THEN value ELSE 0 END), 2)
-                   AS even_user_value
+               CAST(round(SUM(CASE WHEN user_id % 2 = 0 THEN value
+                                    ELSE 0 END) * 100) AS BIGINT)
+                   AS even_user_value_e2
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -133,13 +143,14 @@ def q48_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("value") > 250).alias("hi_cnt"),
             F.bool_or(F.col("value") > 480).alias("has_extreme"),
             F.bool_and(F.col("value") > 0).alias("all_positive"),
-            round2(
+            int_e(
                 F.sum(
                     F.when(F.col("user_id") % 2 == 0, F.col("value")).otherwise(
                         0.0
                     )
-                )
-            ).alias("even_user_value"),
+                ),
+                2,
+            ).alias("even_user_value_e2"),
         )
         .orderBy("event_type")
     )
@@ -150,7 +161,7 @@ def q48_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderpriority, o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(SUM(o_totalprice), 2) AS total
+               CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_e2
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
@@ -165,7 +176,7 @@ def q38_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority, o_orderstatus,
                COUNT(*) AS cnt,
-               round(SUM(o_totalprice), 2) AS total
+               CAST(round(SUM(o_totalprice) * 100) AS BIGINT) AS total_e2
         FROM _orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST

@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
-from ..functions import round2, ts_lit
+from ..functions import int_e, ts_lit
 from . import register
 
 
@@ -58,7 +58,8 @@ def q09_join_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_revenue_per_nation",
     oracle="""
         SELECT n.n_name,
-               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT) AS revenue_e2,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM region r
         JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -71,7 +72,7 @@ def q09_join_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
-        ORDER BY revenue DESC, n_name
+        ORDER BY revenue_e2 DESC, n_name
     """,
     doc="TPC-H Q5 local-supplier-volume 6-way multi-join: region filter, "
     "date range, supplier nation = customer nation.",
@@ -120,12 +121,12 @@ def q10_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            int_e(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue_e2"),
             F.count("*").alias("cnt"),
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        .orderBy(F.desc("revenue_e2"), "n_name")
     )
 
 
@@ -217,7 +218,7 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_broadcast_join",
     oracle="""
         SELECT s.s_name,
-               round(SUM(l.l_extendedprice), 2) AS gross,
+               CAST(round(SUM(l.l_extendedprice) * 100) AS BIGINT) AS gross_e2,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -257,7 +258,7 @@ def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(
-            round2(F.sum("l_extendedprice")).alias("gross"),
+            int_e(F.sum("l_extendedprice"), 2).alias("gross_e2"),
             F.count("*").alias("cnt"),
         )
         .orderBy("s_name")
@@ -268,10 +269,12 @@ def q14_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               round(SUM(l_quantity), 2) AS sum_qty,
-               round(SUM(l_extendedprice), 2) AS sum_base_price,
-               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(AVG(l_discount), 4) AS avg_disc,
+               CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+               CAST(round(SUM(l_extendedprice) * 100) AS BIGINT)
+                   AS sum_base_price_e2,
+               CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                   AS BIGINT) AS sum_disc_price_e2,
+               CAST(round(AVG(l_discount) * 10000) AS BIGINT) AS avg_disc_e4,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -289,12 +292,12 @@ def q15_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round2(F.sum("l_quantity")).alias("sum_qty"),
-            round2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            round2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            int_e(F.sum("l_quantity"), 2).alias("sum_qty_e2"),
+            int_e(F.sum("l_extendedprice"), 2).alias("sum_base_price_e2"),
+            int_e(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price_e2"),
+            int_e(F.avg("l_discount"), 4).alias("avg_disc_e4"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -383,11 +386,11 @@ def q18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_running_sum",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               round(SUM(o_totalprice) OVER (
+               CAST(round(SUM(o_totalprice) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS running_total
+               ) * 100) AS BIGINT) AS running_total_e2
         FROM orders
         ORDER BY o_custkey, o_orderkey
     """,
@@ -405,7 +408,7 @@ def q19_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            round2(F.sum("o_totalprice").over(w)).alias("running_total"),
+            int_e(F.sum("o_totalprice").over(w), 2).alias("running_total_e2"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -415,10 +418,10 @@ def q19_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_lag_delta",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               round(o_totalprice - lag(o_totalprice) OVER (
+               CAST(round((o_totalprice - lag(o_totalprice) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-               ), 2) AS delta
+               )) * 100) AS BIGINT) AS delta_e2
         FROM orders
         ORDER BY o_custkey, o_orderkey
     """,
@@ -432,9 +435,9 @@ def q20_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            round2(
-                F.col("o_totalprice") - F.lag("o_totalprice").over(w)
-            ).alias("delta"),
+            int_e(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+            ).alias("delta_e2"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -511,7 +514,7 @@ def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:
                upper(n.n_name) AS nation_upper,
                substr(n.n_name, 1, 3) AS nation_pre,
                CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
-               round(o.o_totalprice, 0) AS price_rounded
+               CAST(round(o.o_totalprice) AS BIGINT) AS price_rounded
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n   ON n.n_nationkey = c.c_nationkey
@@ -532,7 +535,7 @@ def q23_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper("n_name").alias("nation_upper"),
             F.substring("n_name", 1, 3).alias("nation_pre"),
             F.year("o_orderdate").alias("order_year"),
-            F.round("o_totalprice", 0).alias("price_rounded"),
+            int_e("o_totalprice", 0).alias("price_rounded"),
         )
         .orderBy("o_orderkey")
     )

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
-from ..functions import round2, ts_lit
+from ..functions import int_e, ts_lit
 from . import register
 
 
@@ -130,7 +130,7 @@ def q29_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(AVG(value), 2) AS avg_value
+               CAST(round(AVG(value) * 100) AS BIGINT) AS avg_value_e2
         FROM events
         GROUP BY 1
         ORDER BY 1
@@ -148,7 +148,7 @@ def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            int_e(F.avg("value"), 2).alias("avg_value_e2"),
         )
         .orderBy("k")
     )
@@ -201,7 +201,8 @@ def q31_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(round(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                    AS BIGINT) AS revenue_e2,
                strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -210,7 +211,7 @@ def q31_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
           AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
         GROUP BY l.l_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, l_orderkey
+        ORDER BY revenue_e2 DESC, l_orderkey
         LIMIT 10
     """,
     doc="TPC-H Q3 shape: selective join + aggregate + global top-k.",
@@ -233,16 +234,16 @@ def q32_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            round2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            ).alias("revenue")
+            int_e(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue_e2")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            "revenue_e2",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("revenue_e2"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -251,7 +252,7 @@ def q32_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q33_cube",
     oracle="""
         SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(SUM(l_quantity), 2) AS sum_qty
+               CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty_e2
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -265,7 +266,7 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
-            round2(F.sum("l_quantity")).alias("sum_qty"),
+            int_e(F.sum("l_quantity"), 2).alias("sum_qty_e2"),
         )
         .orderBy(
             F.asc_nulls_first("l_returnflag"),

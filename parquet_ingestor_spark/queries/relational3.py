@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from . import register
 
 
@@ -17,14 +18,15 @@ from . import register
     oracle="""
         SELECT o_orderkey,
                CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-               round(percent_rank() OVER w, 4) AS pct_rank,
-               round(cume_dist() OVER w, 4) AS cume,
-               round(first_value(o_totalprice) OVER
-                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-                   AS smallest,
-               round(last_value(o_totalprice) OVER
-                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
-                   AS largest
+               CAST(round(percent_rank() OVER w * 10000) AS BIGINT)
+                   AS pct_rank_e4,
+               CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cume_e4,
+               CAST(round(first_value(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100)
+                   AS BIGINT) AS smallest_e2,
+               CAST(round(last_value(o_totalprice) OVER
+                   (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   * 100) AS BIGINT) AS largest_e2
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice, o_orderkey)
@@ -43,10 +45,10 @@ def q40_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 4).alias("cume"),
-            F.round(F.first("o_totalprice").over(w_run), 2).alias("smallest"),
-            F.round(F.last("o_totalprice").over(w_all), 2).alias("largest"),
+            int_e(F.percent_rank().over(w), 4).alias("pct_rank_e4"),
+            int_e(F.cume_dist().over(w), 4).alias("cume_e4"),
+            int_e(F.first("o_totalprice").over(w_run), 2).alias("smallest_e2"),
+            int_e(F.last("o_totalprice").over(w_all), 2).alias("largest_e2"),
         )
         .orderBy("o_orderkey")
     )
@@ -56,8 +58,9 @@ def q40_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41_scalar_subquery",
     oracle="""
         SELECT o_orderkey,
-               round(o_totalprice - (SELECT AVG(o_totalprice) FROM orders), 2)
-                   AS diff_from_mean
+               CAST(round((o_totalprice -
+                   (SELECT AVG(o_totalprice) FROM orders)) * 100) AS BIGINT)
+                   AS diff_from_mean_e2
         FROM orders
         ORDER BY o_orderkey
     """,
@@ -70,8 +73,9 @@ def q41_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               round(o_totalprice - (SELECT AVG(o_totalprice) FROM _orders_q41), 2)
-                   AS diff_from_mean
+               CAST(round((o_totalprice -
+                   (SELECT AVG(o_totalprice) FROM _orders_q41)) * 100)
+                   AS BIGINT) AS diff_from_mean_e2
         FROM _orders_q41
         ORDER BY o_orderkey
         """
@@ -145,7 +149,8 @@ def q43_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q45_unpivot",
     oracle="""
-        SELECT l_orderkey, l_linenumber, metric, round(value, 2) AS value
+        SELECT l_orderkey, l_linenumber, metric,
+               CAST(round(value * 100) AS BIGINT) AS value_e2
         FROM (
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice AS price,
@@ -179,7 +184,7 @@ def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "l_linenumber",
             "metric",
-            F.round("value", 2).alias("value"),
+            int_e("value", 2).alias("value_e2"),
         )
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
@@ -230,9 +235,11 @@ def q46_regex_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer c
         )
         SELECT c_custkey,
-               round(coalesce(bal, 0.0), 2) AS bal_or_zero,
+               CAST(round(coalesce(bal, 0.0) * 100) AS BIGINT)
+                   AS bal_or_zero_e2,
                bal IS NULL AS was_null,
-               round(nullif(coalesce(bal, 0.0), 0.0), 2) AS zero_to_null,
+               CAST(round(nullif(coalesce(bal, 0.0), 0.0) * 100) AS BIGINT)
+                   AS zero_to_null_e2,
                (bal IS NOT DISTINCT FROM NULL) AS nullsafe_is_null
         FROM j
         ORDER BY c_custkey
@@ -250,11 +257,11 @@ def q47_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bal", bal)
         .select(
             "c_custkey",
-            F.round(F.coalesce("bal", F.lit(0.0)), 2).alias("bal_or_zero"),
+            int_e(F.coalesce("bal", F.lit(0.0)), 2).alias("bal_or_zero_e2"),
             F.isnull("bal").alias("was_null"),
-            F.round(F.nullif(F.coalesce("bal", F.lit(0.0)), F.lit(0.0)), 2).alias(
-                "zero_to_null"
-            ),
+            int_e(
+                F.nullif(F.coalesce("bal", F.lit(0.0)), F.lit(0.0)), 2
+            ).alias("zero_to_null_e2"),
             F.col("bal").eqNullSafe(F.lit(None)).alias("nullsafe_is_null"),
         )
         .orderBy("c_custkey")
@@ -451,10 +458,10 @@ def q51_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY o_orderpriority ORDER BY o_totalprice
                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_within_1k,
-               round(SUM(o_totalprice) OVER (
+               CAST(round(SUM(o_totalprice) OVER (
                    PARTITION BY o_orderpriority ORDER BY o_totalprice
                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
-               ), 2) AS sum_within_1k
+               ) * 100) AS BIGINT) AS sum_within_1k_e2
         FROM orders
         ORDER BY o_orderkey
     """,
@@ -475,10 +482,10 @@ def q52_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY o_orderpriority ORDER BY o_totalprice
                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS n_within_1k,
-               round(SUM(o_totalprice) OVER (
+               CAST(round(SUM(o_totalprice) OVER (
                    PARTITION BY o_orderpriority ORDER BY o_totalprice
                    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
-               ), 2) AS sum_within_1k
+               ) * 100) AS BIGINT) AS sum_within_1k_e2
         FROM _o_q52
         ORDER BY o_orderkey
         """

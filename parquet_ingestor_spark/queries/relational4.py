@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from . import register
 
 def _revenue():
@@ -44,7 +45,8 @@ def _revenue():
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                   AS BIGINT) AS revenue_e2
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -92,7 +94,7 @@ def q55_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(int_e(F.sum(_revenue()), 2).alias("revenue_e2"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -101,11 +103,11 @@ def q55_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_market_share",
     oracle="""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(SUM(CASE WHEN n_s.n_name = 'NATION_3'
+               CAST(round(SUM(CASE WHEN n_s.n_name = 'NATION_3'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0 END)
-                     / SUM(l_extendedprice * (1 - l_discount)), 4)
-                   AS mkt_share
+                     / SUM(l_extendedprice * (1 - l_discount)) * 10000)
+                   AS BIGINT) AS mkt_share_e4
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -158,9 +160,9 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eu, cust.c_nationkey == F.col("nc_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
+            int_e(
                 F.sum(in_nation * _revenue()) / F.sum(_revenue()), 4
-            ).alias("mkt_share")
+            ).alias("mkt_share_e4")
         )
         .orderBy("o_year")
     )
@@ -171,9 +173,9 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_name AS nation,
                CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               round(SUM(l_extendedprice * (1 - l_discount)
-                         - 0.1 * p_retailprice * l_quantity), 2)
-                   AS sum_profit
+               CAST(round(SUM(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity) * 100)
+                   AS BIGINT) AS sum_profit_e2
         FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -217,7 +219,7 @@ def q57_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(int_e(F.sum(profit), 2).alias("sum_profit_e2"))
         .orderBy(F.col("nation"), F.col("l_year").desc())
     )
 
@@ -275,7 +277,8 @@ def q58_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q59_disjunctive_bands",
     oracle="""
-        SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                    AS BIGINT) AS revenue_e2
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
@@ -321,7 +324,7 @@ def q59_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .where(band)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(int_e(F.sum(_revenue()), 2).alias("revenue_e2"))
     )
 
 
@@ -398,7 +401,7 @@ def q60_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_name, c_custkey, o_orderkey,
                CAST(o_orderdate AS DATE) AS o_date,
                o_totalprice,
-               round(SUM(l_quantity), 2) AS total_qty
+               CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS total_qty_e2
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON o_orderkey = l_orderkey
@@ -429,7 +432,7 @@ def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_name, c_custkey, o_orderkey,
                CAST(o_orderdate AS DATE) AS o_date,
                o_totalprice,
-               round(SUM(l_quantity), 2) AS total_qty
+               CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS total_qty_e2
         FROM _customer_q61
         JOIN _orders_q61 ON c_custkey = o_custkey
         JOIN _lineitem_q61 ON o_orderkey = l_orderkey
@@ -450,7 +453,7 @@ def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS numcust,
-               round(SUM(c_acctbal), 2) AS totacctbal
+               CAST(round(SUM(c_acctbal) * 100) AS BIGINT) AS totacctbal_e2
         FROM customer
         WHERE c_acctbal > (
                 SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -481,7 +484,7 @@ def q62_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c_mktsegment,
                COUNT(*) AS numcust,
-               round(SUM(c_acctbal), 2) AS totacctbal
+               CAST(round(SUM(c_acctbal) * 100) AS BIGINT) AS totacctbal_e2
         FROM _customer_q62
         WHERE c_acctbal > (
                 SELECT AVG(c_acctbal) FROM _customer_q62 WHERE c_acctbal > 0

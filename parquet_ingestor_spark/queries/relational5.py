@@ -26,13 +26,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from . import register
 
 
 @register(
     "q63_small_qty_revenue",
     oracle="""
-        SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT CAST(round(SUM(l_extendedprice) / 7.0 * 100) AS BIGINT)
+                   AS avg_yearly_e2
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
@@ -75,7 +77,7 @@ def q63_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(per_part, li.l_partkey == F.col("avg_key"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(int_e(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly_e2"))
     )
 
 
@@ -84,16 +86,16 @@ def q63_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   round(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_revenue
+                   CAST(round(SUM(l_extendedprice * (1 - l_discount)) * 100)
+                       AS BIGINT) AS total_revenue_e2
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate <  TIMESTAMP '1995-04-01'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_revenue
+        SELECT s_suppkey, s_name, total_revenue_e2
         FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        WHERE total_revenue_e2 = (SELECT MAX(total_revenue_e2) FROM revenue)
         ORDER BY s_suppkey
     """,
     doc="TPC-H Q15 shape: the supplier(s) with maximum quarterly "
@@ -111,17 +113,17 @@ def q64_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-04-01")
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        int_e(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue_e2")
     )
     top = revenue.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("max_rev"))
+        "max_rev", F.max("total_revenue_e2").over(Window.partitionBy())
+    ).where(F.col("total_revenue_e2") == F.col("max_rev"))
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         sup.join(top, sup.s_suppkey == top.supplier_no)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_e2")
         .orderBy("s_suppkey")
     )
 
@@ -130,13 +132,14 @@ def q64_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q65_important_parts",
     oracle="""
         SELECT l_partkey AS ps_partkey,
-               round(SUM(l_extendedprice), 2) AS part_value
+               CAST(round(SUM(l_extendedprice) * 100) AS BIGINT)
+                   AS part_value_e2
         FROM lineitem
         GROUP BY l_partkey
         HAVING SUM(l_extendedprice) > (
             SELECT 0.002 * SUM(l_extendedprice) FROM lineitem
         )
-        ORDER BY part_value DESC, ps_partkey
+        ORDER BY part_value_e2 DESC, ps_partkey
     """,
     doc="TPC-H Q11 shape: parts whose traded value exceeds a fraction "
     "of the global total — HAVING against a one-row global scalar.",
@@ -157,9 +160,9 @@ def q65_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("raw_value") > F.col("cut"))
         .select(
-            "ps_partkey", F.round(F.col("raw_value"), 2).alias("part_value")
+            "ps_partkey", int_e(F.col("raw_value"), 2).alias("part_value_e2")
         )
-        .orderBy(F.col("part_value").desc(), F.col("ps_partkey"))
+        .orderBy(F.col("part_value_e2").desc(), F.col("ps_partkey"))
     )
 
 

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from . import register
 
 
@@ -193,14 +194,13 @@ def q71_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q72_promo_revenue",
     oracle="""
-        SELECT round(
-                 100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN CAST(round(l_extendedprice
-                                        * (1 - l_discount) * 100) AS BIGINT)
-                                  ELSE 0 END)
-                 / SUM(CAST(round(l_extendedprice
-                                  * (1 - l_discount) * 100) AS BIGINT)), 4
-               ) AS promo_pct
+        SELECT (1000000 * SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN CAST(round(l_extendedprice
+                                         * (1 - l_discount) * 100) AS BIGINT)
+                                   ELSE 0 END))
+                 // SUM(CAST(round(l_extendedprice
+                                  * (1 - l_discount) * 100) AS BIGINT))
+               AS promo_share_ppm
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -216,9 +216,9 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE decides from observed post-filter sizes. Both the PROMO and
     total sums come from the same join output in a single partial+
     final aggregate; the CASE split costs nothing extra. Both sums
-    accumulate integer CENTS (q71 rule) so the ratio — and its
-    4-decimal rounding — is a pure function of exact integers, not of
-    float merge order."""
+    accumulate integer CENTS (q71 rule) and the share is an integer
+    ppm floor-division — a pure function of exact integers, not of
+    float merge order or any round()-of-double (r5 rule)."""
     li = (
         table(spark, sf_dir, "lineitem")
         .where(
@@ -234,16 +234,17 @@ def q72_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", cents).otherwise(
-                        F.lit(0).cast("bigint")
-                    )
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", cents).otherwise(
+                    F.lit(0).cast("bigint")
                 )
-                / F.sum(cents),
-                4,
-            ).alias("promo_pct")
+            ).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            F.expr("(1000000 * promo_cents) div total_cents").alias(
+                "promo_share_ppm"
+            )
         )
     )
 
@@ -460,7 +461,8 @@ def q75_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT h.event_type,
                strftime(h.h, '%Y-%m-%d %H:00') AS hour,
                CAST(cnt AS BIGINT) AS n_events,
-               round((cnt - mu) / sqrt(var), 4) AS zscore
+               CAST(round((cnt - mu) / sqrt(var) * 10000) AS BIGINT)
+                   AS zscore_e4
         FROM hourly h JOIN stats USING (event_type)
         WHERE abs(cnt - mu) > 3 * sqrt(var)
         ORDER BY h.event_type, hour
@@ -509,9 +511,9 @@ def q76_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
             F.col("cnt").cast("long").alias("n_events"),
-            F.round((F.col("cnt") - F.col("mu")) / F.sqrt(F.col("var")), 4).alias(
-                "zscore"
-            ),
+            int_e(
+                (F.col("cnt") - F.col("mu")) / F.sqrt(F.col("var")), 4
+            ).alias("zscore_e4"),
         )
         .orderBy("event_type", "hour")
     )
@@ -576,8 +578,10 @@ def q77_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority,
                CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(MIN(lag_days) AS BIGINT) AS min_lag,
-               round(quantile_cont(lag_days, 0.5), 2) AS p50_lag,
-               round(quantile_cont(lag_days, 0.9), 2) AS p90_lag,
+               CAST(round(quantile_cont(lag_days, 0.5) * 100) AS BIGINT)
+                   AS p50_lag_e2,
+               CAST(round(quantile_cont(lag_days, 0.9) * 100) AS BIGINT)
+                   AS p90_lag_e2,
                CAST(MAX(lag_days) AS BIGINT) AS max_lag
         FROM lags
         GROUP BY o_orderpriority
@@ -606,8 +610,8 @@ def q78_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             F.min("lag_days").cast("long").alias("min_lag"),
-            F.round(F.expr("percentile(lag_days, 0.5)"), 2).alias("p50_lag"),
-            F.round(F.expr("percentile(lag_days, 0.9)"), 2).alias("p90_lag"),
+            int_e(F.expr("percentile(lag_days, 0.5)"), 2).alias("p50_lag_e2"),
+            int_e(F.expr("percentile(lag_days, 0.9)"), 2).alias("p90_lag_e2"),
             F.max("lag_days").cast("long").alias("max_lag"),
         )
         .orderBy("o_orderpriority")
@@ -627,8 +631,10 @@ def q78_shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT event_type,
                CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
-               round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
-               round(quantile_cont(gap_s, 0.9), 2) AS p90_gap_s
+               CAST(round(quantile_cont(gap_s, 0.5) * 100) AS BIGINT)
+                   AS p50_gap_s_e2,
+               CAST(round(quantile_cont(gap_s, 0.9) * 100) AS BIGINT)
+                   AS p90_gap_s_e2
         FROM gaps
         WHERE gap_s IS NOT NULL
         GROUP BY event_type
@@ -663,8 +669,8 @@ def q79_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps.groupBy("event_type")
         .agg(
             F.count("gap_s").alias("n_gaps"),
-            F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
-            F.round(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+            int_e(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s_e2"),
+            int_e(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s_e2"),
         )
         .orderBy("event_type")
     )
@@ -685,7 +691,7 @@ def q79_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE nxt IS NOT NULL GROUP BY cur, nxt
         )
         SELECT cur, nxt, CAST(c AS BIGINT) AS n_transitions,
-               round(c * 1.0 / SUM(c) OVER (PARTITION BY cur), 4) AS p
+               (10000 * c) // SUM(c) OVER (PARTITION BY cur) AS p_e4
         FROM cnt
         ORDER BY cur, nxt
     """,
@@ -714,14 +720,16 @@ def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_transitions"))
     )
     wrow = Window.partitionBy("cur")
-    return cnt.select(
-        "cur",
-        "nxt",
-        "n_transitions",
-        F.round(
-            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(wrow), 4
-        ).alias("p"),
-    ).orderBy("cur", "nxt")
+    return (
+        cnt.withColumn("_tot", F.sum("n_transitions").over(wrow))
+        .select(
+            "cur",
+            "nxt",
+            "n_transitions",
+            F.expr("(10000 * n_transitions) div _tot").alias("p_e4"),
+        )
+        .orderBy("cur", "nxt")
+    )
 
 
 @register(
@@ -939,10 +947,10 @@ def q83_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders GROUP BY 1
         )
         SELECT month, revenue_cents,
-               round((revenue_cents - lag(revenue_cents)
+               CAST(round((revenue_cents - lag(revenue_cents)
                           OVER (ORDER BY month))
-                     * 1.0 / lag(revenue_cents) OVER (ORDER BY month), 4)
-                   AS mom_growth
+                     * 1.0 / lag(revenue_cents) OVER (ORDER BY month)
+                     * 10000) AS BIGINT) AS mom_growth_e4
         FROM monthly
         ORDER BY month
     """,
@@ -976,8 +984,8 @@ def q84_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month",
         "revenue_cents",
-        F.round((F.col("revenue_cents") - prev) * 1.0 / prev, 4).alias(
-            "mom_growth"
+        int_e((F.col("revenue_cents") - prev) * 1.0 / prev, 4).alias(
+            "mom_growth_e4"
         ),
     ).orderBy("month")
 
@@ -996,11 +1004,11 @@ def q84_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_name,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-               round(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+               CAST(round(CAST(SUM(CAST(cents AS DECIMAL(38,0))
                               * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
                      / (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
-                        * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)),
-                     6) AS hhi
+                        * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+                     * 1000000) AS BIGINT) AS hhi_e6
         FROM per_supp
         GROUP BY n_name
         ORDER BY n_name
@@ -1043,8 +1051,8 @@ def q85_revenue_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "n_suppliers",
-            F.round(F.col("sq") / (F.col("tot") * F.col("tot")), 6).alias(
-                "hhi"
+            int_e(F.col("sq") / (F.col("tot") * F.col("tot")), 6).alias(
+                "hhi_e6"
             ),
         )
         .orderBy("n_name")
@@ -1402,9 +1410,9 @@ def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lags GROUP BY 1
         )
         SELECT l.o_orderpriority,
-               round(m.med, 2) AS median_lag,
-               round(quantile_cont(abs(l.lag_days - m.med), 0.5), 2)
-                   AS mad_lag
+               CAST(round(m.med * 100) AS BIGINT) AS median_lag_e2,
+               CAST(round(quantile_cont(abs(l.lag_days - m.med), 0.5) * 100)
+                   AS BIGINT) AS mad_lag_e2
         FROM lags l JOIN med m USING (o_orderpriority)
         GROUP BY l.o_orderpriority, m.med
         ORDER BY l.o_orderpriority
@@ -1445,8 +1453,8 @@ def q89_shipping_lag_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.round("med", 2).alias("median_lag"),
-            F.round("mad_raw", 2).alias("mad_lag"),
+            int_e("med", 2).alias("median_lag_e2"),
+            int_e("mad_raw", 2).alias("mad_lag_e2"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1892,12 +1900,12 @@ def q93_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderstatus, o_orderpriority, obs, row_total,
                col_total, grand_total,
-               round(CAST(obs * grand_total - row_total * col_total
+               CAST(round(CAST(obs * grand_total - row_total * col_total
                           AS DOUBLE)
                      * CAST(obs * grand_total - row_total * col_total
                             AS DOUBLE)
                      / CAST(grand_total * row_total * col_total
-                            AS DOUBLE), 6) AS cell_chi2
+                            AS DOUBLE) * 1000000) AS BIGINT) AS cell_chi2_e6
         FROM t
         ORDER BY o_orderstatus, o_orderpriority
     """,
@@ -1952,7 +1960,7 @@ def q94_contingency_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         "col_total",
         "grand_total",
-        F.round(dev * dev / den, 6).alias("cell_chi2"),
+        int_e(dev * dev / den, 6).alias("cell_chi2_e6"),
     ).orderBy("o_orderstatus", "o_orderpriority")
 
 

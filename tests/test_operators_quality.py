@@ -237,11 +237,11 @@ def test_approx_distinct_error_bound(spark, sf_dir):
 
 def test_approx_percentile_error_bound(spark, sf_dir):
     approx = {
-        r.o_orderpriority: (r.p50, r.p90)
+        r.o_orderpriority: (r.p50_e2, r.p90_e2)
         for r in REGISTRY["q37_approx_percentiles"].fn(spark, sf_dir).collect()
     }
     exact = {
-        r.o_orderpriority: (r.p50, r.p90)
+        r.o_orderpriority: (r.p50_e2, r.p90_e2)
         for r in REGISTRY["q36_percentiles"].fn(spark, sf_dir).collect()
     }
     assert set(approx) == set(exact)
