@@ -212,7 +212,13 @@ def main() -> None:
                 spark.sparkContext._jsc.getPersistentRDDs().values()
             ):
                 rdd.unpersist(False)
-        timings[name] = min(runs[name])
+        # min-of-3 = steady-state cost for fast entries; for slow
+        # entries (>2 s at the min) report the MEDIAN instead — r5's
+        # only unexplained mover was graph_link_scores +22% with
+        # untouched code, i.e. tail-run noise that min alone did not
+        # absorb on long-running plans (round-5 verdict #5).
+        rs = sorted(runs[name])
+        timings[name] = rs[1] if rs[0] > 2.0 else rs[0]
         spark.catalog.clearCache()
         # A full 60+-entry run accumulates JVM pressure (codegen
         # classes, shuffle buffers, finalizable blocks) that the r4/r5

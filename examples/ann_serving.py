@@ -51,10 +51,13 @@ def main() -> None:
 
     # 1. profile + precondition the matrix
     dims = REGISTRY["emb_dim_stats"].fn(spark, sf_dir)
-    worst = dims.orderBy(F.desc("dim_var")).first()
+    worst = dims.orderBy(F.desc("dim_var_e4")).first()
     white = whiten(emb)
-    print(f"corpus: {n} vectors; max dim variance {worst['dim_var']}")
-    print(f"whitened sample: {white.limit(1).collect()[0]['whitened'][:4]}")
+    print(
+        f"corpus: {n} vectors; "
+        f"max dim variance {worst['dim_var_e4'] / 10000.0}"
+    )
+    print(f"whitened sample (e4 ints): {white.limit(1).collect()[0]['whitened_e4'][:4]}")
 
     # 2. dimensionality reduction (PCA serving path)
     mean, comps, evals = pca_fit(emb, m=4)

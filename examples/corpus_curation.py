@@ -84,9 +84,9 @@ def main() -> None:
         gopher_rules(canon)
         .filter(
             "n_words BETWEEN 50 AND 100000"
-            " AND mean_word_len BETWEEN 3 AND 10"
-            " AND symbol_word_ratio < 0.1"
-            " AND alpha_word_ratio >= 0.8"
+            " AND mean_word_len_e4 BETWEEN 30000 AND 100000"
+            " AND symbol_word_ratio_e4 < 1000"
+            " AND alpha_word_ratio_e4 >= 8000"
             " AND stop_hits >= 1"
         )
         .select("doc_id")
@@ -157,7 +157,9 @@ def main() -> None:
     # 6. fluency scores + CCNet head/middle/tail split + deterministic
     #    training order (all read the written parquet, not the input)
     lm = text_lm_perplexity(spark, out_dir)
-    mean_nll = lm.agg(F.round(F.avg("avg_nll"), 3)).first()[0]
+    mean_nll = lm.agg(
+        F.round(F.avg(F.col("avg_nll_e4") / 10000.0), 3)
+    ).first()[0]
     buckets = (
         text_ppl_buckets(spark, out_dir)
         .groupBy("bucket")
@@ -210,11 +212,15 @@ def main() -> None:
     )
     print(
         "mixture:        "
-        + ", ".join(f"{r['source']}×{r['mix_weight']}" for r in mix)
+        + ", ".join(
+            f"{r['source']}×{r['mix_weight_e6'] / 1e6}" for r in mix
+        )
     )
     print(
         "temp (a=0.3):   "
-        + ", ".join(f"{r['source']}×{r['temp_weight']}" for r in temp[:5])
+        + ", ".join(
+            f"{r['source']}×{r['temp_weight_e6'] / 1e6}" for r in temp[:5]
+        )
         + ", …"
     )
     print(

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 
@@ -298,7 +299,7 @@ BANDS: tuple[tuple[str, float, float], ...] = (
             ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
             ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0))
         SELECT b.band, CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(SUM(e.value), 2) AS total_value
+               CAST(round(SUM(e.value) * 100) AS BIGINT) AS total_value_e2
         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
         GROUP BY b.band
         ORDER BY b.band
@@ -317,7 +318,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            int_e(F.sum("value"), 2).alias("total_value_e2"),
         )
         .orderBy("band")
     )

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from ..checkpointing import truncate_lineage
 from ..queries import register
 from .dedup import JACCARD_THRESHOLD, _doc_shingles, exact_jaccard_pairs
@@ -295,10 +296,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT a.doc_id,
                CAST(a.n_words AS BIGINT) AS n_words,
-               round(a.n_uniq * 1.0 / a.n_words, 4) AS uniq_frac,
-               round(a.top_c * 1.0 / a.n_words, 4) AS top_word_frac,
-               round(coalesce(g.top_gc * 1.0 / g.n_grams, 0.0), 4)
-                   AS top_bigram_frac
+               (10000 * a.n_uniq) // a.n_words AS uniq_frac_e4,
+               (10000 * a.top_c) // a.n_words AS top_word_frac_e4,
+               coalesce((10000 * g.top_gc) // g.n_grams, 0)
+                   AS top_bigram_frac_e4
         FROM agg a LEFT JOIN gagg g USING (doc_id)
         ORDER BY a.doc_id
     """,
@@ -349,13 +350,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_words").cast("long").alias("n_words"),
-            F.round(F.col("n_uniq") / F.col("n_words"), 4).alias("uniq_frac"),
-            F.round(F.col("top_c") / F.col("n_words"), 4).alias(
-                "top_word_frac"
-            ),
-            F.round(
-                F.coalesce(F.col("top_gc") / F.col("n_grams"), F.lit(0.0)), 4
-            ).alias("top_bigram_frac"),
+            F.expr("(10000 * n_uniq) div n_words").alias("uniq_frac_e4"),
+            F.expr("(10000 * top_c) div n_words").alias("top_word_frac_e4"),
+            F.coalesce(
+                F.expr("(10000 * top_gc) div n_grams"), F.lit(0).cast("bigint")
+            ).alias("top_bigram_frac_e4"),
         )
         .orderBy("doc_id")
     )
@@ -584,12 +583,13 @@ FILTER_LANGS = ("de", "en", "es", "fr")
         ), s AS (
             SELECT doc_id, lang,
                    len(toks) AS n_words,
+                   len(list_distinct(toks)) AS n_uniq,
                    len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_frac
             FROM t
         )
         SELECT doc_id,
                CAST(n_words AS BIGINT) AS n_words,
-               round(uniq_frac, 4) AS uniq_frac,
+               (10000 * n_uniq) // n_words AS uniq_frac_e4,
                CAST(CASE WHEN n_words >= {FILTER_MIN_WORDS}
                           AND uniq_frac >= {FILTER_MIN_UNIQ}
                           AND lang IN ('de','en','es','fr')
@@ -627,12 +627,14 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_ok = F.col("lang").isin(*FILTER_LANGS)
     repeat_ok = uniq_frac >= FILTER_MIN_UNIQ
     len_ok = n_words >= FILTER_MIN_WORDS
+    n_uniq = F.size(F.array_distinct(toks))
     return (
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             n_words.cast("long").alias("n_words"),
-            F.round(uniq_frac, 4).alias("uniq_frac"),
+            (n_uniq.cast("bigint") * 10000).alias("_u10k"),
+            n_words.cast("bigint").alias("_nw"),
             (lang_ok & repeat_ok & len_ok).cast("long").alias("keep"),
             F.concat_ws(
                 "|",
@@ -641,6 +643,8 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(~len_ok, F.lit("short")),
             ).alias("reasons"),
         )
+        .withColumn("uniq_frac_e4", F.expr("_u10k div _nw"))
+        .select("doc_id", "n_words", "uniq_frac_e4", "keep", "reasons")
         .orderBy("doc_id")
     )
 
@@ -672,7 +676,7 @@ BM25_TOPK = 20
             FROM f
         )
         SELECT doc_id,
-               round(
+               CAST(round((
                  ln((g.n - g.df0 + 0.5) / (g.df0 + 0.5) + 1)
                    * (f.tf0 * ({BM25_K1} + 1)) / (f.tf0 + {BM25_K1}
                      * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl))
@@ -681,11 +685,11 @@ BM25_TOPK = 20
                      * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl))
                + ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5) + 1)
                    * (f.tf2 * ({BM25_K1} + 1)) / (f.tf2 + {BM25_K1}
-                     * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl)), 4)
-                 AS score
+                     * (1 - {BM25_B} + {BM25_B} * f.dl / g.avgdl))
+               ) * 10000) AS BIGINT) AS score_e4
         FROM f, g
         WHERE f.tf0 + f.tf1 + f.tf2 > 0
-        ORDER BY score DESC, doc_id
+        ORDER BY score_e4 DESC, doc_id
         LIMIT {BM25_TOPK}
     """,
     doc=f"BM25 lexical retrieval: top-{BM25_TOPK} docs for the fixed "
@@ -706,9 +710,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. Two passes over a narrow projection, zero
     wide shuffles — at 100 TB the only cross-node traffic is the
     single stats row and the k result rows. The score sums terms in
-    fixed expression order so the 4-decimal round is bit-identical
-    across engines (a SUM() over an exploded term table would be
-    order-nondeterministic in the last ulp).
+    fixed expression order so the e4 integer quantization is
+    bit-identical across engines (a SUM() over an exploded term table
+    would be order-nondeterministic in the last ulp).
     """
     toks = F.split(F.col("text"), " ")
     f = table(spark, sf_dir, "documents").select(
@@ -743,8 +747,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         f.crossJoin(F.broadcast(g))
         .filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
-        .select("doc_id", F.round(score, 4).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", int_e(score, 4).alias("score_e4"))
+        .orderBy(F.desc("score_e4"), F.asc("doc_id"))
         .limit(BM25_TOPK)
     )
 

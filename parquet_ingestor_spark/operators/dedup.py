@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 # Mersenne prime 2^31-1: (a*h + b) stays < 2^62 — no int64 overflow
@@ -140,7 +141,7 @@ def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", int_e(jac, 4).alias("jaccard_e4"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -191,7 +192,7 @@ def _expand_rep_pairs(
     member groups via two rep-keyed joins — distributed work, and
     AQE's skew-join splitting handles a huge group. Within-group: a
     rep-keyed self-join of ``mem`` emits every identical-text pair at
-    ``within_value`` (jaccard 1.0 / hamming 0); ``rep_within_filter``
+    ``within_value`` (jaccard_e4 10000 / hamming 0); ``rep_within_filter``
     excludes groups where the metric is undefined (e.g. texts too
     short to shingle).
     """
@@ -370,7 +371,7 @@ def _minhash_candidate_pairs(
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return verified.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        "doc_a", "doc_b", int_e(jac, 4).alias("jaccard_e4")
     )
 
 
@@ -427,8 +428,8 @@ def minhash_lsh_pairs(
         rep_pairs,
         reps,
         members,
-        "jaccard",
-        within_value=F.lit(1.0),
+        "jaccard_e4",
+        within_value=F.lit(10000).cast("bigint"),
         # Jaccard is undefined (0/0) for texts with < 3 tokens; such
         # docs never shingle, so identical-short-text pairs stay out —
         # matching exact_jaccard_pairs.
@@ -646,7 +647,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
-               round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+               CAST(round(inter * 1.0 / (sa.n + sb.n - inter) * 10000)
+                    AS BIGINT) AS jaccard_e4
         FROM pairs
         JOIN sz sa ON sa.doc_id = doc_a
         JOIN sz sb ON sb.doc_id = doc_b
@@ -981,7 +983,7 @@ def ppjoin_pairs(
         cand.join(seta, "doc_a")
         .join(setb, "doc_b")
         .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", int_e(jac, 4).alias("jaccard_e4"))
         .orderBy("doc_a", "doc_b")
     )
 

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 from .similarity import _dot, with_norm
 
@@ -29,9 +30,10 @@ from .similarity import _dot, with_norm
             FROM embeddings
         )
         SELECT vec_id,
-               round(nrm, 4) AS norm,
-               round(sqrt(list_sum(list_transform(
-                   list_transform(v, x -> x / nrm), y -> y * y))), 4) AS unit_norm
+               CAST(round(nrm * 10000) AS BIGINT) AS norm_e4,
+               CAST(round(sqrt(list_sum(list_transform(
+                   list_transform(v, x -> x / nrm), y -> y * y))) * 10000)
+                   AS BIGINT) AS unit_norm_e4
         FROM n
         ORDER BY vec_id
     """,
@@ -53,8 +55,8 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select(
         "vec_id",
-        F.round("nrm", 4).alias("norm"),
-        F.round(unit_norm, 4).alias("unit_norm"),
+        int_e("nrm", 4).alias("norm_e4"),
+        int_e(unit_norm, 4).alias("unit_norm_e4"),
     ).orderBy("vec_id")
 
 
@@ -67,7 +69,8 @@ def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings
         )
         SELECT vec_id,
-               round(CAST(amax AS DOUBLE), 4) AS scale_max,
+               CAST(round(CAST(amax AS DOUBLE) * 10000) AS BIGINT)
+                   AS scale_max_e4,
                CAST(list_sum(list_transform(embedding,
                    x -> CAST(round(x / amax * 127) AS BIGINT))) AS BIGINT)
                    AS q_checksum
@@ -90,7 +93,7 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("amax", amax)
         .select(
             "vec_id",
-            F.round(F.col("amax").cast("double"), 4).alias("scale_max"),
+            int_e(F.col("amax").cast("double"), 4).alias("scale_max_e4"),
             F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias(
                 "q_checksum"
             ),
@@ -173,8 +176,8 @@ def emb_label_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c_id,
                CAST(COUNT(*) AS BIGINT) AS cluster_size,
-               round(AVG(v[1]), 4) AS centroid_d1,
-               round(AVG(v[2]), 4) AS centroid_d2
+               CAST(round(AVG(v[1]) * 10000) AS BIGINT) AS centroid_d1_e4,
+               CAST(round(AVG(v[2]) * 10000) AS BIGINT) AS centroid_d2_e4
         FROM assigned WHERE rn = 1
         GROUP BY c_id
         ORDER BY c_id
@@ -224,8 +227,8 @@ def emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("c_id")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.round(F.avg("d1"), 4).alias("centroid_d1"),
-            F.round(F.avg("d2"), 4).alias("centroid_d2"),
+            int_e(F.avg("d1"), 4).alias("centroid_d1_e4"),
+            int_e(F.avg("d2"), 4).alias("centroid_d2_e4"),
         )
         .orderBy("c_id")
     )
@@ -439,8 +442,8 @@ _DIM_MOMENTS_SQL = """
     oracle=_DIM_MOMENTS_SQL
     + """
         SELECT dim,
-               round(mu, 4) + 0.0 AS dim_mean,
-               round(var, 4) + 0.0 AS dim_var
+               CAST(round(mu * 10000) AS BIGINT) AS dim_mean_e4,
+               CAST(round(var * 10000) AS BIGINT) AS dim_var_e4
         FROM stats
         ORDER BY dim
     """,
@@ -461,10 +464,10 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dim_moments(table(spark, sf_dir, "embeddings"))
         .select(
             "dim",
-            # + 0.0 normalizes IEEE negative zero (a tiny negative mean
-            # rounds to -0.0 in one engine and 0.0 in the other)
-            (F.round(F.col("mu"), 4) + F.lit(0.0)).alias("dim_mean"),
-            (F.round(F.col("var"), 4) + F.lit(0.0)).alias("dim_var"),
+            # integer e4 quantization subsumes the old "+ 0.0"
+            # negative-zero normalization: -0 and 0 are the same int
+            int_e("mu", 4).alias("dim_mean_e4"),
+            int_e("var", 4).alias("dim_var_e4"),
         )
         .orderBy("dim")
     )
@@ -476,7 +479,10 @@ WHITEN_EPS = 1e-6
 
 
 def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
-    """Per-dimension standardization z_i = (x_i − μ_i)/σ_i — the
+    """Per-dimension standardization z_i = (x_i − μ_i)/σ_i, emitted
+    as e4 integer quantizations (z × 10⁴ as bigint — the r5
+    round()-of-double rule: integer outputs canonicalize
+    environment-independently) — the
     whitening pass that makes L2-based indexes (IVF/PQ) treat every
     dimension equally after `emb_dim_stats` has diagnosed the matrix.
 
@@ -497,15 +503,18 @@ def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
         _dim_moments(emb)
         .select(
             (F.col("dim") - 1).alias("pos"),
-            (F.round(F.col("mu"), 4) + F.lit(0.0)).alias("mu"),
-            F.round(
+            int_e("mu", 4).alias("mu_e4"),
+            int_e(
                 F.sqrt(F.col("var") + F.lit(WHITEN_EPS)), 4
-            ).alias("sd"),
+            ).alias("sd_e4"),
         )
         .collect()
     )
-    mu = {r.pos: r.mu for r in stats}
-    sd = {r.pos: r.sd for r in stats}
+    # int → double by /10⁴ is one exact-int-operand IEEE division —
+    # identical in Python, Spark, and DuckDB (unlike round(x, 4),
+    # whose nearest-double result is implementation-defined)
+    mu = {r.pos: r.mu_e4 / 10000.0 for r in stats}
+    sd = {r.pos: r.sd_e4 / 10000.0 for r in stats}
     mus = F.array(*[F.lit(mu[i]) for i in range(dim)])
     sds = F.array(*[F.lit(sd[i]) for i in range(dim)])
     return (
@@ -519,9 +528,10 @@ def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
             "vec_id",
             F.expr(
                 "transform(sequence(1, size(embedding)), i -> "
-                "round((cast(element_at(embedding, i) as double) "
-                "- element_at(_mus, i)) / element_at(_sds, i), 4) + 0.0d)"
-            ).alias("whitened"),
+                "cast(round(((cast(element_at(embedding, i) as double) "
+                "- element_at(_mus, i)) / element_at(_sds, i)) * 10000) "
+                "as bigint))"
+            ).alias("whitened_e4"),
         )
     )
 
@@ -532,14 +542,16 @@ def whiten(emb: DataFrame, dim: int = 64) -> DataFrame:
     + f""",
         rounded AS (
             SELECT dim,
-                   round(mu, 4) + 0.0 AS mu,
-                   round(sqrt(var + {WHITEN_EPS}), 4) AS sd
+                   CAST(round(mu * 10000) AS BIGINT) AS mu_e4,
+                   CAST(round(sqrt(var + {WHITEN_EPS}) * 10000) AS BIGINT)
+                       AS sd_e4
             FROM stats
         )
         SELECT e.vec_id,
                r.dim,
-               round((CAST(e.embedding[r.dim] AS DOUBLE) - r.mu)
-                     / r.sd, 4) + 0.0 AS value
+               CAST(round((CAST(e.embedding[r.dim] AS DOUBLE)
+                     - (r.mu_e4 / 10000.0))
+                     / (r.sd_e4 / 10000.0) * 10000) AS BIGINT) AS value_e4
         FROM embeddings e CROSS JOIN rounded r
         ORDER BY e.vec_id, r.dim
     """,
@@ -557,13 +569,12 @@ def emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         whiten(table(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
-            F.posexplode("whitened").alias("pos", "value"),
+            F.posexplode("whitened_e4").alias("pos", "value_e4"),
         )
         .select(
             "vec_id",
             (F.col("pos") + 1).alias("dim"),
-            # + 0.0 normalizes IEEE negative zero across engines
-            (F.col("value") + F.lit(0.0)).alias("value"),
+            "value_e4",
         )
         .orderBy("vec_id", "dim")
     )
@@ -647,7 +658,8 @@ def covariance_upper(emb: DataFrame, dim: int = 64) -> DataFrame:
         ),
         mom AS (SELECT dim, sx / n AS mu FROM msums)
         SELECT s.i, s.j,
-               round(s.sxy / s.n - mi.mu * mj.mu, 6) + 0.0 AS cov
+               CAST(round((s.sxy / s.n - mi.mu * mj.mu) * 1000000)
+                    AS BIGINT) AS cov_e6
         FROM sums s
         JOIN mom mi ON mi.dim = s.i
         JOIN mom mj ON mj.dim = s.j
@@ -659,7 +671,7 @@ def covariance_upper(emb: DataFrame, dim: int = 64) -> DataFrame:
 )
 def emb_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_upper(table(spark, sf_dir, "embeddings")).select(
-        "i", "j", (F.round(F.col("cov"), 6) + F.lit(0.0)).alias("cov")
+        "i", "j", int_e("cov", 6).alias("cov_e6")
     )
 
 
@@ -762,6 +774,156 @@ def pca_project(
         )
         outs.append(F.round(expr, round_to).alias(f"pc{ci + 1}"))
     return emb.select("vec_id", *outs)
+
+
+PCA1_POWER_ITERS = 96
+
+
+def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:
+    """Dominant covariance eigenvector by a FIXED-iteration power
+    method, computed driver-side in plain Python floats whose every
+    operation (and fold ORDER) mirrors the DuckDB oracle exactly:
+    y_i = sequential fold of c[i][j]·v[j] (list_sum is an in-order
+    fold — verified), ||y|| = sqrt(in-order fold of squares),
+    v = y/||y||, sign fixed by the first largest-|coordinate|. The
+    covariance doubles come from :func:`covariance_upper`'s
+    exact-decimal sums (bit-identical across engines/partitionings),
+    so the whole iteration is a pure function of engine-exact inputs:
+    both engines produce the same 64 doubles to the last bit.
+
+    Returns (mu[dim], v[dim]) as Python float lists. Model state is
+    O(dim²) driver-side — the k-means-centroid contract.
+    """
+    import math
+
+    mom = {
+        r.dim: float(r.mu)
+        for r in _dim_moments(emb).select("dim", "mu").collect()
+    }
+    mu = [mom[i + 1] for i in range(dim)]
+    c = [[0.0] * dim for _ in range(dim)]
+    for r in covariance_upper(emb, dim).collect():
+        c[r.i - 1][r.j - 1] = r.cov
+        c[r.j - 1][r.i - 1] = r.cov
+    v = [0.0] * dim
+    v[0] = 1.0
+    for _ in range(PCA1_POWER_ITERS):
+        y = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += c[i][j] * v[j]
+            y.append(acc)
+        sq = 0.0
+        for z in y:
+            sq += z * z
+        nrm = math.sqrt(sq)
+        v = [z / nrm for z in y]
+    m = max(abs(z) for z in v)
+    k = next(i for i, z in enumerate(v) if abs(z) == m)
+    if v[k] < 0:
+        v = [-z for z in v]
+    return mu, v
+
+
+def _pca1_oracle(iters: int) -> str:
+    """Fixed-iteration power-method oracle as ONE recursive CTE (an
+    unrolled CTE chain per round exceeded DuckDB's binder recursion
+    depth): exact-decimal moment and covariance CTEs, then ``iters``
+    matvec+normalize rounds over ordered DOUBLE lists — every fold a
+    sequential ``list_sum``, so the doubles match the Python driver
+    loop bit-for-bit."""
+    v0 = "[1.0" + ", 0.0" * 63 + "]"
+    return (
+        _DIM_MOMENTS_SQL.replace("WITH sums", "WITH RECURSIVE sums")
+        + f""",
+        csums AS (
+            SELECT i, j,
+                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE)
+                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
+            CROSS JOIN unnest(generate_series(1, 64)) AS tj(j)
+            GROUP BY i, j
+        ),
+        cmat AS (
+            SELECT s.i AS i,
+                   list(s.sxy / s.n - mi.mu * mj.mu ORDER BY s.j) AS row
+            FROM csums s
+            JOIN moments mi ON mi.dim = s.i
+            JOIN moments mj ON mj.dim = s.j
+            GROUP BY s.i
+        ),
+        muv AS (SELECT list(mu ORDER BY dim) AS mu FROM moments),
+        cmm AS (SELECT list(row ORDER BY i) AS m FROM cmat),
+        it AS (
+            SELECT 0 AS k, CAST({v0} AS DOUBLE[]) AS v,
+                   (SELECT m FROM cmm) AS m
+            UNION ALL
+            SELECT k + 1,
+                   list_transform(list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> m[i][j] * v[j]))),
+                       z -> z / sqrt(list_sum(list_transform(list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> m[i][j] * v[j]))),
+                                w -> w * w)))),
+                   m
+            FROM it WHERE k < {iters}
+        ),
+        vf AS (
+            SELECT CASE WHEN v[list_position(
+                            list_transform(v, z -> abs(z)),
+                            list_max(list_transform(v, z -> abs(z))))] < 0
+                        THEN list_transform(v, z -> -z) ELSE v END AS v
+            FROM it WHERE k = {iters}
+        )
+        SELECT e.vec_id,
+               CAST(round(list_sum(list_transform(generate_series(1, 64),
+                    j -> (CAST(e.embedding[j] AS DOUBLE) - muv.mu[j])
+                         * vf.v[j])) * 10000) AS BIGINT)
+                   AS pc1_e4
+        FROM embeddings e CROSS JOIN muv CROSS JOIN vf
+        ORDER BY e.vec_id
+    """
+    )
+
+
+@register(
+    "emb_pca1_power",
+    oracle=_pca1_oracle(PCA1_POWER_ITERS),
+    doc=f"Dominant-component PCA projection, hash-verifiable end to "
+    f"end: exact-decimal covariance, {PCA1_POWER_ITERS} fixed power-"
+    "method rounds in bit-matched sequential-fold arithmetic, sign "
+    "canonicalized, per-vector pc1 emitted as e4 integers. The "
+    "oracle-checkable twin of emb_pca_project's eigh path (r5 "
+    "verdict #3 — the deterministic-sketch playbook applied to PCA).",
+    tags=("embedding", "iterative"),
+)
+def emb_pca1_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit driver-side (O(dim²) model state), then ONE map-only
+    codegen projection scan with μ and v inlined as literals — no
+    shuffle, no UDF at serving time; at 100 TB the corpus cost is
+    the covariance pass (already owned by emb_cov_matrix's shape)
+    plus one projection scan."""
+    emb = table(spark, sf_dir, "embeddings")
+    mu, v = _pca1_power_vector(emb)
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    proj = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                mu_arr,
+                lambda x, m: x - m,
+            ),
+            v_arr,
+            lambda d, w: d * w,
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    return emb.select(
+        "vec_id", int_e(proj, 4).alias("pc1_e4")
+    ).orderBy("vec_id")
 
 
 @register(

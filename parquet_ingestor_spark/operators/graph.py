@@ -24,9 +24,13 @@ Scale notes: one iteration = one join of the rank table against the
 edge list (rank side is node-cardinality — AQE broadcasts it while it
 fits, falls back to a keyed shuffle join when nodes outgrow memory;
 no hints) plus one map-side-combinable sum keyed on dst. The edge
-list is lineage-truncated once up front so iterations reuse the
-materialized blocks instead of re-mining pairs; rank lineage is
-truncated every ``checkpoint_interval`` rounds so the plan stays
+list is hash-partitioned on the join key, sorted within partitions,
+and CACHED once up front — a cached relation keeps its partitioning
+and ordering, so every round's join reads the edge side with no
+Exchange and no Sort (localCheckpoint lost both: its Scan ExistingRDD
+reports UnknownPartitioning, which re-shuffled the whole edge list
+every round — the r5 verdict's one efficiency finding). Rank lineage
+is truncated every ``checkpoint_interval`` rounds so the plan stays
 bounded at any iteration count.
 """
 
@@ -75,16 +79,44 @@ def pagerank_tokens(
             ["src", "dst"]
         )
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Degree-annotated edges ride the src partitioning of the groupBy;
-    # truncate once so the per-iteration joins reuse materialized
-    # blocks instead of re-mining the pair fan-out every round.
-    e = truncate_lineage(e.join(deg, "src"), checkpoint_dir, eager=True)
+    e = e.join(deg, "src")
+    if checkpoint_dir is None:
+        # Iteration-reuse shape (r5 verdict #4): hash-partition the
+        # STATIC degree-annotated edge table on the per-round join key
+        # and CACHE it pre-sorted. A cached relation keeps its
+        # outputPartitioning/outputOrdering, so every round's
+        # SortMergeJoin reads the edge side with NO Exchange and NO
+        # Sort — only the node-sized rank table moves per round.
+        # localCheckpoint (the old shape) came back as a Scan
+        # ExistingRDD with UnknownPartitioning, forcing a fresh src
+        # exchange + sort of the whole edge list EVERY round
+        # (PLANS.md pagerank steps (1)-(2)); that cost was linear in
+        # iterations and pure waste at 100 TB edge scale.
+        par = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        e = e.repartition(par, "src").sortWithinPartitions("src").persist()
+        e.count()  # materialize once; rounds reuse the cached blocks
+    else:
+        # Reliable-checkpoint mode trades the partition reuse for
+        # fault tolerance across driver restarts (restart tests).
+        e = truncate_lineage(e, checkpoint_dir, eager=True)
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(SCALE).cast("bigint").alias("tokens"),
     )
     for i in range(1, iterations + 1):
-        sends = e.join(ranks, e.src == ranks.node).select(
+        # SHUFFLE_MERGE pins the scale-correct join: the cached edge
+        # side satisfies the SMJ's partitioning+ordering requirement
+        # (no Exchange, no Sort), so the only per-round movement is
+        # the node-sized rank table. Without the hint, AQE broadcasts
+        # whichever side has known stats — here the CACHED EDGE LIST
+        # (accurate size ≪ the rank side's unknown default), i.e. the
+        # side that is 100 TB at scale. Same inverted-broadcast class
+        # as q10's supplier hint, caught by the executed-plan check.
+        sends = e.join(
+            ranks.hint("SHUFFLE_MERGE"), e.src == ranks.node
+        ).select(
             F.col("dst"),
             F.expr(
                 f"(tokens * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
@@ -384,19 +416,35 @@ def hits_bipartite(
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
     e = edges.select("hub", "auth").dropDuplicates(["hub", "auth"])
-    e = truncate_lineage(e, eager=True)
-    h = e.select("hub").distinct().select(
+    # Two partition-aligned cached copies of the static edge set, one
+    # per half-round join key (the GraphX both-directions layout):
+    # each half-round's SortMergeJoin then reads its edge side with no
+    # Exchange/Sort — only the node-sized score table moves. 2× edge
+    # storage buys away 2 edge exchanges × rounds (r5 verdict #4).
+    par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e_hub = e.repartition(par, "hub").sortWithinPartitions("hub").persist()
+    e_auth = (
+        e.repartition(par, "auth").sortWithinPartitions("auth").persist()
+    )
+    e_hub.count()
+    e_auth.count()
+    h = e_hub.select("hub").distinct().select(
         "hub", F.lit(1).cast("bigint").alias("hs")
     )
     a = None
     for _ in range(rounds):
+        # SHUFFLE_MERGE: same inverted-broadcast guard as pagerank —
+        # the cached edge side has known (small at toy SF) stats, so
+        # AQE would otherwise broadcast the side that is 100 TB at
+        # scale; the hint keeps the edge side static and moves only
+        # the node-sized score table.
         a = (
-            e.join(h, "hub")
+            e_hub.join(h.hint("SHUFFLE_MERGE"), "hub")
             .groupBy("auth")
             .agg(F.sum("hs").cast("bigint").alias("as_"))
         )
         h = (
-            e.join(a, "auth")
+            e_auth.join(a.hint("SHUFFLE_MERGE"), "auth")
             .groupBy("hub")
             .agg(F.sum("as_").cast("bigint").alias("hs"))
         )

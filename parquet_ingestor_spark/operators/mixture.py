@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import types as T
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 __all__ = [
@@ -61,11 +62,11 @@ def _tokens_col(text_col: str = "text") -> Column:
             FROM documents GROUP BY source
         )
         SELECT source, n_docs, n_tokens,
-               round(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6)
-                   AS token_share,
-               round((1.0 / COUNT(*) OVER ())
-                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ()), 6)
-                   AS mix_weight
+               CAST(round(n_tokens * 1.0 / SUM(n_tokens) OVER ()
+                   * 1000000) AS BIGINT) AS token_share_e6,
+               CAST(round((1.0 / COUNT(*) OVER ())
+                   / (n_tokens * 1.0 / SUM(n_tokens) OVER ())
+                   * 1000000) AS BIGINT) AS mix_weight_e6
         FROM s ORDER BY source
     """,
     doc="Per-source token accounting + sampling weights that would "
@@ -99,8 +100,8 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round(target / share, 6).alias("mix_weight"),
+        int_e(share, 6).alias("token_share_e6"),
+        int_e(target / share, 6).alias("mix_weight_e6"),
     ).orderBy("source")
 
 
@@ -118,11 +119,11 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT source, n_tokens,
-               round(share, 6) AS token_share,
-               round(pow(share, 0.3) / SUM(pow(share, 0.3)) OVER (), 6)
-                   AS temp_share,
-               round((pow(share, 0.3) / SUM(pow(share, 0.3)) OVER ())
-                     / share, 6) AS temp_weight
+               CAST(round(share * 1000000) AS BIGINT) AS token_share_e6,
+               CAST(round(pow(share, 0.3) / SUM(pow(share, 0.3)) OVER ()
+                   * 1000000) AS BIGINT) AS temp_share_e6,
+               CAST(round((pow(share, 0.3) / SUM(pow(share, 0.3)) OVER ())
+                     / share * 1000000) AS BIGINT) AS temp_weight_e6
         FROM p ORDER BY source
     """,
     doc="Temperature-based mixture reweighting (α=0.3): q_i ∝ p_i^α "
@@ -169,9 +170,9 @@ def temperature_weights(
     return shared.select(
         stratum_col,
         "n_tokens",
-        F.round("share", 6).alias("token_share"),
-        F.round(q, 6).alias("temp_share"),
-        F.round(q / F.col("share"), 6).alias("temp_weight"),
+        int_e("share", 6).alias("token_share_e6"),
+        int_e(q, 6).alias("temp_share_e6"),
+        int_e(q / F.col("share"), 6).alias("temp_weight_e6"),
     ).orderBy(stratum_col)
 
 
@@ -187,9 +188,9 @@ def mixture_weights(docs: DataFrame, stratum_col: str = "source") -> DataFrame:
         stratum_col,
         "n_docs",
         "n_tokens",
-        F.round(share, 6).alias("token_share"),
-        F.round((F.lit(1.0) / F.count("*").over(w)) / share, 6).alias(
-            "mix_weight"
+        int_e(share, 6).alias("token_share_e6"),
+        int_e((F.lit(1.0) / F.count("*").over(w)) / share, 6).alias(
+            "mix_weight_e6"
         ),
     )
 
@@ -339,8 +340,8 @@ HIST_BUCKET = 50
                CAST(n_chars // {HIST_BUCKET} * {HIST_BUCKET} AS BIGINT)
                    AS bucket_lo,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               round(COUNT(*) * 1.0
-                   / SUM(COUNT(*)) OVER (PARTITION BY lang), 4) AS share
+               (10000 * COUNT(*))
+                   // SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_e4
         FROM documents
         GROUP BY 1, 2
         ORDER BY lang, bucket_lo
@@ -367,9 +368,14 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "bucket_lo",
             "n_docs",
-            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
-                "share"
-            ),
+            F.expr("10000 * n_docs").alias("_n10k"),
+            F.sum("n_docs").over(w).alias("_tot"),
+        )
+        .select(
+            "lang",
+            "bucket_lo",
+            "n_docs",
+            F.expr("_n10k div _tot").alias("share_e4"),
         )
         .orderBy("lang", "bucket_lo")
     )

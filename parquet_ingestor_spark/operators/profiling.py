@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 #: Zipf OLS fit runs over the TOP_FIT most frequent tokens — the
@@ -80,8 +81,10 @@ def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         freqs AS (SELECT w, COUNT(*) AS c FROM w GROUP BY w),
         ranked AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
                    FROM freqs ORDER BY c DESC, w LIMIT {TOP_FIT})
-        SELECT round(regr_slope(log2(c), log2(r)), 4) AS zipf_slope,
-               round(regr_intercept(log2(c), log2(r)), 4) AS zipf_intercept,
+        SELECT CAST(round(regr_slope(log2(c), log2(r)) * 10000) AS BIGINT)
+                   AS zipf_slope_e4,
+               CAST(round(regr_intercept(log2(c), log2(r)) * 10000)
+                   AS BIGINT) AS zipf_intercept_e4,
                CAST(COUNT(*) AS BIGINT) AS n_fit
         FROM ranked
     """,
@@ -107,8 +110,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lc, lr = F.log2("c"), F.log2("r")
     return ranked.agg(
-        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        int_e(F.regr_slope(lc, lr), 4).alias("zipf_slope_e4"),
+        int_e(F.regr_intercept(lc, lr), 4).alias("zipf_intercept_e4"),
         F.count("*").alias("n_fit"),
     )
 
@@ -117,7 +120,8 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_unigram_entropy",
     oracle="""
         WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        SELECT round(entropy(w), 4) AS unigram_entropy_bits,
+        SELECT CAST(round(entropy(w) * 10000) AS BIGINT)
+                   AS unigram_entropy_bits_e4,
                CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab_size,
                CAST(COUNT(*) AS BIGINT) AS n_tokens
         FROM w
@@ -136,9 +140,9 @@ def text_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     freqs = _unigram_counts(spark, sf_dir)
     n = F.sum("c")
     return freqs.agg(
-        F.round(
+        int_e(
             F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 4
-        ).alias("unigram_entropy_bits"),
+        ).alias("unigram_entropy_bits_e4"),
         F.count("*").alias("vocab_size"),
         n.alias("n_tokens"),
     )
@@ -205,7 +209,8 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                   GROUP BY 1, 2)
         SELECT source_a, source_b, sa.n AS grams_a, sb.n AS grams_b,
                common,
-               round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+               CAST(round(common * 1.0 / (sa.n + sb.n - common) * 10000)
+                    AS BIGINT) AS jaccard_e4
         FROM inter
         JOIN sz sa ON sa.source = source_a
         JOIN sz sb ON sb.source = source_b
@@ -253,11 +258,11 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "grams_a",
             "grams_b",
             "common",
-            F.round(
+            int_e(
                 F.col("common")
                 / (F.col("grams_a") + F.col("grams_b") - F.col("common")),
                 4,
-            ).alias("jaccard"),
+            ).alias("jaccard_e4"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -398,8 +403,9 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(MAX(n) AS BIGINT) AS n_docs,
                CAST(MAX(tot) AS BIGINT) AS total_tokens,
-               round(2.0 * SUM(rk * n_tok) / (MAX(n) * MAX(tot))
-                     - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+               CAST(round((2.0 * SUM(rk * n_tok) / (MAX(n) * MAX(tot))
+                     - (MAX(n) + 1.0) / MAX(n)) * 1000000) AS BIGINT)
+                   AS gini_e6
         FROM ranked GROUP BY source
         ORDER BY source
     """,
@@ -441,11 +447,11 @@ def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_tokens",
-            F.round(
+            int_e(
                 2.0 * F.col("rx") / (F.col("n_docs") * F.col("total_tokens"))
                 - (F.col("n_docs") + 1.0) / F.col("n_docs"),
                 6,
-            ).alias("gini"),
+            ).alias("gini_e6"),
         )
         .orderBy("source")
     )
@@ -478,9 +484,9 @@ def text_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY a.source, b.source
         )
         SELECT source_a, source_b,
-               round((0.5 * (s1 + (1 - ma) * ln(2.0))
-                    + 0.5 * (s2 + (1 - mb) * ln(2.0))) / ln(2.0), 4)
-                   AS js_bits
+               CAST(round((0.5 * (s1 + (1 - ma) * ln(2.0))
+                    + 0.5 * (s2 + (1 - mb) * ln(2.0))) / ln(2.0) * 10000)
+                   AS BIGINT) AS js_bits_e4
         FROM common
         ORDER BY source_a, source_b
     """,
@@ -540,7 +546,7 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.5 * (F.col("s2") + (1 - F.col("mb")) * ln2)
     ) / ln2
     return common.select(
-        "source_a", "source_b", F.round(js, 4).alias("js_bits")
+        "source_a", "source_b", int_e(js, 4).alias("js_bits_e4")
     ).orderBy("source_a", "source_b")
 
 
@@ -550,8 +556,8 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
-               round(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 4)
-                   AS dup_rate
+               CAST(round((1.0 - COUNT(DISTINCT md5(text)) * 1.0
+                           / COUNT(*)) * 10000) AS BIGINT) AS dup_rate_e4
         FROM documents
         GROUP BY source
         ORDER BY source
@@ -579,9 +585,9 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_unique",
-            F.round(
+            int_e(
                 1.0 - F.col("n_unique") * 1.0 / F.col("n_docs"), 4
-            ).alias("dup_rate"),
+            ).alias("dup_rate_e4"),
         )
         .orderBy("source")
     )

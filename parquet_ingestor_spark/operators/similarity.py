@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 TOPK = 5
@@ -77,15 +78,17 @@ def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Exact cosine top-k. ``queries``: (q_id, qv, qn); broadcast side."""
-    sim = F.round(_dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    sim = int_e(_dot("qv", "embedding") / (F.col("qn") * F.col("nrm")), 4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_e4"), F.asc("vec_id"))
     return (
         with_norm(emb)
         .crossJoin(F.broadcast(queries))
-        .select("q_id", "vec_id", sim.alias("sim"))
+        .select("q_id", "vec_id", sim.alias("sim_e4"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "sim", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "q_id", "vec_id", "sim_e4", F.col("rank").cast("int").alias("rank")
+        )
         .orderBy("q_id", "rank")
     )
 
@@ -116,17 +119,19 @@ def _query_set(emb: DataFrame) -> DataFrame:
             WHERE vec_id < {N_QUERIES}
         ), sims AS (
             SELECT q.q_id, n.vec_id,
-                   round(list_sum(list_transform(generate_series(1, len(qv)),
-                         i -> qv[i] * v[i])) / (qn * nrm), 4) AS sim
+                   CAST(round(list_sum(list_transform(
+                         generate_series(1, len(qv)),
+                         i -> qv[i] * v[i])) / (qn * nrm) * 10000)
+                       AS BIGINT) AS sim_e4
             FROM q CROSS JOIN n
         ), ranked AS (
-            SELECT q_id, vec_id, sim,
+            SELECT q_id, vec_id, sim_e4,
                    CAST(row_number() OVER (
-                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                       PARTITION BY q_id ORDER BY sim_e4 DESC, vec_id
                    ) AS INTEGER) AS rank
             FROM sims
         )
-        SELECT q_id, vec_id, sim, rank FROM ranked
+        SELECT q_id, vec_id, sim_e4, rank FROM ranked
         WHERE rank <= {TOPK}
         ORDER BY q_id, rank
     """,
@@ -341,13 +346,15 @@ def cosine_topk_vectorized(
             WHERE vec_id < {N_QUERIES}
         ), sims AS (
             SELECT q.q_id, n.vec_id,
-                   round(list_sum(list_transform(generate_series(1, len(qv)),
-                         i -> qv[i] * v[i])) / (qn * nrm), 4) AS sim
+                   CAST(round(list_sum(list_transform(
+                         generate_series(1, len(qv)),
+                         i -> qv[i] * v[i])) / (qn * nrm) * 10000)
+                       AS BIGINT) AS sim_e4
             FROM q CROSS JOIN n
         ), ranked AS (
             SELECT q_id, vec_id,
                    row_number() OVER (
-                       PARTITION BY q_id ORDER BY sim DESC, vec_id
+                       PARTITION BY q_id ORDER BY sim_e4 DESC, vec_id
                    ) AS rank
             FROM sims
         )
@@ -387,8 +394,10 @@ def sim_bruteforce_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
             FROM embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_sum(list_transform(generate_series(1, len(a.v)),
-                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 4) AS sim
+               CAST(round(list_sum(list_transform(
+                     generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 10000)
+                   AS BIGINT) AS sim_e4
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE list_sum(list_transform(generate_series(1, len(a.v)),
               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= {NEARDUP_TAU}
@@ -417,7 +426,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(sim >= NEARDUP_TAU)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+        .select("vec_a", "vec_b", int_e(sim, 4).alias("sim_e4"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -532,7 +541,7 @@ def srp_lsh_neardup(
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .filter(sim >= threshold)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+        .select("vec_a", "vec_b", int_e(sim, 4).alias("sim_e4"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1232,7 +1241,7 @@ def recall_against(exact: DataFrame, approx: DataFrame, method: str) -> DataFram
         .crossJoin(F.broadcast(n))
         .select(
             F.lit(method).alias("method"),
-            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+            F.expr("(10000 * n_hit) div n_exact").alias("recall_e4"),
         )
     )
 

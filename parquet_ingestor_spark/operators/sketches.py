@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 #: log2 of the HLL register count (DataSketches lgConfigK). 12 → 4096
@@ -86,8 +87,15 @@ def hll_det_registers(
     cardinality, which makes the whole sketch hash-comparable to a SQL
     oracle. One keyed aggregate; output is ≤ keys × 4096 rows. ``key``
     may be a list (e.g. ``[key, shard]`` for the mergeable sharded
-    build) — composite keys stay as columns, never string-concatenated."""
+    build) — composite keys stay as columns, never string-concatenated.
+
+    NULL values are dropped here (not just by callers): md5(NULL)
+    would otherwise materialize a phantom (reg=NULL, m_r=NULL) group
+    whose row inflates COUNT(*) inside the estimate while adding
+    nothing to the register sum — silently biasing library callers
+    (r5 advisor note)."""
     keys = [key] if isinstance(key, str) else list(key)
+    df = df.where(F.col(val).isNotNull())
     h = F.md5(F.col(val).cast("string").cast("binary"))
     reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
     w = F.conv(F.substring(h, 4, 10), 16, 10).cast("long")
@@ -167,7 +175,7 @@ def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
     """(key, est, zero_regs) from deterministic-HLL registers — one
     grouped application of :func:`_hll_det_est_agg`."""
     return regs.groupBy(key).agg(
-        F.round(_hll_det_est_agg(), 4).alias("est"),
+        int_e(_hll_det_est_agg(), 4).alias("est_e4"),
         (F.lit(HLL_DET_M) - F.count("*")).cast("long").alias("zero_regs"),
     )
 
@@ -178,7 +186,8 @@ def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
         WITH {_HLL_REGS_SQL},
         est AS (
             SELECT event_type,
-                   round({_hll_det_est_sql()}, 4) AS e,
+                   CAST(round(({_hll_det_est_sql()}) * 10000) AS BIGINT)
+                       AS e,
                    CAST({HLL_DET_M} - COUNT(*) AS BIGINT) AS zero_regs
             FROM r GROUP BY event_type
         ),
@@ -189,8 +198,8 @@ def hll_det_estimate(regs: DataFrame, key: str) -> DataFrame:
             GROUP BY event_type
         )
         SELECT est.event_type,
-               est.e AS est_users,
-               est.e AS est_merged,
+               est.e AS est_users_e4,
+               est.e AS est_merged_e4,
                est.zero_regs,
                e.exact_users
         FROM est JOIN e USING (event_type)
@@ -220,7 +229,7 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     oneshot = hll_det_estimate(
         hll_det_registers(ev, "event_type", "user_id"), "event_type"
-    ).select("event_type", F.col("est").alias("est_users"), "zero_regs")
+    ).select("event_type", F.col("est_e4").alias("est_users_e4"), "zero_regs")
     # mergeable path: per-(key, shard) registers fold per key with a
     # register-wise max — composite keys stay as columns (no string
     # concat, no join-back to recover the key)
@@ -233,7 +242,7 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m_r").alias("m_r")
     )
     merged = hll_det_estimate(merged_regs, "event_type").select(
-        "event_type", F.col("est").alias("est_merged")
+        "event_type", F.col("est_e4").alias("est_merged_e4")
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
@@ -242,7 +251,11 @@ def events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         oneshot.join(merged, "event_type")
         .join(exact, "event_type")
         .select(
-            "event_type", "est_users", "est_merged", "zero_regs", "exact_users"
+            "event_type",
+            "est_users_e4",
+            "est_merged_e4",
+            "zero_regs",
+            "exact_users",
         )
         .orderBy("event_type")
     )
@@ -522,15 +535,15 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
         .select(
             "key_a",
             "key_b",
-            F.round("ea", 4).alias("est_a"),
-            F.round("eb", 4).alias("est_b"),
-            F.round("est_u", 4).alias("est_union"),
-            F.round(
+            int_e("ea", 4).alias("est_a_e4"),
+            int_e("eb", 4).alias("est_b_e4"),
+            int_e("est_u", 4).alias("est_union_e4"),
+            int_e(
                 F.greatest(
                     F.col("ea") + F.col("eb") - F.col("est_u"), F.lit(0.0)
                 ),
                 4,
-            ).alias("est_intersection"),
+            ).alias("est_intersection_e4"),
         )
         .orderBy("key_a", "key_b")
     )
@@ -561,11 +574,11 @@ def hll_det_pairwise_overlap(df: DataFrame, key: str, val: str) -> DataFrame:
             FROM ur GROUP BY key_a, key_b
         )
         SELECT u.key_a, u.key_b,
-               round(ea.est, 4) AS est_a,
-               round(eb.est, 4) AS est_b,
-               round(u.est_u, 4) AS est_union,
-               round(greatest(ea.est + eb.est - u.est_u, 0.0), 4)
-                   AS est_intersection
+               CAST(round(ea.est * 10000) AS BIGINT) AS est_a_e4,
+               CAST(round(eb.est * 10000) AS BIGINT) AS est_b_e4,
+               CAST(round(u.est_u * 10000) AS BIGINT) AS est_union_e4,
+               CAST(round(greatest(ea.est + eb.est - u.est_u, 0.0) * 10000)
+                   AS BIGINT) AS est_intersection_e4
         FROM estu u
         JOIN est1 ea ON ea.event_type = u.key_a
         JOIN est1 eb ON eb.event_type = u.key_b
@@ -618,10 +631,35 @@ def events_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same no-unbounded-hints policy as everywhere else in the repo.
 
 
-def _bloom_positions(key: "F.Column", num_bits: int, num_hashes: int):
-    """k deterministic bit positions via seeded xxhash64 (seed = probe
-    index, mixed in as an extra hash argument), each folded into
-    [0, num_bits) with pmod (xxhash64 is signed)."""
+def _bloom_positions(
+    key: "F.Column", num_bits: int, num_hashes: int, hasher: str = "xxhash64"
+):
+    """k deterministic bit positions, seed = probe index.
+
+    ``hasher="xxhash64"``: the production fast path (one 64-bit JVM
+    hash per probe; signed, so pmod folds it into [0, num_bits)).
+    ``hasher="md5"``: the oracle-checkable twin — first 15 hex chars
+    of md5(i || key) as a BIGINT (< 2^60, non-negative) mod num_bits,
+    reproducible verbatim in DuckDB SQL (the corpus_dsir_weights /
+    _fast twin rule applied to Bloom positions)."""
+    if hasher == "md5":
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(str(i)), key).cast("binary")
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % num_bits
+                for i in range(num_hashes)
+            ]
+        )
     return F.array(
         *[
             F.pmod(F.xxhash64(F.lit(i), key), F.lit(num_bits))
@@ -631,7 +669,11 @@ def _bloom_positions(key: "F.Column", num_bits: int, num_hashes: int):
 
 
 def bloom_build(
-    df: DataFrame, key: "F.Column", num_bits: int, num_hashes: int
+    df: DataFrame,
+    key: "F.Column",
+    num_bits: int,
+    num_hashes: int,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Build the (word, bits) bitmap: ≤ num_bits/64 rows, all codegen.
 
@@ -639,7 +681,9 @@ def bloom_build(
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
     pos = df.select(
-        F.explode(_bloom_positions(key, num_bits, num_hashes)).alias("pos")
+        F.explode(
+            _bloom_positions(key, num_bits, num_hashes, hasher)
+        ).alias("pos")
     )
     return (
         pos.groupBy(F.expr("pos div 64").alias("word"))
@@ -668,6 +712,7 @@ def bloom_probe(
     num_bits: int,
     num_hashes: int,
     out_col: str = "maybe_seen",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Screen ``df`` against the bitmap: adds ``out_col`` (boolean).
 
@@ -685,7 +730,9 @@ def bloom_probe(
     """
     probes = df.select(
         F.struct(*df.columns).alias("_row"),
-        F.explode(_bloom_positions(key, num_bits, num_hashes)).alias("pos"),
+        F.explode(
+            _bloom_positions(key, num_bits, num_hashes, hasher)
+        ).alias("pos"),
     ).select(
         "_row",
         F.expr("pos div 64").alias("word"),
@@ -712,17 +759,85 @@ BLOOM_BITS = 1 << 22
 BLOOM_HASHES = 5
 
 
+#: DuckDB mirror of the md5 Bloom positions: the k probe positions of
+#: a shingle column ``sh`` as an unnested list.
+_BLOOM_POS_SQL = (
+    "unnest(["
+    + ", ".join(
+        f"('0x' || substring(md5(CAST({i} AS VARCHAR) || sh), 1, 15))"
+        f"::BIGINT % {BLOOM_BITS}"
+        for i in range(BLOOM_HASHES)
+    )
+    + "])"
+)
+
+
 @register(
     "corpus_bloom_seen",
-    oracle=None,  # deterministic output, but seeded-xxhash64 bit
-    # positions are not reproducible in DuckDB SQL; invariant tests pin
-    # the zero-false-negative theorem, the FP rate vs theory, and the
-    # sharded≡oneshot merge law (exact frame equality).
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, source,
+                   CASE WHEN len(toks) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                   ELSE [] END AS shingles
+            FROM t
+        ),
+        hist AS (
+            SELECT {_BLOOM_POS_SQL} AS pos
+            FROM (SELECT unnest(shingles) AS sh FROM s
+                  WHERE source <> 'src0')
+        ),
+        bitmap AS (
+            -- bit 63: DuckDB's << range-checks (1<<63 overflows BIGINT)
+            -- while Spark's shiftleft wraps to the sign bit; emit the
+            -- wrapped value explicitly so both engines store the same
+            -- signed 64-bit word
+            SELECT pos // 64 AS word,
+                   bit_or(CASE WHEN pos % 64 = 63
+                               THEN CAST(-9223372036854775808 AS BIGINT)
+                               ELSE CAST(1 AS BIGINT)
+                                    << CAST(pos % 64 AS INTEGER) END)
+                       AS bits
+            FROM hist GROUP BY 1
+        ),
+        probe AS (
+            SELECT doc_id, sh FROM (
+                SELECT doc_id, unnest(shingles) AS sh FROM s
+                WHERE source = 'src0'
+            )
+        ),
+        ppos AS (
+            SELECT doc_id, sh, {_BLOOM_POS_SQL} AS pos FROM probe
+        ),
+        checks AS (
+            SELECT p.doc_id, p.sh,
+                   MIN(CASE WHEN b.bits IS NOT NULL
+                            AND ((b.bits >> CAST(p.pos % 64 AS INTEGER))
+                                 & 1) = 1
+                       THEN 1 ELSE 0 END) AS all_hit
+            FROM ppos p LEFT JOIN bitmap b ON b.word = p.pos // 64
+            GROUP BY p.doc_id, p.sh
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(all_hit) AS BIGINT) AS n_maybe_seen
+        FROM checks
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     doc="Screen one source's shingles against a mergeable Bloom filter "
     "of every OTHER source's shingles: per doc (n_shingles, "
     "n_maybe_seen), where a shingle's miss is a PROOF it never "
     "appeared in history — the ingest-batch novelty screen that "
-    "never joins the history corpus itself.",
+    "never joins the history corpus itself. The registered entry "
+    "derives bit positions from md5 (full SQL oracle — promoted from "
+    "rows-only, r5 verdict #3); production callers keep the seeded-"
+    "xxhash64 fast path via bloom_build/bloom_probe's default hasher "
+    "(the corpus_dsir_weights/_fast twin rule).",
     tags=("sketch", "dedup", "corpus"),
 )
 def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -741,9 +856,11 @@ def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("source") == "src0")
         .select("doc_id", F.explode(shingle_col("text")).alias("sh"))
     )
-    bitmap = bloom_build(history, F.col("sh"), BLOOM_BITS, BLOOM_HASHES)
+    bitmap = bloom_build(
+        history, F.col("sh"), BLOOM_BITS, BLOOM_HASHES, hasher="md5"
+    )
     flagged = bloom_probe(
-        bitmap, probe, F.col("sh"), BLOOM_BITS, BLOOM_HASHES
+        bitmap, probe, F.col("sh"), BLOOM_BITS, BLOOM_HASHES, hasher="md5"
     )
     return (
         flagged.groupBy("doc_id")

@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..functions import int_e
 from ..queries import register
 
 DEFAULT_SALTS = 8
@@ -82,7 +83,7 @@ def salted_join_counts(
     oracle="""
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS cnt,
-               round(SUM(value), 2) AS total
+               CAST(round(SUM(value) * 100) AS BIGINT) AS total_e2
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -96,7 +97,7 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"), "event_type", "value"
     )
     return out.select(
-        "event_type", "cnt", F.round("total", 2).alias("total")
+        "event_type", "cnt", int_e("total", 2).alias("total_e2")
     ).orderBy("event_type")
 
 

@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..functions import int_e
 from ..checkpointing import truncate_lineage
 from ..queries import register
 
@@ -113,17 +114,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), m AS (
             SELECT doc_id, n_chars_actual,
                    len(toks) AS n_tokens,
-                   round(len(list_filter(toks,
+                   CAST(round(len(list_filter(toks,
                        t -> t IN ('the', 'a', 'of', 'and', 'is')))
-                       * 1.0 / len(toks), 4) AS stopword_ratio,
-                   round(list_sum(list_transform(toks, t -> length(t)))
-                       * 1.0 / len(toks), 4) AS avg_token_len
+                       * 1.0 / len(toks) * 10000) AS BIGINT)
+                       AS stopword_ratio_e4,
+                   CAST(round(list_sum(list_transform(toks, t -> length(t)))
+                       * 1.0 / len(toks) * 10000) AS BIGINT)
+                       AS avg_token_len_e4
             FROM t
         )
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(n_chars_actual AS BIGINT) AS n_chars_actual,
-               stopword_ratio, avg_token_len,
-               CASE WHEN n_tokens >= 40 AND stopword_ratio <= 0.25 THEN 'good'
+               stopword_ratio_e4, avg_token_len_e4,
+               CASE WHEN n_tokens >= 40 AND stopword_ratio_e4 <= 2500
+                    THEN 'good'
                     WHEN n_tokens >= 15 THEN 'fair'
                     ELSE 'poor' END AS quality
         FROM m
@@ -156,17 +160,18 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("st.n").cast("long").alias("n_tokens"),
             "n_chars_actual",
-            F.round(F.col("st.stops") / F.col("st.n"), 4).alias(
-                "stopword_ratio"
+            int_e(F.col("st.stops") / F.col("st.n"), 4).alias(
+                "stopword_ratio_e4"
             ),
-            F.round(F.col("st.chars") / F.col("st.n"), 4).alias(
-                "avg_token_len"
+            int_e(F.col("st.chars") / F.col("st.n"), 4).alias(
+                "avg_token_len_e4"
             ),
         )
         .withColumn(
             "quality",
             F.when(
-                (F.col("n_tokens") >= 40) & (F.col("stopword_ratio") <= 0.25),
+                (F.col("n_tokens") >= 40)
+                & (F.col("stopword_ratio_e4") <= 2500),
                 "good",
             )
             .when(F.col("n_tokens") >= 15, "fair")
@@ -572,9 +577,9 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT bg.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               round(AVG(-log2(
+               CAST(round(AVG(-log2(
                    (big.c12 + 1.0) / (uni.c1 + (SELECT vs FROM v))
-               )), 4) AS avg_nll
+               )) * 10000) AS BIGINT) AS avg_nll_e4
         FROM bg
         JOIN big USING (w1, w2)
         JOIN uni USING (w1)
@@ -649,7 +654,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.avg(nll), 4).alias("avg_nll"),
+            int_e(F.avg(nll), 4).alias("avg_nll_e4"),
         )
         .orderBy("doc_id")
     )
@@ -819,21 +824,21 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ), ppl AS (
             SELECT bg.doc_id,
-                   round(AVG(-log2(
+                   CAST(round(AVG(-log2(
                        (big.c12 + 1.0) / (uni.c1 + (SELECT vs FROM v))
-                   )), 4) AS avg_nll
+                   )) * 10000) AS BIGINT) AS avg_nll_e4
             FROM bg
             JOIN big USING (w1, w2)
             JOIN uni USING (w1)
             GROUP BY bg.doc_id
         ), th AS (
-            SELECT quantile_cont(avg_nll, 1.0/3) AS t1,
-                   quantile_cont(avg_nll, 2.0/3) AS t2
+            SELECT quantile_cont(avg_nll_e4, 1.0/3) AS t1,
+                   quantile_cont(avg_nll_e4, 2.0/3) AS t2
             FROM ppl
         )
-        SELECT doc_id, avg_nll,
-               CASE WHEN avg_nll <= t1 THEN 'head'
-                    WHEN avg_nll <= t2 THEN 'middle'
+        SELECT doc_id, avg_nll_e4,
+               CASE WHEN avg_nll_e4 <= t1 THEN 'head'
+                    WHEN avg_nll_e4 <= t2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM ppl, th
         ORDER BY doc_id
@@ -857,19 +862,19 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels every row through one partition; threshold-join keeps the
     bucketing embarrassingly parallel.
     """
-    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll")
+    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll_e4")
     th = ppl.agg(
-        F.percentile("avg_nll", 1.0 / 3).alias("t1"),
-        F.percentile("avg_nll", 2.0 / 3).alias("t2"),
+        F.percentile("avg_nll_e4", 1.0 / 3).alias("t1"),
+        F.percentile("avg_nll_e4", 2.0 / 3).alias("t2"),
     )
     bucket = (
-        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
-        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        F.when(F.col("avg_nll_e4") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll_e4") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return (
         ppl.crossJoin(F.broadcast(th))  # 1 row — fixed-size broadcast
-        .select("doc_id", "avg_nll", bucket.alias("bucket"))
+        .select("doc_id", "avg_nll_e4", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
 
@@ -907,11 +912,15 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT doc_id,
                CAST(n_words AS BIGINT) AS n_words,
-               round(mean_wl, 4) AS mean_word_len,
-               round(sym_ratio, 4) AS symbol_word_ratio,
-               round(bullet_ratio, 4) AS bullet_line_ratio,
-               round(ell_line_ratio, 4) AS ellipsis_line_ratio,
-               round(alpha_ratio, 4) AS alpha_word_ratio,
+               CAST(round(mean_wl * 10000) AS BIGINT) AS mean_word_len_e4,
+               CAST(round(sym_ratio * 10000) AS BIGINT)
+                   AS symbol_word_ratio_e4,
+               CAST(round(bullet_ratio * 10000) AS BIGINT)
+                   AS bullet_line_ratio_e4,
+               CAST(round(ell_line_ratio * 10000) AS BIGINT)
+                   AS ellipsis_line_ratio_e4,
+               CAST(round(alpha_ratio * 10000) AS BIGINT)
+                   AS alpha_word_ratio_e4,
                CAST(stop_hits AS INTEGER) AS stop_hits,
                (n_words BETWEEN 50 AND 100000
                 AND mean_wl BETWEEN 3 AND 10
@@ -1002,11 +1011,11 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     return m.select(
         "doc_id",
         "n_words",
-        F.round("mean_wl", 4).alias("mean_word_len"),
-        F.round("sym_ratio", 4).alias("symbol_word_ratio"),
-        F.round("bullet_ratio", 4).alias("bullet_line_ratio"),
-        F.round("ell_line_ratio", 4).alias("ellipsis_line_ratio"),
-        F.round("alpha_ratio", 4).alias("alpha_word_ratio"),
+        int_e("mean_wl", 4).alias("mean_word_len_e4"),
+        int_e("sym_ratio", 4).alias("symbol_word_ratio_e4"),
+        int_e("bullet_ratio", 4).alias("bullet_line_ratio_e4"),
+        int_e("ell_line_ratio", 4).alias("ellipsis_line_ratio_e4"),
+        int_e("alpha_ratio", 4).alias("alpha_word_ratio_e4"),
         "stop_hits",
         keep.alias("keep"),
     ).orderBy("doc_id")

@@ -60,87 +60,97 @@ _LOADED = False
 #: after all modules self-register, REGISTRY is reordered so these
 #: names come first (everything else keeps import order at the tail).
 #:
-#: Round-5 budget (registry growth FROZEN this round per the round-4
-#: verdict — verification, not breadth, is the bottleneck). 50 slots:
-#:   - emb_whiten: round 4's one red driver row (array-typed output
-#:     crashed the gate's pandas canonicalizer) — re-registered in
-#:     long scalar form, must get its green row;
-#:   - sim_bruteforce_topk_vectorized, text_winnow_fingerprints:
-#:     promoted rows-only → oracle-backed this round (result-set
-#:     oracle / md5-48 winnowing oracle) — need hash rows;
-#:   - asof_purchase_click, dedup_clusters_incremental,
-#:     bpe_train_merges: r3 rows exist but their code was restructured
-#:     in round 4 (round-4 verdict item b);
-#:   - 44 never-driver-checked entries, oldest-registration-first
-#:     (includes events_hll_users, promoted to a deterministic
-#:     md5-register HLL with a full SQL oracle this round).
-#: ROUND-6 BUDGET NOTE — after this round 22 entries remain without
-#: any driver row (all locally oracle-green at sf0.001/sf0.01 and in
-#: tools/stability_sweep.py): q76_anomalous_hours, q77_copurchase_pairs,
-#: q78_shipping_lag_stats, q79_interevent_gaps, q80_event_transitions,
-#: q81_rfm_segments, q82_weekday_hour_heatmap, q83_nation_trade_balance,
-#: q84_monthly_revenue_growth, q85_revenue_hhi_by_nation,
-#: q86_association_rules, q87_pareto_revenue, events_sessionize,
-#: q88_moving_average, q89_shipping_lag_mad, q90_nation_revenue_trend,
-#: q91_resample_interpolate, q92_share_of_parent, q93_abc_classification,
-#: q94_contingency_chi2, q95_touch_attribution, q96_top_event_paths.
-#: Rotate those 22 in first (one round clears the backlog), then
-#: resume least-recently-checked order with the 28 remaining slots
-#: (q01-q14 and the round-2 cohort have the oldest rows).
+#: Round-6 budget (per the round-5 verdict). 50 slots:
+#:   - the 22 never-driver-checked entries (verdict #2: clearing this
+#:     backlog gives 100% of the registry a driver row) — several of
+#:     them (q76/q78/q79/q80/q84/q85/q89/q94) were ALSO re-registered
+#:     this round with integer-quantized outputs, so their first
+#:     driver row lands on the hardened form;
+#:   - corpus_neyman_allocation: round 5's one red row, re-registered
+#:     with exact-integer outputs (sd_milli/share_ppm — verdict #1);
+#:   - 27 re-checks for entries whose OUTPUTS changed in the round-6
+#:     round()-of-double purge (every rounded-double column became a
+#:     CAST(round(x·10^d) AS BIGINT) `_e{d}` integer): the five r5
+#:     greens the purge invalidated (emb_whiten,
+#:     sim_bruteforce_topk_vectorized, dedup_ppjoin_pairs,
+#:     events_hll_users, events_user_overlap_sketch,
+#:     pricing_summary_incremental), the three flagships, and the
+#:     r2-cohort relational/aggregate/embedding entries (oldest rows).
+#: ROUND-7 BUDGET NOTE — the round-6 purge re-registered more entries
+#: than one 50-slot window can re-check. These converted entries are
+#: locally oracle-green (tools/stability_sweep.py) but their latest
+#: driver row predates the conversion; rotate them in next round:
+#: q41_scalar_subquery, q45_unpivot, q55_volume_shipping, q56_market_share,
+#: q57_profit_by_nation_year, q59_disjunctive_bands,
+#: q61_large_volume_customers, q62_dormant_high_balance,
+#: q63_small_qty_revenue, q64_top_supplier, q65_important_parts,
+#: q72_promo_revenue, text_quality, text_lm_perplexity,
+#: text_ppl_buckets, text_gopher_rules, text_repetition,
+#: text_unigram_entropy, text_length_gini, text_zipf_fit,
+#: corpus_js_divergence, corpus_dup_rate_by_source,
+#: corpus_source_overlap, corpus_filter_pipeline, text_bm25_topk,
+#: corpus_mixture_weights, corpus_temperature_weights,
+#: corpus_length_histogram, dedup_jaccard_pairs, sim_bruteforce_topk,
+#: sim_neardup_pairs, range_join_bands, skew_salted_agg,
+#: emb_kmeans_step. Then resume least-recently-checked order.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # — round-4 verdict items #1/#5: the red-row fix + promotions —
+    # — the 22 never-driver-checked entries (round-5 verdict #2) —
+    "q76_anomalous_hours",
+    "q77_copurchase_pairs",
+    "q78_shipping_lag_stats",
+    "q79_interevent_gaps",
+    "q80_event_transitions",
+    "q81_rfm_segments",
+    "q82_weekday_hour_heatmap",
+    "q83_nation_trade_balance",
+    "q84_monthly_revenue_growth",
+    "q85_revenue_hhi_by_nation",
+    "q86_association_rules",
+    "q87_pareto_revenue",
+    "events_sessionize",
+    "q88_moving_average",
+    "q89_shipping_lag_mad",
+    "q90_nation_revenue_trend",
+    "q91_resample_interpolate",
+    "q92_share_of_parent",
+    "q93_abc_classification",
+    "q94_contingency_chi2",
+    "q95_touch_attribution",
+    "q96_top_event_paths",
+    # — round 5's red row, re-registered exact-integer (verdict #1) —
+    "corpus_neyman_allocation",
+    # — r5 greens invalidated by the round-6 integer purge —
     "emb_whiten",
     "sim_bruteforce_topk_vectorized",
-    "text_winnow_fingerprints",
-    # — restructured in round 4 (r3 rows exist; re-check) —
-    "asof_purchase_click",
-    "dedup_clusters_incremental",
-    "bpe_train_merges",
-    # — never driver-checked, oldest-registration-first —
-    "asof_nearest_view_purchase",
-    "asof_tolerance_purchase_click",
-    "interval_join_binned",
-    "asof_conversion_lag",
-    "dedup_fuzzy_names",
-    "dedup_recall_eval",
     "dedup_ppjoin_pairs",
-    "text_blocklist_filter",
-    "dedup_keep_best",
-    "sim_recall_eval",
-    "emb_cov_matrix",
-    "emb_pca_project",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_hits_parts",
-    "graph_kcore_parts",
-    "graph_link_scores",
-    "pricing_summary_incremental",
-    "corpus_hash_sample_k",
-    "text_heavy_hitters_incremental",
-    "corpus_train_val_split",
-    "corpus_dsir_weights_fast",
-    "corpus_neyman_allocation",
-    "media_phash_neardup",
-    "table_profile_orders",
-    "dq_orders_constraints",
-    "text_unigram_entropy",
-    "text_length_gini",
-    "corpus_js_divergence",
-    "corpus_dup_rate_by_source",
-    "scd2_customer_segments",
-    "snapshot_diff_orders",
-    "scd2_point_in_time_orders",
-    "orders_merge_apply",
     "events_hll_users",
-    "events_kll_value_quantiles",
     "events_user_overlap_sketch",
-    "corpus_bloom_seen",
-    "events_cm_counts",
-    "skew_report_event_types",
-    "unigram_lm_train",
-    "q54_event_funnel",
-    "q74_cohort_retention",
-    "q75_resample_ffill",
+    "pricing_summary_incremental",
+    # — flagships (r2 rows; outputs integer-quantized this round) —
+    "q15_pricing_summary",
+    "q10_revenue_per_nation",
+    "q14_broadcast_join",
+    # — r2-cohort conversions, least-recently-checked first —
+    "q19_running_sum",
+    "q20_lag_delta",
+    "q23_scalar_funcs",
+    "q30_json_funcs",
+    "q32_shipping_priority",
+    "q33_cube",
+    "q35_stats_aggs",
+    "q36_percentiles",
+    "q38_grouping_sets",
+    "q40_window_breadth",
+    "q47_null_semantics",
+    "q48_conditional_aggs",
+    "q52_range_frame",
+    # — embedding-family conversions (r2/r3 rows) + the round-6
+    # promotion (new entry, never checked — must take a slot)
+    "emb_pca1_power",
+    "emb_normalize",
+    "emb_quantize",
+    "emb_dim_stats",
+    "emb_cov_matrix",
 )
 
 

@@ -84,14 +84,18 @@ def driver_canon_probe(columns: list[str], rows: list[tuple]) -> None:
     """
     import pandas as pd
 
-    pdf = pd.DataFrame.from_records(list(rows)[:256], columns=columns)
+    pdf = pd.DataFrame.from_records(list(rows), columns=columns)
     cols = sorted(pdf.columns)
     if len(pdf) == 0:
         return
+    # factorize over ALL rows (cheap next to the collect that produced
+    # them): an unhashable cell first appearing late in an object
+    # column must not escape the probe (r5 advisor note). The sort —
+    # the expensive half — keeps a bounded slice.
     for c in cols:
         if pdf[c].dtype == object:
             pd.factorize(pdf[c])  # raises on unhashable cells
-    pdf[cols].sort_values(by=cols)
+    pdf.head(256)[cols].sort_values(by=cols)
 
 
 def duck_canon(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str]:
@@ -108,3 +112,85 @@ def diff_summary(a: list[str], b: list[str], limit: int = 5) -> str:
         f"spark_rows={len(a)} oracle_rows={len(b)}\n"
         f"only_spark={only_a}\nonly_oracle={only_b}"
     )
+
+
+def env_fingerprint() -> dict:
+    """Versions of every library whose float/rounding behavior touches
+    the correctness gate — recorded next to gate runs so an
+    environment-sensitive mismatch (the r5 corpus_neyman_allocation
+    class: locally-bit-identical outputs, red driver row) is
+    diagnosable from the log."""
+    import platform
+
+    import duckdb
+    import numpy
+    import pandas
+    import pyarrow
+    import pyspark
+
+    return {
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "duckdb": duckdb.__version__,
+        "pandas": pandas.__version__,
+        "pyarrow": pyarrow.__version__,
+        "numpy": numpy.__version__,
+    }
+
+
+#: Rounding-edge doubles: exact halves at several decimal scales,
+#: values one ulp either side of a half, negative ties, large
+#: magnitudes where ulp > 10^-d, and subnormal-adjacent smalls.
+_ROUNDING_BATTERY = [
+    0.5, 1.5, 2.5, -0.5, -2.5,
+    0.125, 0.375, -0.375,
+    0.12345, 0.123450000000001, 0.12344999999999999,
+    123.455, 123.45499999999998, -123.455,
+    0.005, 0.015, 0.025, -0.005, -0.015,
+    1e12 + 0.5, 1e15 + 0.5, -1e12 - 0.5,
+    9999.99995, 0.00005, -0.00005,
+    1.0000000000000002, 0.9999999999999999,
+]
+
+
+def rounding_battery(spark, con, max_abs: float = float(2**40)) -> list[str]:
+    """Push every battery value through BOTH engines' integer
+    quantization (CAST(round(x * 10^d) AS BIGINT), d ∈ {0, 2, 4, 6} —
+    the repo's one sanctioned rounding shape) and report mismatches.
+    Empty list = the two engines agree on every edge; a non-empty
+    result is exactly the diagnosis the r5 neyman red row never got.
+
+    ``max_abs`` bounds the product ``|x·10^d|``: this battery PROVED a
+    real divergence above it — at the representable tie 1e15 + 0.5,
+    Spark's BigDecimal HALF_UP rounds away from zero while DuckDB's
+    DOUBLE round lands on the even neighbor — so every ``int_e``/
+    oracle quantization in this repo must keep its scaled value inside
+    the sanctioned 2^40 (~1.1e12) domain, where both engines agree on
+    every edge tested here (money sums peak ~1e12 cents at SF 1000;
+    ratios ≤ 1e6). Call with ``max_abs=float('inf')`` to SEE the
+    out-of-domain divergence rather than assert around it."""
+    import pyspark.sql.functions as F
+
+    mismatches: list[str] = []
+    for d in (0, 2, 4, 6):
+        vals = [v for v in _ROUNDING_BATTERY if abs(v) * 10**d < max_abs]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r.q
+            for r in df.select(
+                F.round(F.col("x") * (10**d), 0).cast("bigint").alias("q")
+            ).collect()
+        ]
+        want = [
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(round(x * ?) AS BIGINT) FROM (VALUES "
+                + ", ".join(f"({v!r})" for v in vals)
+                + ") t(x)",
+                [float(10**d)],
+            ).fetchall()
+        ]
+        for v, g, w in zip(vals, got, want):
+            if g != w:
+                mismatches.append(f"d={d} x={v!r}: spark={g} duckdb={w}")
+    return mismatches

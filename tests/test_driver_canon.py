@@ -42,3 +42,26 @@ def test_probe_rejects_list_cells_single_column():
 
 def test_probe_accepts_empty_result():
     driver_canon_probe(["a"], [])
+
+
+def test_rounding_battery_engines_agree(spark):
+    """The r5 incident detector (round-5 verdict #6): both engines must
+    produce the same integer for CAST(round(x * 10^d) AS BIGINT) on
+    every rounding-edge double — exact halves, ±1 ulp around halves,
+    negative ties, magnitudes where ulp > 10^-d. If this ever fails,
+    the failing edges (not the operators) are the bug."""
+    import duckdb
+
+    from parquet_ingestor_spark.testing import rounding_battery
+
+    assert rounding_battery(spark, duckdb.connect()) == []
+
+
+def test_env_fingerprint_shape():
+    from parquet_ingestor_spark.testing import env_fingerprint
+
+    fp = env_fingerprint()
+    assert set(fp) == {
+        "python", "pyspark", "duckdb", "pandas", "pyarrow", "numpy"
+    }
+    assert all(isinstance(v, str) and v for v in fp.values())

@@ -28,8 +28,10 @@ def test_mixture_weights_rebalance_identity(spark, sf_dir):
     these weights yields the uniform target mixture."""
     rows = REGISTRY["corpus_mixture_weights"].fn(spark, sf_dir).collect()
     assert len(rows) >= 2  # testdata has multiple sources
-    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
-    assert abs(sum(r.token_share * r.mix_weight for r in rows) - 1.0) < 1e-3
+    shares = [r.token_share_e6 / 1e6 for r in rows]
+    weights = [r.mix_weight_e6 / 1e6 for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-3
+    assert abs(sum(s * w for s, w in zip(shares, weights)) - 1.0) < 1e-3
 
 
 def test_stratified_sample_balances_strata(spark, sf_dir):
@@ -245,17 +247,19 @@ def test_temperature_weights_invariants(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     rows = temperature_weights(docs, alpha=0.3).collect()
     n = len(rows)
-    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
-    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
-    by_share = sorted(rows, key=lambda r: r.token_share)
-    weights = [r.temp_weight for r in by_share]
+    assert abs(sum(r.token_share_e6 for r in rows) / 1e6 - 1.0) < 1e-4
+    assert abs(sum(r.temp_share_e6 for r in rows) / 1e6 - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r.token_share_e6)
+    weights = [r.temp_weight_e6 for r in by_share]
     assert weights == sorted(weights, reverse=True), weights
 
     natural = temperature_weights(docs, alpha=1.0).collect()
-    assert all(abs(r.temp_weight - 1.0) < 1e-4 for r in natural)
+    assert all(abs(r.temp_weight_e6 - 1_000_000) <= 100 for r in natural)
 
     uniform = temperature_weights(docs, alpha=0.0).collect()
-    assert all(abs(r.temp_share - 1.0 / n) < 1e-4 for r in uniform)
+    assert all(
+        abs(r.temp_share_e6 - 1_000_000 / n) <= 100 for r in uniform
+    )
 
 
 def test_mg_merge_fold_bounds_and_superset(spark, sf_dir):

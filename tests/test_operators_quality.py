@@ -13,12 +13,12 @@ _ensure_loaded()
 @pytest.fixture(scope="module")
 def exact_pairs(spark, sf_dir):
     df = REGISTRY["dedup_jaccard_pairs"].fn(spark, sf_dir)
-    return {(r.doc_a, r.doc_b): r.jaccard for r in df.collect()}
+    return {(r.doc_a, r.doc_b): r.jaccard_e4 for r in df.collect()}
 
 
 def test_minhash_subset_and_recall(spark, sf_dir, exact_pairs):
     lsh = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_e4
         for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     # verified candidates can never exceed the exact result
@@ -278,11 +278,10 @@ def test_degenerate_corpus_mass_dups(spark):
     lsh = minhash_lsh_pairs(docs)
     # C(1000,2) identical pairs at jaccard 1.0 + 1000 near-dup pairs
     # (10 shared of 11 shingles = 0.9091) against doc 2000.
-    by_val = {r["jaccard"]: 0 for r in []}
     counts = {}
-    for r in lsh.groupBy("jaccard").count().collect():
-        counts[r["jaccard"]] = r["count"]
-    assert counts == {1.0: 499500, 0.9091: 1000}
+    for r in lsh.groupBy("jaccard_e4").count().collect():
+        counts[r["jaccard_e4"]] = r["count"]
+    assert counts == {10000: 499500, 9091: 1000}
 
     sh = simhash_pairs(docs)
     # identical pairs are hamming 0; the near-dup may or may not land
@@ -312,7 +311,7 @@ def test_sketch_path_routing_and_equivalence(spark, sf_dir):
     ).select((F.col("doc_id") * 100 + F.col("_r")).alias("doc_id"), "text")
     assert _distinct_ratio(dup_heavy) < _DIRECT_MIN_DISTINCT
 
-    for fn, key in ((minhash_lsh_pairs, "jaccard"), (simhash_pairs, "hamming")):
+    for fn, key in ((minhash_lsh_pairs, "jaccard_e4"), (simhash_pairs, "hamming")):
         direct = {
             (r.doc_a, r.doc_b, r[key])
             for r in fn(docs, path="direct").collect()
@@ -377,11 +376,11 @@ def test_srp_lsh_subset_of_exact(spark, sf_dir):
     a subset of the exact all-pairs result with identical sims — the
     verification stage guarantees no false positives."""
     exact = {
-        (r.vec_a, r.vec_b): r.sim
+        (r.vec_a, r.vec_b): r.sim_e4
         for r in REGISTRY["sim_neardup_pairs"].fn(spark, sf_dir).collect()
     }
     srp = {
-        (r.vec_a, r.vec_b): r.sim
+        (r.vec_a, r.vec_b): r.sim_e4
         for r in REGISTRY["sim_srp_lsh_neardup"].fn(spark, sf_dir).collect()
     }
     assert set(srp) <= set(exact)
@@ -407,7 +406,7 @@ def test_srp_lsh_recall_on_planted_neardups(spark):
         "vec_id long, embedding array<float>",
     )
     got = {
-        (r.vec_a, r.vec_b): r.sim
+        (r.vec_a, r.vec_b): r.sim_e4
         for r in srp_lsh_neardup(emb, threshold=0.9).collect()
     }
     # no false positives at τ=0.9
@@ -480,7 +479,7 @@ def test_lm_perplexity_prefers_fluent_docs(spark, tmp_path):
     ).parquet(f"{tmp_path}/documents.parquet")
 
     got = {
-        r.doc_id: r.avg_nll
+        r.doc_id: r.avg_nll_e4
         for r in text_lm_perplexity(spark, str(tmp_path)).collect()
     }
     assert got[100] < got[101]
@@ -585,12 +584,12 @@ def test_gopher_rules_each_axis_rejects(spark, tmp_path):
     for d in range(1, 8):
         assert not got[d].keep, f"doc {d} should fail"
     assert got[1].n_words < 50
-    assert got[2].symbol_word_ratio >= 0.1
-    assert got[3].bullet_line_ratio >= 0.9
-    assert got[4].ellipsis_line_ratio >= 0.3
-    assert got[5].alpha_word_ratio < 0.8
+    assert got[2].symbol_word_ratio_e4 >= 1000
+    assert got[3].bullet_line_ratio_e4 >= 9000
+    assert got[4].ellipsis_line_ratio_e4 >= 3000
+    assert got[5].alpha_word_ratio_e4 < 8000
     assert got[6].stop_hits < 2
-    assert got[7].mean_word_len > 10
+    assert got[7].mean_word_len_e4 > 100000
 
 
 def test_unicode_clean_planted_non_ascii(spark, tmp_path):
@@ -662,12 +661,12 @@ def test_recall_eval_invariants(spark, sf_dir):
     IVF floor that test_ivf_recall_vs_bruteforce pins directly."""
     from parquet_ingestor_spark.queries import REGISTRY
 
-    rows = {r.method: r.recall for r in
+    rows = {r.method: r.recall_e4 for r in
             REGISTRY["sim_recall_eval"].fn(spark, sf_dir).collect()}
     assert set(rows) == {"ivf_cosine", "pq_adc_l2", "ivfpq_l2"}
     for m, r in rows.items():
-        assert 0.0 <= r <= 1.0, (m, r)
-    assert rows["ivf_cosine"] >= 0.5
+        assert 0 <= r <= 10000, (m, r)
+    assert rows["ivf_cosine"] >= 5000
     # NOTE: no ivfpq ≤ pq_adc ordering is asserted — restricting ADC
     # to the probed lists can EXCLUDE spurious quantization winners
     # from far lists, so IVF-PQ recall may exceed full-ADC recall.
@@ -685,7 +684,7 @@ def test_recall_of_exact_against_itself_is_one(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     exact = brute_force_l2_topk(emb, _query_set(emb))
     row = recall_against(exact, exact, "self").collect()[0]
-    assert row.recall == 1.0
+    assert row.recall_e4 == 10000
 
 
 def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
@@ -695,11 +694,14 @@ def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
     from parquet_ingestor_spark.queries import REGISTRY
     import pyspark.sql.functions as F
 
-    fn = REGISTRY["emb_whiten"].fn  # long form: (vec_id, dim, value)
+    fn = REGISTRY["emb_whiten"].fn  # long form: (vec_id, dim, value_e4)
     a = fn(spark, sf_dir)
     stats = (
         a.groupBy("dim")
-        .agg(F.avg("value").alias("m"), F.var_pop("value").alias("v"))
+        .agg(
+            F.avg(F.col("value_e4") / 10000.0).alias("m"),
+            F.var_pop(F.col("value_e4") / 10000.0).alias("v"),
+        )
         .collect()
     )
     assert len(stats) == 64
@@ -711,7 +713,7 @@ def test_whiten_standardizes_and_is_run_stable(spark, sf_dir):
     from parquet_ingestor_spark.operators.embeddings import whiten
 
     row = whiten(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).first()
-    assert len(row.whitened) == 64
+    assert len(row.whitened_e4) == 64
 
 
 def test_pca_project_matches_numpy(spark, sf_dir):
@@ -777,8 +779,9 @@ def test_hll_merge_is_lossless_and_error_bounded(spark, sf_dir):
     rows = REGISTRY["events_hll_users"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.est_users == r.est_merged, r
-        assert abs(r.est_users - r.exact_users) / max(1, r.exact_users) < 0.05, r
+        assert r.est_users_e4 == r.est_merged_e4, r
+        est = r.est_users_e4 / 10000.0
+        assert abs(est - r.exact_users) / max(1, r.exact_users) < 0.05, r
 
 
 def test_hll_merge_invariant_to_shard_count(spark, sf_dir):
@@ -1422,3 +1425,28 @@ def test_persisted_ivf_index_serves_identically_and_prunes(spark, sf_dir, tmp_pa
         ]
     )
     assert n_dirs == n_lists
+
+
+def test_pca1_power_matches_numpy_dominant_eigvec(spark, sf_dir):
+    """The 24-round power iteration must land on numpy's dominant
+    eigenvector (up to the shared sign rule): per-vector pc1
+    projections within 1e-3 relative of the eigh-based ones."""
+    import numpy as np
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.embeddings import (
+        _pca1_power_vector,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mu, v = _pca1_power_vector(emb)
+    rows = emb.select("embedding").collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    cov = (x.T @ x) / len(x) - np.outer(x.mean(axis=0), x.mean(axis=0))
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    k = int(np.argmax(np.abs(top)))
+    if top[k] < 0:
+        top = -top
+    cos = float(np.dot(v, top))
+    assert cos > 0.9999, cos

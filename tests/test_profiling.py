@@ -49,9 +49,9 @@ def test_zipf_fit_recovers_planted_exponent(spark, tmp_path):
     slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
         (x - mx) ** 2 for x in xs
     )
-    assert abs(row.zipf_slope - round(slope, 4)) < 1e-9
+    assert row.zipf_slope_e4 == round(slope * 10000)
     # the planted law is Zipf(1); floor() discretization bends the tail
-    assert -1.05 < row.zipf_slope < -0.9
+    assert -10500 < row.zipf_slope_e4 < -9000
 
 
 def test_entropy_uniform_equals_log2_vocab(spark, tmp_path):
@@ -60,7 +60,7 @@ def test_entropy_uniform_equals_log2_vocab(spark, tmp_path):
     )
     row = REGISTRY["text_unigram_entropy"].fn(spark, sf).collect()[0]
     assert row.vocab_size == 32 and row.n_tokens == 32
-    assert row.unigram_entropy_bits == 5.0  # log2(32), exact under round(4)
+    assert row.unigram_entropy_bits_e4 == 50000  # log2(32) = 5 exactly
 
 
 def test_entropy_collapses_on_template_spam(spark, tmp_path):
@@ -69,7 +69,7 @@ def test_entropy_collapses_on_template_spam(spark, tmp_path):
     )
     row = REGISTRY["text_unigram_entropy"].fn(spark, sf).collect()[0]
     assert row.vocab_size == 2
-    assert 0.0 < row.unigram_entropy_bits < 0.02  # ≪ log2(2) = 1 bit
+    assert 0 < row.unigram_entropy_bits_e4 < 200  # ≪ log2(2) = 1 bit
 
 
 def test_normalized_dedup_groups_planted_variants(spark, tmp_path):
@@ -110,7 +110,7 @@ def test_source_overlap_flags_planted_shared_passage(spark, tmp_path):
     r = rows[0]
     assert r.common == 5  # exactly the shared passage's 8-grams
     assert r.grams_a == r.grams_b == 13  # 20 tokens → 13 distinct 8-grams
-    assert r.jaccard == round(5 / (13 + 13 - 5), 4)
+    assert r.jaccard_e4 == round(5 / (13 + 13 - 5) * 10000)
 
 
 def test_novelty_score_planted_shared_doc(spark, tmp_path):
@@ -162,9 +162,9 @@ def test_dim_stats_planted_constant_and_known_dims(spark, tmp_path):
     got = {r.dim: r for r in REGISTRY["emb_dim_stats"].fn(spark, str(tmp_path)).collect()}
     assert len(got) == 64
     for d in (1, 2, 3):  # constant dims: exact mean, zero variance
-        assert got[d].dim_mean == 1.5 and got[d].dim_var == 0.0
+        assert got[d].dim_mean_e4 == 15000 and got[d].dim_var_e4 == 0
     # dims 4..64 hold vec_id ∈ {0,1,2,3}: mean 1.5, var_pop 1.25
-    assert got[10].dim_mean == 1.5 and got[10].dim_var == 1.25
+    assert got[10].dim_mean_e4 == 15000 and got[10].dim_var_e4 == 12500
 
 
 def test_length_gini_bounds_and_planted_extremes(spark):
@@ -183,9 +183,9 @@ def test_length_gini_bounds_and_planted_extremes(spark):
     spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    got = {r.source: r.gini for r in text_length_gini(spark, d).collect()}
-    assert got["uniform"] == 0.0
-    assert 0.8 < got["skewed"] < 1.0
+    got = {r.source: r.gini_e6 for r in text_length_gini(spark, d).collect()}
+    assert got["uniform"] == 0
+    assert 800000 < got["skewed"] < 1000000
 
 
 def test_js_divergence_identity_and_bounds(spark):
@@ -205,11 +205,11 @@ def test_js_divergence_identity_and_bounds(spark):
     spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
-    got = {(r.source_a, r.source_b): r.js_bits
+    got = {(r.source_a, r.source_b): r.js_bits_e4
            for r in corpus_js_divergence(spark, d).collect()}
-    assert got[("same1", "same2")] == 0.0
+    assert got[("same1", "same2")] == 0
     # fully disjoint pairs share no token: the inner join drops them
     # entirely — by design the matrix covers sources with any overlap
     assert ("other", "same1") not in got and ("same1", "other") not in got
     for v in got.values():
-        assert 0.0 <= v <= 1.0
+        assert 0 <= v <= 10000

@@ -282,11 +282,11 @@ def test_repetition_signal_bounds(texts):
     got = {r.doc_id: r for r in text_repetition(_spark, tmp).collect()}
     assert len(got) == len(rows)
     for r in got.values():
-        assert 0 < r.uniq_frac <= 1
-        assert 0 < r.top_word_frac <= 1
-        assert 0 <= r.top_bigram_frac <= 1
+        assert 0 < r.uniq_frac_e4 <= 10000
+        assert 0 < r.top_word_frac_e4 <= 10000
+        assert 0 <= r.top_bigram_frac_e4 <= 10000
     pinned = got[10_000]
-    assert pinned.top_word_frac == 1.0 and pinned.uniq_frac == 0.2
+    assert pinned.top_word_frac_e4 == 10000 and pinned.uniq_frac_e4 == 2000
 
 
 # ---------------------------------------------------------------------------

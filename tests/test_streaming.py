@@ -443,10 +443,11 @@ def test_det_overlap_entry_tracks_exact(spark, sf_dir):
     assert got
     for (a, b), r in got.items():
         exact = len(users[a] & users[b])
-        assert r.est_union >= max(r.est_a, r.est_b) - 1e-4
-        assert r.est_intersection <= min(r.est_a, r.est_b) + 1e-4
-        assert abs(r.est_intersection - exact) <= max(3, 0.05 * max(exact, 1)), (
-            a, b, exact, r.est_intersection,
+        inter = r.est_intersection_e4 / 10000.0
+        assert r.est_union_e4 >= max(r.est_a_e4, r.est_b_e4) - 1
+        assert r.est_intersection_e4 <= min(r.est_a_e4, r.est_b_e4) + 1
+        assert abs(inter - exact) <= max(3, 0.05 * max(exact, 1)), (
+            a, b, exact, inter,
         )
 
 

@@ -22,6 +22,8 @@ from parquet_ingestor_spark.testing import (
     driver_canon_probe,
     duck_canon,
     duck_connect,
+    env_fingerprint,
+    rounding_battery,
 )
 
 
@@ -32,6 +34,26 @@ def main() -> None:
     spark = get_spark(app_name="gate-emulate")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connect(sf_dir)
+    # environment fingerprint + cross-engine rounding battery FIRST:
+    # if the two engines disagree on any rounding edge here, every
+    # hash mismatch below is suspect (the r5 neyman class) — and if
+    # they agree locally but the driver still reds, the fingerprint
+    # is the diff to chase.
+    import json as _json
+
+    print("env:", _json.dumps(env_fingerprint()))
+    drift = rounding_battery(spark, con)
+    if drift:
+        print(f"ROUNDING DRIFT inside the sanctioned 2^40 domain "
+              f"({len(drift)} edges) — hash mismatches below are suspect:")
+        for line in drift:
+            print("  ", line)
+    else:
+        print("rounding battery: engines agree on all in-domain edges")
+    extra = rounding_battery(spark, con, max_abs=9e18)
+    for line in extra:
+        if line not in drift:
+            print("  (known out-of-domain divergence)", line)
     names = list(REGISTRY)[:n]
     bad = 0
     for name in names:
