@@ -138,12 +138,50 @@ def _extra_probes():
         pagerank_parts,
     )
 
+    # Data-scaling probes for the dedup/ANN family (r5 verdict #8's
+    # second datapoint, complementing the 10×-rows ⇒ 1.49×-wall
+    # measurement of commit d33359c): the SAME pipelines on a 2×-rows
+    # derived corpus (each row unioned with an id-shifted,
+    # text-perturbed twin so the distinct-ratio router keeps the
+    # production direct path). Banded LSH claims near-linear cost in
+    # rows; compare x2rows against the headline dedup_minhash_lsh /
+    # sim_ivf_topk times.
+    import pyspark.sql.functions as F
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.dedup import minhash_lsh_pairs
+    from parquet_ingestor_spark.operators.similarity import (
+        IVF_K,
+        ivf_search,
+    )
+
+    def _docs_x2(s, d):
+        docs = table(s, d, "documents").select("doc_id", "text")
+        twin = docs.select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" zz"), F.col("doc_id")).alias("text"),
+        )
+        return docs.unionByName(twin)
+
+    def _emb_x2(s, d):
+        emb = table(s, d, "embeddings").select("vec_id", "embedding")
+        twin = emb.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        return emb.unionByName(twin)
+
     return {
         "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
             s, d, 2 * _PAGERANK_ITERS
         ),
         "graph_kcore_parts_x2rounds": lambda s, d: kcore_parts(
             s, d, 2 * _KCORE_ROUNDS
+        ),
+        "dedup_minhash_lsh_x2rows": lambda s, d: minhash_lsh_pairs(
+            _docs_x2(s, d)
+        ),
+        "sim_ivf_topk_x2rows": lambda s, d: ivf_search(
+            _emb_x2(s, d), n_lists=IVF_K
         ),
     }
 

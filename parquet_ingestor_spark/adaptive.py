@@ -152,3 +152,61 @@ def snapshot_from_progress(
         workers=workers,
         pollers=pollers,
     )
+
+
+@dataclass
+class MaxFilesController:
+    """Feedback-driven ``maxFilesPerTrigger`` loop — the reference's
+    adaptive cascade CLOSED over Spark's actual ingest-rate lever
+    (r5 verdict #8: reference ingestor/adaptive.go:127-260 applies its
+    decisions; the monitor above only recommended).
+
+    Spark cannot retune a RUNNING query's source options, so the
+    application point is the micro-batch restart boundary: feed every
+    StreamingQueryProgress into :meth:`on_progress`; a non-None return
+    is the new ``maxFilesPerTrigger`` to use when (re)starting the
+    ingest — checkpoint-safe, since file-source progress lives in the
+    checkpoint, not the option. pollers±1 maps to a geometric step
+    (×2 / ÷2, clamped to [lo, hi]): rate levers need multiplicative
+    moves to track order-of-magnitude load swings within the
+    reference's one-step-per-cooldown discipline.
+    """
+
+    lo: int = 1
+    hi: int = 1024
+    current: int = 16
+    monitor: AdaptiveMonitor = field(default=None)  # type: ignore[assignment]
+    #: applied (ts, old, new, reason) tuples — the audit trail the
+    #: reference logs on every resize.
+    history: list = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.monitor is None:
+            # the cascade's poller bounds ARE this controller's rate
+            # bounds — without this, current > max_pollers(4) would
+            # permanently veto scale-ups
+            self.monitor = AdaptiveMonitor(
+                cfg=AdaptiveConfig(min_pollers=self.lo, max_pollers=self.hi)
+            )
+
+    def on_progress(
+        self,
+        progress: object,
+        now: float | None = None,
+    ) -> int | None:
+        s = snapshot_from_progress(
+            progress, workers=1, pollers=self.current
+        )
+        rec = self.monitor.observe(s, now=now)
+        if rec.component != "pollers" or rec.delta == 0:
+            return None
+        new = (
+            min(self.hi, self.current * 2)
+            if rec.delta > 0
+            else max(self.lo, self.current // 2)
+        )
+        if new == self.current:
+            return None
+        self.history.append((now, self.current, new, rec.reason))
+        self.current = new
+        return new

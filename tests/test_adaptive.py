@@ -132,3 +132,45 @@ def test_cooldown_does_not_consume_noop_ticks():
     assert mon.observe(snap(), now=100.0).delta == 0
     # a no-op tick must not reset the cooldown clock
     assert mon.observe(snap(flush_queue_usage=0.8), now=101.0).delta == +1
+
+
+class _Progress:
+    def __init__(self, batch_ms, trigger_ms, in_rate, proc_rate):
+        self.batchDuration = batch_ms
+        self.triggerExecution = trigger_ms
+        self.inputRowsPerSecond = in_rate
+        self.processedRowsPerSecond = proc_rate
+
+
+def test_max_files_controller_scales_down_under_pressure():
+    from parquet_ingestor_spark.adaptive import MaxFilesController
+
+    c = MaxFilesController(current=64)
+    # batch saturates its trigger AND input outruns processing →
+    # severe pressure → halve the ingest rate
+    new = c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=100.0)
+    assert new == 32 and c.current == 32
+    # cooldown: an immediately-following pressured batch is a no-op
+    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=101.0) is None
+    # after the cooldown the loop keeps stepping down
+    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=200.0) == 16
+
+
+def test_max_files_controller_scales_up_with_headroom():
+    from parquet_ingestor_spark.adaptive import MaxFilesController
+
+    c = MaxFilesController(current=16)
+    # source busy (≥60%), flush light (≤50%) → rate up, geometric step
+    new = c.on_progress(_Progress(300, 1000, 700.0, 1000.0), now=100.0)
+    assert new == 32 and c.current == 32
+    assert c.history and c.history[-1][1:3] == (16, 32)
+
+
+def test_max_files_controller_clamps_at_bounds():
+    from parquet_ingestor_spark.adaptive import MaxFilesController
+
+    c = MaxFilesController(lo=8, hi=32, current=8)
+    # pressured at the floor: no change emitted (already clamped)
+    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=100.0) is None
+    c2 = MaxFilesController(lo=8, hi=32, current=32)
+    assert c2.on_progress(_Progress(300, 1000, 700.0, 1000.0), now=100.0) is None

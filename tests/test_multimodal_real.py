@@ -303,3 +303,34 @@ def test_media_phash_neardup_recall_and_precision(spark, sf_dir):
     )  # docs 0..499 at sf0.001
     if rows and rows[-1].doc_b < 500:
         assert len(planted) >= 0.8 * n_expected
+
+
+def test_media_features_real_pil_decoder(spark):
+    """Gated on a real codec library (r5 verdict #7): when the
+    container has Pillow, a one-line wrapper turns it into a
+    ``decoders`` entry and PNG becomes a fully-decoded format —
+    dimensions and luma computed from real pixels. Skips (does not
+    pass vacuously) where PIL is absent; the fake-decoder test above
+    remains the always-on injection contract."""
+    import io
+
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+
+    def _pil_png_decode(b: bytes):
+        img = Image.open(io.BytesIO(bytes(b))).convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :3, :] = 255  # left half white, right half black
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    got = extract_media_features(
+        media, decoders={"png": _pil_png_decode}
+    ).collect()[0]
+    assert (got.fmt, got.width, got.height) == ("png", 6, 4)
+    assert abs(got.mean_luma - 127.5) < 1.0
