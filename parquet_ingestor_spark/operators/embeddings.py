@@ -19,6 +19,10 @@ from ..queries import register
 from .similarity import _dot, with_norm
 
 
+#: Fixed power-method rounds for the hash-verifiable PCA entries.
+PCA1_POWER_ITERS = 96
+
+
 @register(
     "emb_normalize",
     oracle="""
@@ -102,52 +106,227 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_pca1_power(emb: DataFrame, dim: int = 64) -> list:
+    """Per-label dominant-eigenvalue estimates by the same
+    fixed-iteration, bit-matched power method as
+    :func:`_pca1_power_vector`, over per-label exact-decimal moments
+    and covariances (population covariance, the emb_cov_matrix
+    convention). Returns [(label, n_vectors, lam, trace)] with lam
+    the Rayleigh quotient v'Cv after PCA1_POWER_ITERS rounds — every
+    fold sequential, so both engines produce identical doubles.
+
+    Scale shape: ONE distributed pass builds (label, i, j) decimal
+    sums (shuffle is labels x dim^2 partials, never rows); the driver
+    holds labels x dim^2 doubles — bounded model state."""
+    import math
+
+    xd = F.col("x").cast("decimal(18,8)")
+    mom_rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.sum(xd).cast("double").alias("sx"), F.count("*").alias("n"))
+        .select(
+            "label", "dim", (F.col("sx") / F.col("n")).alias("mu"), "n"
+        )
+        .collect()
+    )
+    pairs = F.expr(
+        f"flatten(transform(sequence(1, {dim}), i -> "
+        f"transform(sequence(i, {dim}), j -> struct(i AS i, j AS j, "
+        "CAST(CAST(element_at(embedding, i) AS DOUBLE) "
+        "* CAST(element_at(embedding, j) AS DOUBLE) "
+        "AS DECIMAL(28,16)) AS p))))"
+    )
+    cov_rows = (
+        emb.select("label", F.explode(pairs).alias("e"))
+        .select("label", "e.i", "e.j", "e.p")
+        .groupBy("label", "i", "j")
+        .agg(F.sum("p").cast("double").alias("sxy"), F.count("*").alias("n"))
+        .collect()
+    )
+    labels = sorted({r.label for r in mom_rows})
+    mu = {(r.label, r.dim): r.mu for r in mom_rows}
+    n_vec = {}
+    for r in mom_rows:
+        n_vec[r.label] = r.n
+    out = []
+    for lb in labels:
+        c = [[0.0] * dim for _ in range(dim)]
+        for r in cov_rows:
+            if r.label != lb:
+                continue
+            v = r.sxy / r.n - mu[(lb, r.i)] * mu[(lb, r.j)]
+            c[r.i - 1][r.j - 1] = v
+            c[r.j - 1][r.i - 1] = v
+        tr = 0.0
+        for i in range(dim):
+            tr += c[i][i]
+        if tr == 0.0:
+            out.append((lb, n_vec[lb], 0.0, 0.0))
+            continue
+        v = [0.0] * dim
+        v[0] = 1.0
+        for _ in range(PCA1_POWER_ITERS):
+            y = []
+            for i in range(dim):
+                acc = 0.0
+                for j in range(dim):
+                    acc += c[i][j] * v[j]
+                y.append(acc)
+            sq = 0.0
+            for z in y:
+                sq += z * z
+            nrm = math.sqrt(sq)
+            v = [z / nrm for z in y]
+        lam = 0.0
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += c[i][j] * v[j]
+            lam += v[i] * acc
+        out.append((lb, n_vec[lb], lam, tr))
+    return out
+
+
+def _label_pca1_oracle(iters: int) -> str:
+    """Per-label twin of :func:`_pca1_oracle`: the recursive power
+    CTE iterates ALL label rows at once."""
+    v0 = "[1.0" + ", 0.0" * 63 + "]"
+    yexpr = (
+        "list_transform(generate_series(1, 64), i -> "
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> m[i][j] * v[j])))"
+    )
+    return f"""
+        WITH RECURSIVE lsums AS (
+            SELECT label, i AS dim,
+                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
+                        AS DOUBLE) AS sx,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+            GROUP BY label, i
+        ),
+        lmom AS (SELECT label, dim, sx / n AS mu FROM lsums),
+        lcs AS (
+            SELECT label, i, j,
+                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE)
+                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
+            CROSS JOIN unnest(generate_series(1, 64)) AS tj(j)
+            GROUP BY label, i, j
+        ),
+        lrow AS (
+            SELECT s.label, s.i,
+                   list(s.sxy / s.n - mi.mu * mj.mu ORDER BY s.j) AS row
+            FROM lcs s
+            JOIN lmom mi ON mi.label = s.label AND mi.dim = s.i
+            JOIN lmom mj ON mj.label = s.label AND mj.dim = s.j
+            GROUP BY s.label, s.i
+        ),
+        lm AS (
+            SELECT label, list(row ORDER BY i) AS m FROM lrow
+            GROUP BY label
+        ),
+        tr AS (
+            SELECT label,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> m[i][i])) AS trace
+            FROM lm
+        ),
+        it AS (
+            SELECT lm.label, 0 AS k, CAST({v0} AS DOUBLE[]) AS v, m
+            FROM lm JOIN tr USING (label) WHERE tr.trace <> 0
+            UNION ALL
+            SELECT label, k + 1,
+                   list_transform({yexpr},
+                       z -> z / sqrt(list_sum(list_transform({yexpr},
+                                w -> w * w)))),
+                   m
+            FROM it WHERE k < {iters}
+        ),
+        ray AS (
+            SELECT label,
+                   list_sum(list_transform(generate_series(1, 64),
+                        i -> v[i] * list_sum(list_transform(
+                                 generate_series(1, 64),
+                                 j -> m[i][j] * v[j])))) AS lam
+            FROM it WHERE k = {iters}
+        ),
+        cnt AS (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM embeddings GROUP BY label
+        )
+        SELECT c.label, c.n_vectors,
+               CAST(round(coalesce(r.lam, 0.0) * 1000000) AS BIGINT)
+                   AS top_eigenvalue_e6,
+               CAST(round(CASE WHEN t.trace = 0 THEN 0.0
+                               ELSE r.lam / t.trace END * 1000000)
+                    AS BIGINT) AS explained_ratio_ppm
+        FROM cnt c
+        JOIN tr t USING (label)
+        LEFT JOIN ray r USING (label)
+        ORDER BY c.label
+    """
+
+
 @register(
     "emb_label_pca1",
-    oracle=None,  # eigen-decomposition is not SQL-expressible; the test
-    # diffs against numpy on the same grouped data.
-    doc="Per-label top principal component via applyInPandas grouped "
-    "map (numpy eigh per label group): top eigenvalue + explained-"
-    "variance ratio of each label cluster's covariance.",
-    tags=("embedding", "grouped-map"),
+    oracle=_label_pca1_oracle(PCA1_POWER_ITERS),
+    doc="Per-label dominant-eigenvalue summary (top eigenvalue + "
+    "explained-variance ratio of each label cluster's population "
+    "covariance), hash-verifiable end to end: per-label exact-decimal "
+    f"moments/covariance, {PCA1_POWER_ITERS} bit-matched power-method "
+    "rounds, Rayleigh-quotient eigenvalue, integer-quantized outputs "
+    "(promoted rows-only -> oracle-backed, r5 verdict #3; the "
+    "applyInPandas/eigh formulation remains the library pattern in "
+    "emb_kmeans_fit/pca_fit).",
+    tags=("embedding", "grouped", "iterative"),
 )
 def emb_label_pca1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-map pattern: groupBy(label).applyInPandas — each label's
-    vectors arrive as one pandas DataFrame (Arrow-batched), numpy does
-    the linear algebra, one summary row returns per group. State fits
-    because a group is one label's vectors; for groups too large for
-    one worker you'd pre-aggregate (count/sum/outer-product) with
-    DataFrame ops and only eigensolve the k×k result — noted here
-    because at 100 TB that is the shape to use."""
-    import numpy as np
-    import pandas as pd
-
-    def _pca1(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf["embedding"].values).astype(np.float64)
-        centered = mat - mat.mean(axis=0, keepdims=True)
-        cov = np.cov(centered, rowvar=False)
-        evals = np.linalg.eigvalsh(cov)
-        top = float(evals[-1])
-        total = float(evals.sum())
-        return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vectors": [len(pdf)],
-                "top_eigenvalue": [round(top, 6)],
-                "explained_ratio": [round(top / total, 6) if total else 0.0],
-            }
+    """One distributed decimal-sum pass keyed (label, i, j); the
+    driver holds labels x dim^2 model state and returns a labels-row
+    summary frame — the pre-aggregate-then-solve shape the old
+    grouped-map docstring recommended for 100 TB, now the actual
+    implementation."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = []
+    for lb, n, lam, tr in _label_pca1_power(emb):
+        rows.append(
+            (
+                int(lb),
+                int(n),
+                int(_round_half_away(lam * 1000000)),
+                int(
+                    _round_half_away(
+                        (lam / tr if tr != 0.0 else 0.0) * 1000000
+                    )
+                ),
+            )
         )
+    return spark.createDataFrame(
+        rows,
+        "label int, n_vectors bigint, top_eigenvalue_e6 bigint, "
+        "explained_ratio_ppm bigint",
+    ).orderBy("label")
 
-    return (
-        table(spark, sf_dir, "embeddings")
-        .groupBy("label")
-        .applyInPandas(
-            _pca1,
-            schema="label int, n_vectors long, top_eigenvalue double, "
-            "explained_ratio double",
-        )
-        .orderBy("label")
-    )
+
+def _round_half_away(x: float) -> int:
+    """Half-away-from-zero rounding of a double to int — the same rule
+    Spark's round()/DuckDB's round() apply inside the sanctioned
+    |x| < 2^40 domain (Python's round() is half-even and would drift
+    at exact .5 ties)."""
+    import math
+
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
 @register(
@@ -774,9 +953,6 @@ def pca_project(
         )
         outs.append(F.round(expr, round_to).alias(f"pc{ci + 1}"))
     return emb.select("vec_id", *outs)
-
-
-PCA1_POWER_ITERS = 96
 
 
 def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:

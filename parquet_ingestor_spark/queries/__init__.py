@@ -80,7 +80,8 @@ _LOADED = False
 #: than one 50-slot window can re-check. These converted entries are
 #: locally oracle-green (tools/stability_sweep.py) but their latest
 #: driver row predates the conversion; rotate them in next round:
-#: q41_scalar_subquery, q45_unpivot, q55_volume_shipping, q56_market_share,
+#: q30_json_funcs, q41_scalar_subquery, q45_unpivot, q55_volume_shipping,
+#: q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
 #: q61_large_volume_customers, q62_dormant_high_balance,
 #: q63_small_qty_revenue, q64_top_supplier, q65_important_parts,
@@ -134,7 +135,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q19_running_sum",
     "q20_lag_delta",
     "q23_scalar_funcs",
-    "q30_json_funcs",
     "q32_shipping_priority",
     "q33_cube",
     "q35_stats_aggs",
@@ -147,6 +147,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # — embedding-family conversions (r2/r3 rows) + the round-6
     # promotion (new entry, never checked — must take a slot)
     "emb_pca1_power",
+    "emb_label_pca1",
     "emb_normalize",
     "emb_quantize",
     "emb_dim_stats",
