@@ -368,7 +368,12 @@ def cosine_topk_vectorized(
     "(sim_bruteforce_topk) — so the BLAS rewrite is hash-proven "
     "output-identical; sim values are dropped from the gate because "
     "numpy pairwise summation differs from the sequential fold in the "
-    "last ulps (library callers get them from cosine_topk_vectorized).",
+    "last ulps (library callers get them from cosine_topk_vectorized). "
+    "Residual risk, accepted + monitored (r5 advisor note): a "
+    "similarity within an ulp of the e4 quantization boundary AT the "
+    "rank-k cutoff could still flip the result set between the numpy "
+    "and fold orders; no such boundary case exists in the testdata "
+    "and the stability sweep would surface one as an unstable entry.",
     tags=("similarity", "vectorized"),
 )
 def sim_bruteforce_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
