@@ -559,7 +559,17 @@ def kcore_peel(
     edge set is lineage-truncated every round (the pagerank
     contract): without it each round's filter re-expands the entire
     upstream plan and the pair-mining scan multiplies by the round
-    count."""
+    count.
+
+    Why k-core KEEPS localCheckpoint while pagerank moved to a
+    partitioned cache (r5 verdict #4): pagerank's edge table is STATIC
+    across rounds, so one cached partitioning amortizes over every
+    iteration; k-core's edge set SHRINKS each round — the round
+    rewrites (semi joins + re-materialization) already touch every
+    surviving edge, so the extra per-round exchange is bounded by the
+    same O(m_round) the rewrite itself costs, and a per-round
+    repartition+persist chain would leak cache entries and regrow the
+    plan the checkpoint exists to bound."""
     e = truncate_lineage(
         edges.select("u", "v")
         .where(F.col("u") != F.col("v"))
