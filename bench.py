@@ -254,7 +254,21 @@ def main() -> None:
     for name in names:
         fn = extra[name] if name in extra else REGISTRY[name].fn
         try:
+            w0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # long-running entries (the graph family) JIT-compile
+            # enough generated code that the FIRST timed run still
+            # carried 20-40% of compile/GC noise in r4/r5 details —
+            # warm slow entries twice so every timed run is
+            # steady-state (r5 verdict #5's spread target)
+            if time.perf_counter() - w0 > 2.0:
+                for rdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist(False)
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
         except Exception:
             pass  # warm-up failures surface in the timed run
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
