@@ -265,3 +265,68 @@ def test_avro_schema_builder_rejects_nested():
     )
     with pytest.raises(ValueError):
         _avro_record_schema(nested)
+
+
+def test_adaptive_controller_retunes_ingest_across_restart(spark, dirs):
+    """End-to-end O19 feedback cycle (r5 verdict #8): run the ingest at
+    one maxFilesPerTrigger, feed the query's REAL progress into
+    MaxFilesController, restart from the same checkpoint with the
+    controller's new setting, and verify delivery stays exactly-once —
+    the restart-boundary application is checkpoint-safe by
+    construction (file-source progress lives in the checkpoint, not
+    the option)."""
+    import json
+
+    from parquet_ingestor_spark.adaptive import MaxFilesController
+
+    landing, out, chk = dirs
+    os.makedirs(landing)
+    g1 = 0
+    for i in range(6):  # several small files so the trigger cap binds
+        g1 += _write_landing_file(
+            landing, f"a{i}.json", 20, offset=100 * i
+        )
+
+    ctl = MaxFilesController(lo=1, hi=8, current=4)
+    cfg = PipelineConfig(
+        flush_interval="1 second", max_files_per_trigger=ctl.current
+    )
+    q1 = start_stream_ingest(spark, landing, out, chk, RECORD_SCHEMA, cfg)
+    q1.processAllAvailable()
+    new_setting = None
+    for p in q1.recentProgress:
+        prog = json.loads(p.json) if isinstance(p.json, str) else p
+        # adapt through the controller on the query's own progress
+        class _P:  # map the progress dict onto the snapshot fields
+            batchDuration = prog.get("batchDuration", 0)
+            triggerExecution = prog.get("durationMs", {}).get(
+                "triggerExecution", prog.get("batchDuration", 0)
+            )
+            inputRowsPerSecond = prog.get("inputRowsPerSecond", 0.0)
+            processedRowsPerSecond = prog.get(
+                "processedRowsPerSecond", 0.0
+            )
+
+        out_setting = ctl.on_progress(_P, now=float(prog["batchId"]) * 100)
+        if out_setting is not None:
+            new_setting = out_setting
+    q1.stop()
+    q1.awaitTermination(30)
+    assert spark.read.parquet(f"{out}/data").count() == g1
+
+    # restart with the controller's current setting (changed or not —
+    # the cycle is what's under test), new data lands while "down"
+    g2 = _write_landing_file(landing, "z.json", 30, offset=10_000)
+    cfg2 = PipelineConfig(
+        flush_interval="1 second", max_files_per_trigger=ctl.current
+    )
+    q2 = start_stream_ingest(spark, landing, out, chk, RECORD_SCHEMA, cfg2)
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination(30)
+    df = spark.read.parquet(f"{out}/data")
+    assert df.count() == g1 + g2  # exactly-once across the retune
+    assert df.select("id").distinct().count() == g1 + g2
+    # the controller saw real progress and kept its setting in-bounds
+    assert ctl.lo <= ctl.current <= ctl.hi
+    assert new_setting is None or ctl.lo <= new_setting <= ctl.hi
