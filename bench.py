@@ -196,7 +196,38 @@ def _extra_probes():
 
         return _x2_table(s, d, "embeddings", derive)
 
+    # corpus_bloom_seen's REGISTERED entry pays an oracle tax (md5 bit
+    # positions, ~+0.8 s at sf0.1 vs r5's xxhash64 build) so the
+    # driver can hash-check the whole bitmap/probe pipeline; this
+    # probe keeps the PRODUCTION hasher's cost visible so the delta
+    # reads as the deliberate twin rule, not a regression.
+    from parquet_ingestor_spark.operators.dedup import shingle_col
+    from parquet_ingestor_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        bloom_build,
+        bloom_probe,
+    )
+
+    def _bloom_seen_prod(s, d):
+        docs = table(s, d, "documents")
+        history = docs.where(F.col("source") != "src0").select(
+            F.explode(shingle_col("text")).alias("sh")
+        )
+        probe = docs.where(F.col("source") == "src0").select(
+            "doc_id", F.explode(shingle_col("text")).alias("sh")
+        )
+        bitmap = bloom_build(history, F.col("sh"), BLOOM_BITS, BLOOM_HASHES)
+        flagged = bloom_probe(
+            bitmap, probe, F.col("sh"), BLOOM_BITS, BLOOM_HASHES
+        )
+        return flagged.groupBy("doc_id").agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.col("maybe_seen").cast("bigint")).alias("n_maybe_seen"),
+        )
+
     return {
+        "corpus_bloom_seen_prod": _bloom_seen_prod,
         "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
             s, d, 2 * _PAGERANK_ITERS
         ),
