@@ -157,12 +157,15 @@ def _extra_probes():
 
     import tempfile
 
-    _x2_cache = os.path.join(tempfile.gettempdir(), "spark_graft_x2rows")
+    # fresh per-process scratch dir: a fixed path + _SUCCESS marker
+    # would silently reuse STALE twins after testdata regeneration or
+    # a derivation change (round-6 self-review finding)
+    _x2_cache = tempfile.mkdtemp(prefix="spark_graft_x2rows_")
 
     def _x2_table(s, d, name, derive):
         # materialize the derived corpus ONCE per bench process so the
         # probe times the operator at 2x rows, not the twin derivation
-        path = os.path.join(_x2_cache, os.path.basename(d), name)
+        path = os.path.join(_x2_cache, name)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             derive(s, d).write.mode("overwrite").parquet(path)
         return s.read.parquet(path)

@@ -133,21 +133,33 @@ class AdaptiveMonitor:
 
 
 def snapshot_from_progress(
-    progress: object, workers: int, pollers: int
+    progress: object,
+    workers: int,
+    pollers: int,
+    target_batch_ms: float = 10_000.0,
 ) -> PressureSnapshot:
-    """Build a snapshot from a StreamingQueryProgress: batch saturation
-    stands in for CPU, input/processing rate ratio for source pressure."""
+    """Build a snapshot from a StreamingQueryProgress.
+
+    Saturation must be measured against an EXTERNAL target, not
+    against the batch's own numbers: a real StreamingQueryProgress has
+    no trigger-interval field — its ``durationMs['triggerExecution']``
+    IS the batch execution time, so batch/triggerExecution ≡ 1.0 and
+    the cascade would read severe pressure on every tick regardless of
+    load (a down-only ratchet — caught by the round-6 self-review).
+    ``target_batch_ms`` is the caller's batch-latency SLA (default
+    10 s — the reference's flush-interval order of magnitude): CPU and
+    flush pressure = how full the batch runs against that budget;
+    source pressure = input rate vs processing rate.
+    """
     batch_ms = getattr(progress, "batchDuration", 0) or 0
-    trigger_ms = max(
-        1, getattr(progress, "triggerExecution", batch_ms) or batch_ms
-    )
     in_rate = getattr(progress, "inputRowsPerSecond", 0.0) or 0.0
     proc_rate = getattr(progress, "processedRowsPerSecond", 0.0) or 0.0
     src = min(1.0, in_rate / proc_rate) if proc_rate > 0 else 0.0
+    saturation = min(1.0, batch_ms / max(1.0, target_batch_ms))
     return PressureSnapshot(
-        cpu_util=min(1.0, batch_ms / trigger_ms),
+        cpu_util=saturation,
         mem_usage=0.0,  # the JVM owns memory; dynamicAllocation reacts to it
-        flush_queue_usage=min(1.0, batch_ms / trigger_ms),
+        flush_queue_usage=saturation,
         source_buffer_usage=src,
         workers=workers,
         pollers=pollers,
@@ -175,18 +187,25 @@ class MaxFilesController:
     lo: int = 1
     hi: int = 1024
     current: int = 16
-    monitor: AdaptiveMonitor = field(default=None)  # type: ignore[assignment]
+    #: batch-latency SLA the saturation signal is measured against
+    #: (see snapshot_from_progress) — tune to the trigger interval.
+    target_batch_ms: float = 10_000.0
+    cooldown_sec: float = 30.0
+    cfg: AdaptiveConfig = field(default=None)  # type: ignore[assignment]
     #: applied (ts, old, new, reason) tuples — the audit trail the
     #: reference logs on every resize.
     history: list = field(default_factory=list)
+    _last_change: float = field(default=0.0, repr=False)
 
     def __post_init__(self) -> None:
-        if self.monitor is None:
+        if self.cfg is None:
             # the cascade's poller bounds ARE this controller's rate
             # bounds — without this, current > max_pollers(4) would
             # permanently veto scale-ups
-            self.monitor = AdaptiveMonitor(
-                cfg=AdaptiveConfig(min_pollers=self.lo, max_pollers=self.hi)
+            self.cfg = AdaptiveConfig(
+                min_pollers=self.lo,
+                max_pollers=self.hi,
+                cooldown_sec=self.cooldown_sec,
             )
 
     def on_progress(
@@ -194,11 +213,21 @@ class MaxFilesController:
         progress: object,
         now: float | None = None,
     ) -> int | None:
+        now = time.monotonic() if now is None else now
         s = snapshot_from_progress(
-            progress, workers=1, pollers=self.current
+            progress,
+            workers=self.cfg.min_workers,  # no worker lever here
+            pollers=self.current,
+            target_batch_ms=self.target_batch_ms,
         )
-        rec = self.monitor.observe(s, now=now)
+        rec = decide(s, self.cfg)
         if rec.component != "pollers" or rec.delta == 0:
+            # cooldown must tick only on APPLIED changes: consuming it
+            # on an inapplicable 'workers' recommendation would delay
+            # the next real retune by a full cooldown (round-6
+            # self-review finding)
+            return None
+        if now - self._last_change < self.cfg.cooldown_sec:
             return None
         new = (
             min(self.hi, self.current * 2)
@@ -207,6 +236,7 @@ class MaxFilesController:
         )
         if new == self.current:
             return None
+        self._last_change = now
         self.history.append((now, self.current, new, rec.reason))
         self.current = new
         return new

@@ -23,6 +23,45 @@ from .similarity import _dot, with_norm
 PCA1_POWER_ITERS = 96
 
 
+def _power_iterate(c: list, iters: int, dim: int = 64) -> tuple:
+    """THE power-iteration kernel both hash-verifiable PCA entries
+    share (one definition — its fold ORDER is the cross-engine
+    contract): start from the normalized all-ones vector (0.125 per
+    coordinate at dim 64 — exact in binary, and far less likely to be
+    orthogonal-degenerate than a basis vector), then ``iters`` rounds
+    of y = C·v (row-wise sequential folds), v = y/||y|| with the norm
+    a sequential fold of squares. A ZERO matvec (v orthogonal to the
+    range, or C = 0) keeps the previous v instead of dividing by zero
+    — mirrored by the oracles' CASE on the zero norm (round-6
+    self-review finding). Returns (v, lam) with lam the Rayleigh
+    quotient v'Cv in the same fold order.
+    """
+    import math
+
+    v = [0.125] * dim
+    for _ in range(iters):
+        y = []
+        for i in range(dim):
+            acc = 0.0
+            for j in range(dim):
+                acc += c[i][j] * v[j]
+            y.append(acc)
+        sq = 0.0
+        for z in y:
+            sq += z * z
+        if sq == 0.0:
+            continue  # stick: the oracle's zero-norm CASE keeps v too
+        nrm = math.sqrt(sq)
+        v = [z / nrm for z in y]
+    lam = 0.0
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc += c[i][j] * v[j]
+        lam += v[i] * acc
+    return v, lam
+
+
 @register(
     "emb_normalize",
     oracle="""
@@ -169,26 +208,7 @@ def _label_pca1_power(emb: DataFrame, dim: int = 64) -> list:
         if tr == 0.0:
             out.append((lb, n_vec[lb], 0.0, 0.0))
             continue
-        v = [0.0] * dim
-        v[0] = 1.0
-        for _ in range(PCA1_POWER_ITERS):
-            y = []
-            for i in range(dim):
-                acc = 0.0
-                for j in range(dim):
-                    acc += c[i][j] * v[j]
-                y.append(acc)
-            sq = 0.0
-            for z in y:
-                sq += z * z
-            nrm = math.sqrt(sq)
-            v = [z / nrm for z in y]
-        lam = 0.0
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):
-                acc += c[i][j] * v[j]
-            lam += v[i] * acc
+        _, lam = _power_iterate(c, PCA1_POWER_ITERS, dim)
         out.append((lb, n_vec[lb], lam, tr))
     return out
 
@@ -196,7 +216,7 @@ def _label_pca1_power(emb: DataFrame, dim: int = 64) -> list:
 def _label_pca1_oracle(iters: int) -> str:
     """Per-label twin of :func:`_pca1_oracle`: the recursive power
     CTE iterates ALL label rows at once."""
-    v0 = "[1.0" + ", 0.0" * 63 + "]"
+    v0 = "[0.125" + ", 0.125" * 63 + "]"
     yexpr = (
         "list_transform(generate_series(1, 64), i -> "
         "list_sum(list_transform(generate_series(1, 64), "
@@ -247,9 +267,12 @@ def _label_pca1_oracle(iters: int) -> str:
             FROM lm JOIN tr USING (label) WHERE tr.trace <> 0
             UNION ALL
             SELECT label, k + 1,
-                   list_transform({yexpr},
-                       z -> z / sqrt(list_sum(list_transform({yexpr},
-                                w -> w * w)))),
+                   list_transform(list_value({yexpr}),
+                       y -> CASE WHEN list_sum(list_transform(y,
+                                     w -> w * w)) = 0.0 THEN v
+                            ELSE list_transform(y, z -> z / sqrt(
+                                 list_sum(list_transform(y,
+                                     w -> w * w)))) END)[1],
                    m
             FROM it WHERE k < {iters}
         ),
@@ -546,7 +569,7 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_id")
         .agg(
             F.count("*").alias("cluster_size"),
-            F.round(F.avg("csim"), 4).alias("mean_cosine"),
+            int_e(F.avg("csim"), 4).alias("mean_cosine_e4"),
         )
         .orderBy("c_id")
     )
@@ -951,7 +974,7 @@ def pca_project(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        outs.append(F.round(expr, round_to).alias(f"pc{ci + 1}"))
+        outs.append(int_e(expr, round_to).alias(f"pc{ci + 1}_e{round_to}"))
     return emb.select("vec_id", *outs)
 
 
@@ -970,8 +993,6 @@ def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:
     Returns (mu[dim], v[dim]) as Python float lists. Model state is
     O(dim²) driver-side — the k-means-centroid contract.
     """
-    import math
-
     mom = {
         r.dim: float(r.mu)
         for r in _dim_moments(emb).select("dim", "mu").collect()
@@ -981,20 +1002,7 @@ def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:
     for r in covariance_upper(emb, dim).collect():
         c[r.i - 1][r.j - 1] = r.cov
         c[r.j - 1][r.i - 1] = r.cov
-    v = [0.0] * dim
-    v[0] = 1.0
-    for _ in range(PCA1_POWER_ITERS):
-        y = []
-        for i in range(dim):
-            acc = 0.0
-            for j in range(dim):
-                acc += c[i][j] * v[j]
-            y.append(acc)
-        sq = 0.0
-        for z in y:
-            sq += z * z
-        nrm = math.sqrt(sq)
-        v = [z / nrm for z in y]
+    v, _ = _power_iterate(c, PCA1_POWER_ITERS, dim)
     m = max(abs(z) for z in v)
     k = next(i for i, z in enumerate(v) if abs(z) == m)
     if v[k] < 0:
@@ -1009,7 +1017,7 @@ def _pca1_oracle(iters: int) -> str:
     matvec+normalize rounds over ordered DOUBLE lists — every fold a
     sequential ``list_sum``, so the doubles match the Python driver
     loop bit-for-bit."""
-    v0 = "[1.0" + ", 0.0" * 63 + "]"
+    v0 = "[0.125" + ", 0.125" * 63 + "]"
     return (
         _DIM_MOMENTS_SQL.replace("WITH sums", "WITH RECURSIVE sums")
         + f""",
@@ -1039,9 +1047,12 @@ def _pca1_oracle(iters: int) -> str:
                    (SELECT m FROM cmm) AS m
             UNION ALL
             SELECT k + 1,
-                   list_transform(list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> m[i][j] * v[j]))),
-                       z -> z / sqrt(list_sum(list_transform(list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> m[i][j] * v[j]))),
-                                w -> w * w)))),
+                   list_transform(list_value(list_transform(generate_series(1, 64), i -> list_sum(list_transform(generate_series(1, 64), j -> m[i][j] * v[j])))),
+                       y -> CASE WHEN list_sum(list_transform(y,
+                                     w -> w * w)) = 0.0 THEN v
+                            ELSE list_transform(y, z -> z / sqrt(
+                                 list_sum(list_transform(y,
+                                     w -> w * w)))) END)[1],
                    m
             FROM it WHERE k < {iters}
         ),

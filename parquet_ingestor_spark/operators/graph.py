@@ -57,6 +57,7 @@ def pagerank_tokens(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
     edges_canonical: bool = False,
+    release_cache: bool = True,
 ) -> DataFrame:
     """Integer token-passing PageRank over directed ``(src, dst)`` edges.
 
@@ -133,6 +134,16 @@ def pagerank_tokens(
         )
         if i % checkpoint_interval == 0 and i < iterations:
             ranks = truncate_lineage(ranks, checkpoint_dir)
+    if checkpoint_dir is None and release_cache:
+        # Materialize the (node-sized) final ranks, then RELEASE the
+        # cached edge table — without this every call leaks a pinned
+        # InMemoryRelation into the session (round-6 self-review):
+        # bench.py force-unpersists between runs, but library callers
+        # in long-lived sessions would accumulate edge caches.
+        # ``release_cache=False`` keeps the round plan inspectable
+        # (the plan test reads the SMJ below this boundary).
+        ranks = truncate_lineage(ranks, eager=True)
+        e.unpersist(False)
     return ranks
 
 
@@ -199,7 +210,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_parts(
-    spark: SparkSession, sf_dir: str, iterations: int
+    spark: SparkSession,
+    sf_dir: str,
+    iterations: int,
+    release_cache: bool = True,
 ) -> DataFrame:
     """The graph_pagerank pipeline at a caller-chosen round count —
     bench.py runs it at 2× the registered iterations to demonstrate
@@ -229,7 +243,10 @@ def pagerank_parts(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank_tokens(
-        edges, iterations=iterations, edges_canonical=True
+        edges,
+        iterations=iterations,
+        edges_canonical=True,
+        release_cache=release_cache,
     )
     return ranks.select(
         F.col("node").alias("part"), F.col("tokens").alias("rank_tokens")
@@ -448,7 +465,12 @@ def hits_bipartite(
             .groupBy("hub")
             .agg(F.sum("as_").cast("bigint").alias("hs"))
         )
-    return a.select("auth", F.col("as_").alias("authority"))
+    out = truncate_lineage(
+        a.select("auth", F.col("as_").alias("authority")), eager=True
+    )
+    e_hub.unpersist(False)
+    e_auth.unpersist(False)
+    return out
 
 
 def _hits_oracle(rounds: int) -> str:

@@ -252,7 +252,7 @@ def ivf_search(
         .select(
             "q_id",
             "vec_id",
-            F.round("sim", 4).alias("sim"),
+            int_e("sim", 4).alias("sim_e4"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -325,7 +325,7 @@ def cosine_topk_vectorized(
         .select(
             "q_id",
             "vec_id",
-            F.round("sim", 4).alias("sim"),
+            int_e("sim", 4).alias("sim_e4"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -735,7 +735,7 @@ def pq_adc_topk(
         .select(
             "q_id",
             "vec_id",
-            F.round("dist", 6).alias("dist"),
+            int_e("dist", 6).alias("dist_e6"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -1194,7 +1194,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            F.round("dist", 6).alias("dist"),
+            int_e("dist", 6).alias("dist_e6"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -1226,7 +1226,12 @@ def brute_force_l2_topk(
         .select("q_id", "vec_id", dist.alias("dist"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "vec_id", "dist", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "q_id",
+            "vec_id",
+            int_e("dist", 6).alias("dist_e6"),
+            F.col("rank").cast("int").alias("rank"),
+        )
         .orderBy("q_id", "rank")
     )
 
@@ -1430,7 +1435,7 @@ def ivf_index_search(
         .select(
             "q_id",
             "vec_id",
-            F.round("sim", 4).alias("sim"),
+            int_e("sim", 4).alias("sim_e4"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")

@@ -70,7 +70,7 @@ _LOADED = False
 #:     with exact-integer outputs (sd_milli/share_ppm — verdict #1);
 #:   - 27 re-checks for entries whose OUTPUTS changed in the round-6
 #:     round()-of-double purge (every rounded-double column became a
-#:     CAST(round(x·10^d) AS BIGINT) `_e{d}` integer): the five r5
+#:     CAST(round(x·10^d) AS BIGINT) `_e{d}` integer): the r5
 #:     greens the purge invalidated (emb_whiten,
 #:     sim_bruteforce_topk_vectorized, dedup_ppjoin_pairs,
 #:     events_hll_users, events_user_overlap_sketch,
@@ -80,8 +80,8 @@ _LOADED = False
 #: than one 50-slot window can re-check. These converted entries are
 #: locally oracle-green (tools/stability_sweep.py) but their latest
 #: driver row predates the conversion; rotate them in next round:
-#: q30_json_funcs, q41_scalar_subquery, q45_unpivot, q55_volume_shipping,
-#: q56_market_share,
+#: q30_json_funcs, q33_cube, q41_scalar_subquery, q45_unpivot,
+#: q55_volume_shipping, q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
 #: q61_large_volume_customers, q62_dormant_high_balance,
 #: q63_small_qty_revenue, q64_top_supplier, q65_important_parts,
@@ -93,7 +93,13 @@ _LOADED = False
 #: corpus_mixture_weights, corpus_temperature_weights,
 #: corpus_length_histogram, dedup_jaccard_pairs, sim_bruteforce_topk,
 #: sim_neardup_pairs, range_join_bands, skew_salted_agg,
-#: emb_kmeans_step. Then resume least-recently-checked order.
+#: emb_kmeans_step. (dedup_minhash_lsh / sim_srp_lsh_neardup /
+#: sim_ivf_topk / pq_adc_topk / sim_ivfpq_topk / emb_kmeans_fit /
+#: emb_pca_project also renamed their rows-only output columns to
+#: integer _e{d} forms this round; their driver rows are COUNT-only
+#: and the row counts are unchanged, so no staleness — listed here so
+#: nothing reads as silently forgotten.) Then resume
+#: least-recently-checked order.
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 22 never-driver-checked entries (round-5 verdict #2) —
     "q76_anomalous_hours",
@@ -120,7 +126,10 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q96_top_event_paths",
     # — round 5's red row, re-registered exact-integer (verdict #1) —
     "corpus_neyman_allocation",
-    # — r5 greens invalidated by the round-6 integer purge —
+    # — r5 greens invalidated by the round-6 integer purge (and the
+    # bloom hasher swap: corpus_bloom_seen's r5 row predates both its
+    # md5 bit positions and its promotion to a full SQL oracle) —
+    "corpus_bloom_seen",
     "emb_whiten",
     "sim_bruteforce_topk_vectorized",
     "dedup_ppjoin_pairs",
@@ -136,7 +145,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q20_lag_delta",
     "q23_scalar_funcs",
     "q32_shipping_priority",
-    "q33_cube",
     "q35_stats_aggs",
     "q36_percentiles",
     "q38_grouping_sets",

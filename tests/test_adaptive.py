@@ -135,9 +135,13 @@ def test_cooldown_does_not_consume_noop_ticks():
 
 
 class _Progress:
-    def __init__(self, batch_ms, trigger_ms, in_rate, proc_rate):
+    """Shaped like a REAL StreamingQueryProgress: batchDuration (the
+    batch's wall time) + rates. No trigger-interval field exists on
+    the real object — saturation is measured against the controller's
+    target_batch_ms."""
+
+    def __init__(self, batch_ms, in_rate, proc_rate):
         self.batchDuration = batch_ms
-        self.triggerExecution = trigger_ms
         self.inputRowsPerSecond = in_rate
         self.processedRowsPerSecond = proc_rate
 
@@ -145,23 +149,23 @@ class _Progress:
 def test_max_files_controller_scales_down_under_pressure():
     from parquet_ingestor_spark.adaptive import MaxFilesController
 
-    c = MaxFilesController(current=64)
-    # batch saturates its trigger AND input outruns processing →
-    # severe pressure → halve the ingest rate
-    new = c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=100.0)
+    c = MaxFilesController(current=64, target_batch_ms=1000.0)
+    # batch saturates its latency budget AND input outruns processing
+    # → severe pressure → halve the ingest rate
+    new = c.on_progress(_Progress(1000, 5000.0, 1000.0), now=100.0)
     assert new == 32 and c.current == 32
     # cooldown: an immediately-following pressured batch is a no-op
-    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=101.0) is None
+    assert c.on_progress(_Progress(1000, 5000.0, 1000.0), now=101.0) is None
     # after the cooldown the loop keeps stepping down
-    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=200.0) == 16
+    assert c.on_progress(_Progress(1000, 5000.0, 1000.0), now=200.0) == 16
 
 
 def test_max_files_controller_scales_up_with_headroom():
     from parquet_ingestor_spark.adaptive import MaxFilesController
 
-    c = MaxFilesController(current=16)
+    c = MaxFilesController(current=16, target_batch_ms=1000.0)
     # source busy (≥60%), flush light (≤50%) → rate up, geometric step
-    new = c.on_progress(_Progress(300, 1000, 700.0, 1000.0), now=100.0)
+    new = c.on_progress(_Progress(300, 700.0, 1000.0), now=100.0)
     assert new == 32 and c.current == 32
     assert c.history and c.history[-1][1:3] == (16, 32)
 
@@ -169,8 +173,26 @@ def test_max_files_controller_scales_up_with_headroom():
 def test_max_files_controller_clamps_at_bounds():
     from parquet_ingestor_spark.adaptive import MaxFilesController
 
-    c = MaxFilesController(lo=8, hi=32, current=8)
+    c = MaxFilesController(lo=8, hi=32, current=8, target_batch_ms=1000.0)
     # pressured at the floor: no change emitted (already clamped)
-    assert c.on_progress(_Progress(1000, 1000, 5000.0, 1000.0), now=100.0) is None
-    c2 = MaxFilesController(lo=8, hi=32, current=32)
-    assert c2.on_progress(_Progress(300, 1000, 700.0, 1000.0), now=100.0) is None
+    assert c.on_progress(_Progress(1000, 5000.0, 1000.0), now=100.0) is None
+    c2 = MaxFilesController(lo=8, hi=32, current=32, target_batch_ms=1000.0)
+    assert c2.on_progress(_Progress(300, 700.0, 1000.0), now=100.0) is None
+
+
+def test_max_files_controller_healthy_batches_do_not_ratchet_down():
+    """The round-6 self-review's down-ratchet regression test: a
+    real-shaped progress (no trigger-interval attribute) from a
+    HEALTHY query — fast batches, processing keeping up — must leave
+    the rate alone, and an inapplicable recommendation must not
+    consume the cooldown."""
+    from parquet_ingestor_spark.adaptive import MaxFilesController
+
+    c = MaxFilesController(current=64, target_batch_ms=10_000.0)
+    for t in (100.0, 200.0, 300.0):
+        assert c.on_progress(_Progress(500, 100.0, 900.0), now=t) is None
+    assert c.current == 64 and not c.history
+    # a no-op tick must not delay a real retune (cooldown ticks only
+    # on APPLIED changes)
+    assert c.on_progress(_Progress(500, 100.0, 900.0), now=400.0) is None
+    assert c.on_progress(_Progress(12_000, 5000.0, 100.0), now=401.0) == 32

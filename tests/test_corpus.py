@@ -415,13 +415,13 @@ def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
             dists.append((round(d, 6), vid))
         dists.sort()
         want[qid] = [
-            (vid, d, rank + 1)
+            (vid, int(round(d * 1_000_000)), rank + 1)
             for rank, (d, vid) in enumerate(dists[:TOPK])
         ]
 
     got = {}
     for r in pq_adc_topk(emb).collect():
-        got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist_e6, r.rank))
     assert got == want
 
 
@@ -474,13 +474,13 @@ def test_ivfpq_equals_probed_adc_bruteforce(spark, sf_dir):
             dist += tables[qi, s, mc[:, s]]
         order = sorted(zip(np.round(dist, 6), ids[mask]))
         want[int(qid)] = [
-            (int(v), float(d), r + 1)
+            (int(v), int(round(float(d) * 1_000_000)), r + 1)
             for r, (d, v) in enumerate(order[:TOPK])
         ]
 
     got = {}
     for r in sim_ivfpq_topk(spark, sf_dir).collect():
-        got.setdefault(r.q_id, []).append((r.vec_id, r.dist, r.rank))
+        got.setdefault(r.q_id, []).append((r.vec_id, r.dist_e6, r.rank))
     assert got == want
 
 

@@ -729,7 +729,7 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     from parquet_ingestor_spark.queries import REGISTRY
 
     got = {
-        r.vec_id: [r[f"pc{i + 1}"] for i in range(PCA_M)]
+        r.vec_id: [r[f"pc{i + 1}_e4"] / 10000.0 for i in range(PCA_M)]
         for r in REGISTRY["emb_pca_project"].fn(spark, sf_dir).collect()
     }
     rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
@@ -1432,7 +1432,7 @@ def test_persisted_ivf_index_serves_identically_and_prunes(spark, sf_dir, tmp_pa
 
 
 def test_pca1_power_matches_numpy_dominant_eigvec(spark, sf_dir):
-    """The 24-round power iteration must land on numpy's dominant
+    """The fixed-round power iteration must land on numpy's dominant
     eigenvector (up to the shared sign rule): per-vector pc1
     projections within 1e-3 relative of the eigh-based ones."""
     import numpy as np
@@ -1454,3 +1454,45 @@ def test_pca1_power_matches_numpy_dominant_eigvec(spark, sf_dir):
         top = -top
     cos = float(np.dot(v, top))
     assert cos > 0.9999, cos
+
+
+def test_power_iterate_survives_degenerate_covariance(spark, tmp_path):
+    """Round-6 self-review regression: embeddings with constant
+    dimensions (zero covariance columns) or a fully-constant corpus
+    must not crash the power-method entries — the zero-matvec guard
+    sticks to the previous vector, the all-ones start avoids
+    basis-vector degeneracy, and both engines keep agreeing."""
+    import duckdb
+
+    from parquet_ingestor_spark.queries import REGISTRY
+    from parquet_ingestor_spark.testing import canon_rows, duck_canon
+
+    # dims 1-32 constant, dims 33-64 varying; plus a label whose
+    # vectors are ALL identical (zero covariance matrix end to end)
+    rows = [
+        (i, [1.5] * 32 + [float((i * 7 + d) % 5) for d in range(32)],
+         i % 2)
+        for i in range(40)
+    ] + [(100 + i, [2.0] * 64, 9) for i in range(5)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    for name in ("emb_pca1_power", "emb_label_pca1"):
+        q = REGISTRY[name]
+        df = q.fn(spark, str(tmp_path))
+        got = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+        want = duck_canon(con, q.oracle)
+        assert got == want, name
+    # the all-identical label reports zero variance explained
+    lab = {
+        r.label: r
+        for r in REGISTRY["emb_label_pca1"].fn(spark, str(tmp_path)).collect()
+    }
+    assert lab[9].top_eigenvalue_e6 == 0
+    assert lab[9].explained_ratio_ppm == 0

@@ -287,7 +287,9 @@ def test_adaptive_controller_retunes_ingest_across_restart(spark, dirs):
             landing, f"a{i}.json", 20, offset=100 * i
         )
 
-    ctl = MaxFilesController(lo=1, hi=8, current=4)
+    ctl = MaxFilesController(
+        lo=1, hi=8, current=4, target_batch_ms=10_000.0
+    )
     cfg = PipelineConfig(
         flush_interval="1 second", max_files_per_trigger=ctl.current
     )
@@ -299,9 +301,6 @@ def test_adaptive_controller_retunes_ingest_across_restart(spark, dirs):
         # adapt through the controller on the query's own progress
         class _P:  # map the progress dict onto the snapshot fields
             batchDuration = prog.get("batchDuration", 0)
-            triggerExecution = prog.get("durationMs", {}).get(
-                "triggerExecution", prog.get("batchDuration", 0)
-            )
             inputRowsPerSecond = prog.get("inputRowsPerSecond", 0.0)
             processedRowsPerSecond = prog.get(
                 "processedRowsPerSecond", 0.0

@@ -556,13 +556,25 @@ def test_interval_bin_join_stays_keyed_equijoin(spark, sf_dir):
 
 
 def test_pagerank_iterations_reuse_truncated_lineage(spark, sf_dir):
-    # the final-round plan must read the checkpointed edge/rank blocks
-    # (ExistingRDD), never re-mine the pair join from parquet — at
-    # 100 TB a per-round re-scan would multiply the corpus cost by the
-    # iteration count
-    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    # the final-round plan must read the cached edge blocks
+    # (InMemoryTableScan) and checkpointed rank blocks (ExistingRDD),
+    # never re-mine the pair join from parquet — at 100 TB a per-round
+    # re-scan would multiply the corpus cost by the iteration count.
+    # release_cache=False keeps the round plan inspectable (the
+    # registered entry eagerly truncates to release the edge cache).
+    from parquet_ingestor_spark.operators.graph import (
+        _PAGERANK_ITERS,
+        pagerank_parts,
+    )
+
+    plan = (
+        pagerank_parts(spark, sf_dir, _PAGERANK_ITERS, release_cache=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Scan parquet" not in plan
-    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
     assert "partial_sum" in plan  # map-side combine of the sends
 
 
@@ -630,7 +642,17 @@ def test_pagerank_rounds_reuse_cached_edge_partitioning(spark, sf_dir):
     list every round)."""
     import re
 
-    df = REGISTRY["graph_pagerank"].fn(spark, sf_dir)
+    from parquet_ingestor_spark.operators.graph import (
+        _PAGERANK_ITERS,
+        pagerank_parts,
+    )
+
+    # release_cache=False keeps the round joins visible (the default
+    # eagerly truncates the final ranks to release the edge cache,
+    # which hides everything below the checkpoint boundary)
+    df = pagerank_parts(
+        spark, sf_dir, _PAGERANK_ITERS, release_cache=False
+    )
     df.collect()  # finalize AQE
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
