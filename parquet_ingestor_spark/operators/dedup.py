@@ -438,7 +438,10 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(
-    docs: DataFrame, bits: int = 63, text_col: str = "text"
+    docs: DataFrame,
+    bits: int = 63,
+    text_col: str = "text",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Two-word SimHash fingerprint (2 × bits 0..62 — bit 63 would
     overflow int64 under ANSI; 126 bits total) per doc: per-bit
@@ -496,19 +499,31 @@ def simhash_fingerprints(
                 out[name] = _word(flat, offs, n_tok)
             yield pd.DataFrame(out)
 
+    if hasher == "md5":
+        # oracle-checkable twin: two independent 60-bit token hashes
+        # from the two md5 halves (15 hex chars each — 16 would cross
+        # the int64 sign bit), reproducible verbatim in DuckDB SQL.
+        # Callers must pass bits=60 so the vote/pack width matches.
+        h0 = (
+            f"transform(split({text_col}, ' '), t -> "
+            "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        )
+        h1 = (
+            f"transform(split({text_col}, ' '), t -> "
+            "cast(conv(substring(md5(t), 17, 15), 16, 10) as bigint))"
+        )
+    else:
+        h0 = f"transform(split({text_col}, ' '), t -> xxhash64(t))"
+        h1 = f"transform(split({text_col}, ' '), t -> xxhash64(t, 1))"
     return docs.select(
         "doc_id",
-        F.expr(f"transform(split({text_col}, ' '), t -> xxhash64(t))").alias(
-            "h0s"
-        ),
-        F.expr(
-            f"transform(split({text_col}, ' '), t -> xxhash64(t, 1))"
-        ).alias("h1s"),
+        F.expr(h0).alias("h0s"),
+        F.expr(h1).alias("h1s"),
     ).mapInPandas(_fp, schema="doc_id long, sh0 long, sh1 long")
 
 
 def _simhash_candidate_pairs(
-    src: DataFrame, max_hamming: int, text_col: str
+    src: DataFrame, max_hamming: int, text_col: str, hasher: str = "xxhash64"
 ) -> DataFrame:
     """Fingerprint → pigeonhole chunk self-join → hamming filter over
     any (doc_id, text) frame. Shared core of both routing paths;
@@ -520,17 +535,20 @@ def _simhash_candidate_pairs(
     bounded by one task's memory, and the banding shuffle is written
     once (both join branches share the subplan via ReusedExchange).
     """
-    fp = simhash_fingerprints(src, text_col=text_col)
+    bits = 60 if hasher == "md5" else 63
+    lo = 30 if hasher == "md5" else 32  # per-word low-chunk width
+    mask = (1 << lo) - 1
+    fp = simhash_fingerprints(src, bits=bits, text_col=text_col, hasher=hasher)
     chunks = fp.select(
         "doc_id",
         "sh0",
         "sh1",
         F.explode(
             F.expr(
-                "array(struct(0 AS chunk, sh0 & 4294967295 AS ckey), "
-                "struct(1 AS chunk, shiftright(sh0, 32) AS ckey), "
-                "struct(2 AS chunk, sh1 & 4294967295 AS ckey), "
-                "struct(3 AS chunk, shiftright(sh1, 32) AS ckey))"
+                f"array(struct(0 AS chunk, sh0 & {mask} AS ckey), "
+                f"struct(1 AS chunk, shiftright(sh0, {lo}) AS ckey), "
+                f"struct(2 AS chunk, sh1 & {mask} AS ckey), "
+                f"struct(3 AS chunk, shiftright(sh1, {lo}) AS ckey))"
             )
         ).alias("cc"),
     ).select("doc_id", "sh0", "sh1", "cc.chunk", "cc.ckey")
@@ -561,6 +579,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     path: str | None = None,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash126) ≤ max_hamming.
 
@@ -581,12 +600,12 @@ def simhash_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if path == "direct":
         src = docs.repartition(par, "doc_id")
-        return _simhash_candidate_pairs(src, max_hamming, text_col).orderBy(
-            "doc_a", "doc_b"
-        )
+        return _simhash_candidate_pairs(
+            src, max_hamming, text_col, hasher=hasher
+        ).orderBy("doc_a", "doc_b")
     reps, members = _rep_groups(docs, text_col)
     rep_pairs = _simhash_candidate_pairs(
-        reps.repartition(par, "doc_id"), max_hamming, text_col
+        reps.repartition(par, "doc_id"), max_hamming, text_col, hasher=hasher
     )
     return _expand_rep_pairs(
         rep_pairs,
@@ -678,14 +697,68 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-derived fingerprints are not reproducible in
-    # DuckDB SQL; tests diff against a pure-Python SimHash oracle.
-    doc="SimHash-126 (2×63-bit) fingerprint pairs at hamming ≤ 3 via "
-    "4×~32-bit chunk self-join banding.",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(t), 1, 15))::BIGINT AS h0,
+                   ('0x' || substring(md5(t), 17, 15))::BIGINT AS h1
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id, b,
+                   SUM(CASE WHEN ((h0 >> CAST(b AS INTEGER)) & 1) = 1
+                       THEN 1 ELSE 0 END) AS o0,
+                   SUM(CASE WHEN ((h1 >> CAST(b AS INTEGER)) & 1) = 1
+                       THEN 1 ELSE 0 END) AS o1,
+                   COUNT(*) AS n
+            FROM h CROSS JOIN unnest(generate_series(0, 59)) AS g(b)
+            GROUP BY doc_id, b
+        ),
+        fp AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN 2 * o0 - n > 0
+                       THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                       ELSE 0 END) AS sh0,
+                   SUM(CASE WHEN 2 * o1 - n > 0
+                       THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                       ELSE 0 END) AS sh1
+            FROM votes GROUP BY doc_id
+        ),
+        chunks AS (
+            SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM fp
+            CROSS JOIN LATERAL (VALUES
+                (0, sh0 & 1073741823), (1, sh0 >> 30),
+                (2, sh1 & 1073741823), (3, sh1 >> 30)) AS c(chunk, ckey)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh0, b.sh0))
+                    + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
+        FROM chunks a
+        JOIN chunks b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh0, b.sh0))
+              + bit_count(xor(a.sh1, b.sh1)) <= 3
+        ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash fingerprint pairs at hamming ≤ 3 via 4-chunk "
+    "pigeonhole self-join banding. The registered entry derives its "
+    "2×60-bit fingerprints from the two md5 halves (full SQL oracle — "
+    "promoted from rows-only: fingerprints, banding, candidates and "
+    "hamming all hash-verified); production callers keep the "
+    "2×63-bit xxhash64 fast path via simhash_pairs' default hasher "
+    "(the corpus_dsir_weights/_fast twin rule). The oracle mirrors "
+    "the DIRECT routing path, which the distinct-ratio probe selects "
+    "on the gate corpus (pinned by the routing tests); the rep path "
+    "is output-equivalent by the routing-equivalence test.",
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(table(spark, sf_dir, "documents"))
+    return simhash_pairs(table(spark, sf_dir, "documents"), hasher="md5")
 
 
 # ---------------------------------------------------------------------------

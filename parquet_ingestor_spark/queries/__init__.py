@@ -80,7 +80,7 @@ _LOADED = False
 #: than one 50-slot window can re-check. These converted entries are
 #: locally oracle-green (tools/stability_sweep.py) but their latest
 #: driver row predates the conversion; rotate them in next round:
-#: q30_json_funcs, q33_cube, q41_scalar_subquery, q45_unpivot,
+#: q19_running_sum, q30_json_funcs, q33_cube, q41_scalar_subquery, q45_unpivot,
 #: q55_volume_shipping, q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
 #: q61_large_volume_customers, q62_dormant_high_balance,
@@ -130,6 +130,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # bloom hasher swap: corpus_bloom_seen's r5 row predates both its
     # md5 bit positions and its promotion to a full SQL oracle) —
     "corpus_bloom_seen",
+    "dedup_simhash",
     "emb_whiten",
     "sim_bruteforce_topk_vectorized",
     "dedup_ppjoin_pairs",
@@ -141,7 +142,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q10_revenue_per_nation",
     "q14_broadcast_join",
     # — r2-cohort conversions, least-recently-checked first —
-    "q19_running_sum",
     "q20_lag_delta",
     "q23_scalar_funcs",
     "q32_shipping_priority",

@@ -70,9 +70,15 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
             if d <= 3:
                 want.add((a, b, d))
 
+    # the library default (xxhash64 production path — the REGISTERED
+    # entry now runs the md5 twin, verified against its SQL oracle)
+    from parquet_ingestor_spark.operators.dedup import simhash_pairs
+
     got = {
         (r.doc_a, r.doc_b, r.hamming)
-        for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+        for r in simhash_pairs(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
     }
     assert got == want
 
