@@ -229,8 +229,15 @@ def _extra_probes():
             F.sum(F.col("maybe_seen").cast("bigint")).alias("n_maybe_seen"),
         )
 
+    def _minhash_prod(s, d):
+        return minhash_lsh_pairs(table(s, d, "documents"))
+
     return {
         "corpus_bloom_seen_prod": _bloom_seen_prod,
+        # same oracle-tax visibility rule as corpus_bloom_seen_prod:
+        # the registered dedup_minhash_lsh now runs the md5 twin; this
+        # probe keeps the xxhash64 production path's cost on record
+        "dedup_minhash_lsh_prod": _minhash_prod,
         "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
             s, d, 2 * _PAGERANK_ITERS
         ),

@@ -681,18 +681,165 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_jaccard_pairs(_doc_shingles(spark, sf_dir), JACCARD_THRESHOLD)
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = _BANDS,
+    rows_per_band: int = _ROWS_PER_BAND,
+    text_col: str = "text",
+) -> DataFrame:
+    """Oracle-checkable MinHash+LSH twin: md5-derived shingle hashes
+    feed the same ``_perm_params`` universal-hash permutations, so the
+    signatures, band keys, candidate join and exact-Jaccard verify are
+    ALL reproducible verbatim in DuckDB SQL (the simhash/bloom md5
+    twin rule). Production callers keep :func:`minhash_lsh_pairs`
+    (xxhash64 rolling hashes, vectorized numpy signatures) — this
+    variant trades its per-shingle md5 chain + 64-way explode for
+    hash-verifiability; its scale shape is still banded (shuffles are
+    shingles × permutations rows with map-side min combine, and
+    candidates come from band-key collisions, never all pairs)."""
+    num = bands * rows_per_band
+    params = [_perm_params(i) for i in range(1, num + 1)]
+    sh = docs.select(
+        "doc_id", F.explode(shingle_col(text_col)).alias("sh")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+        % _MERSENNE
+    )
+    # ONE wide aggregate (64 min exprs, map-side combined) instead of
+    # a 64-way explode: the explode formulation shuffled
+    # shingles × permutations rows and ran 5× slower at sf0.1
+    sig = sh.select("doc_id", h.alias("h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % _MERSENNE).alias(
+                f"v{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"v{bi * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("bkey"),
+        )
+        for bi in range(bands)
+    ]
+    bk = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = bk.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bk.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    seta = docs.select(
+        F.col("doc_id").alias("doc_a"), shingle_col(text_col).alias("sa")
+    )
+    setb = docs.select(
+        F.col("doc_id").alias("doc_b"), shingle_col(text_col).alias("sb")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.join(seta, "doc_a")
+        .join(setb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", int_e(jac, 4).alias("jaccard_e4"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_md5_oracle(
+    bands: int = _BANDS, rows_per_band: int = _ROWS_PER_BAND
+) -> str:
+    """SQL mirror of :func:`minhash_lsh_pairs_md5` — the permutation
+    (a, b) constants interpolate from the same ``_perm_params``."""
+    num = bands * rows_per_band
+    perm_rows = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(
+            _perm_params(k) for k in range(1, num + 1)
+        )
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 3 THEN list_distinct(
+                       list_transform(generate_series(1, len(toks) - 2),
+                                      i -> array_to_string(toks[i:i+2], ' ')))
+                   ELSE [] END AS shingles
+            FROM t
+        ),
+        sh AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(sh), 1, 15))::BIGINT
+                       % {_MERSENNE} AS h
+            FROM (SELECT doc_id, unnest(shingles) AS sh FROM s)
+        ),
+        perm(i, a, b) AS (VALUES {perm_rows}),
+        sig AS (
+            SELECT sh.doc_id, perm.i,
+                   MIN((perm.a * sh.h + perm.b) % {_MERSENNE}) AS v
+            FROM sh CROSS JOIN perm
+            GROUP BY sh.doc_id, perm.i
+        ),
+        bk AS (
+            SELECT doc_id, i // {rows_per_band} AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY doc_id, i // {rows_per_band}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bk a JOIN bk b
+              ON a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(round(len(list_intersect(sa.shingles, sb.shingles))
+                    * 1.0 / (len(sa.shingles) + len(sb.shingles)
+                             - len(list_intersect(sa.shingles,
+                                                  sb.shingles)))
+                    * 10000) AS BIGINT) AS jaccard_e4
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+              / (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles)))
+              >= {JACCARD_THRESHOLD}
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # probabilistic candidate generation: rows-only check;
-    # tests assert (subset of exact) + (finds all planted dups).
-    doc="MinHash(64)+LSH(16×4) near-dup pairs, exact-verified candidates.",
+    oracle=_minhash_md5_oracle(),
+    doc="MinHash(64)+LSH(16×4) near-dup pairs, exact-verified "
+    "candidates. The registered entry derives shingle hashes from md5 "
+    "(full SQL oracle — promoted from rows-only: signatures, band "
+    "keys, candidate generation and the exact-Jaccard verify are all "
+    "hash-checked); production callers keep minhash_lsh_pairs' "
+    "xxhash64 + vectorized-numpy fast path (the twin rule). The "
+    "oracle mirrors the direct routing path, which the gate corpus "
+    "selects (pinned by the routing tests).",
     tags=("dedup", "approx"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # plain scan in: the distinct-ratio probe aggregates at the scan
-    # (map-side partials, one row shuffled); the chosen path
-    # repartitions internally before the sketch pass.
-    return minhash_lsh_pairs(table(spark, sf_dir, "documents"))
+    return minhash_lsh_pairs_md5(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -80,7 +80,8 @@ _LOADED = False
 #: than one 50-slot window can re-check. These converted entries are
 #: locally oracle-green (tools/stability_sweep.py) but their latest
 #: driver row predates the conversion; rotate them in next round:
-#: q19_running_sum, q30_json_funcs, q33_cube, q41_scalar_subquery, q45_unpivot,
+#: q19_running_sum, q20_lag_delta, q30_json_funcs, q33_cube,
+#: q41_scalar_subquery, q45_unpivot,
 #: q55_volume_shipping, q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
 #: q61_large_volume_customers, q62_dormant_high_balance,
@@ -93,13 +94,14 @@ _LOADED = False
 #: corpus_mixture_weights, corpus_temperature_weights,
 #: corpus_length_histogram, dedup_jaccard_pairs, sim_bruteforce_topk,
 #: sim_neardup_pairs, range_join_bands, skew_salted_agg,
-#: emb_kmeans_step. (dedup_minhash_lsh / sim_srp_lsh_neardup /
-#: sim_ivf_topk / pq_adc_topk / sim_ivfpq_topk / emb_kmeans_fit /
-#: emb_pca_project also renamed their rows-only output columns to
-#: integer _e{d} forms this round; their driver rows are COUNT-only
-#: and the row counts are unchanged, so no staleness — listed here so
-#: nothing reads as silently forgotten.) Then resume
-#: least-recently-checked order.
+#: emb_kmeans_step. (sim_srp_lsh_neardup / sim_ivf_topk /
+#: pq_adc_topk / sim_ivfpq_topk / emb_kmeans_fit / emb_pca_project
+#: also renamed their rows-only output columns to integer _e{d}
+#: forms this round; their driver rows are COUNT-only and the row
+#: counts are unchanged, so no staleness — listed here so nothing
+#: reads as silently forgotten. dedup_minhash_lsh and dedup_simhash
+#: were instead PROMOTED to md5-twin oracles and hold round-6 window
+#: slots.) Then resume least-recently-checked order.
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 22 never-driver-checked entries (round-5 verdict #2) —
     "q76_anomalous_hours",
@@ -131,6 +133,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # md5 bit positions and its promotion to a full SQL oracle) —
     "corpus_bloom_seen",
     "dedup_simhash",
+    "dedup_minhash_lsh",
     "emb_whiten",
     "sim_bruteforce_topk_vectorized",
     "dedup_ppjoin_pairs",
@@ -142,7 +145,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q10_revenue_per_nation",
     "q14_broadcast_join",
     # — r2-cohort conversions, least-recently-checked first —
-    "q20_lag_delta",
     "q23_scalar_funcs",
     "q32_shipping_priority",
     "q35_stats_aggs",
