@@ -640,17 +640,122 @@ def pq_encode_sorted(
     return pq_encode(emb, m, k).orderBy("vec_id")
 
 
+def pq_encode_expr(
+    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES
+) -> DataFrame:
+    """Expression-based PQ encode — the oracle-checkable twin of the
+    numpy :func:`pq_encode` path. Every distance is a SEQUENTIAL
+    8-term fold and every argmin a lexicographic struct-least with
+    the code index as tiebreak, so both engines compute identical
+    codes even at exact distance ties (numpy's 8-way unrolled
+    reduction tree sums in a different order, which is fine for the
+    production path but not for a hash gate). One codegen scan, the
+    (m × k × d_sub) codebook inlined as literals; per-vector output is
+    (vec_id, code_key, recon_mse_e6) with the MSE an integer e6
+    quantization of Σ d2_min / dim."""
+    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
+    m_, k_, d_sub = books.shape
+    best = []
+    for si in range(m_):
+        cands = []
+        for ci in range(k_):
+            d2 = None
+            for d in range(d_sub):
+                x = F.element_at("embedding", si * d_sub + d + 1).cast(
+                    "double"
+                )
+                t = (x - F.lit(float(books[si, ci, d]))) * (
+                    x - F.lit(float(books[si, ci, d]))
+                )
+                d2 = t if d2 is None else d2 + t
+            cands.append(
+                F.struct(d2.alias("d2"), F.lit(ci).alias("code"))
+            )
+        best.append(F.least(*cands))
+    code_key = None
+    for si in range(m_):
+        term = best[si]["code"].cast("long") * F.lit(int(k_**si))
+        code_key = term if code_key is None else code_key + term
+    total = None
+    for si in range(m_):
+        total = (
+            best[si]["d2"] if total is None else total + best[si]["d2"]
+        )
+    mse = total / F.lit(float(m_ * d_sub))
+    return emb.select(
+        "vec_id",
+        code_key.alias("code_key"),
+        int_e(mse, 6).alias("recon_mse_e6"),
+    ).orderBy("vec_id")
+
+
+def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
+    """SQL mirror of :func:`pq_encode_expr`: codebooks from the first
+    k vectors by vec_id, sequential distance folds, struct-min
+    argmin, s-ordered fold of the winning distances."""
+    d_sub = 64 // m
+    return f"""
+        WITH cbv AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        ),
+        cb AS (
+            SELECT s.s, cbv.code,
+                   list_transform(generate_series(1, {d_sub}),
+                       d -> CAST(embedding[s.s * {d_sub} + d] AS DOUBLE))
+                       AS cv
+            FROM cbv CROSS JOIN (SELECT unnest(generate_series(0, {m - 1}))
+                                 AS s) s
+        ),
+        d2s AS (
+            SELECT e.vec_id, cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, {d_sub}),
+                       d -> (CAST(e.embedding[cb.s * {d_sub} + d]
+                                  AS DOUBLE) - cb.cv[d])
+                            * (CAST(e.embedding[cb.s * {d_sub} + d]
+                                    AS DOUBLE) - cb.cv[d]))) AS d2
+            FROM embeddings e CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, s,
+                   MIN(struct_pack(d := d2, c := code)) AS b
+            FROM d2s GROUP BY vec_id, s
+        ),
+        agg AS (
+            SELECT vec_id,
+                   list(b ORDER BY s) AS bs
+            FROM best GROUP BY vec_id
+        )
+        SELECT vec_id,
+               list_sum(list_transform(generate_series(1, {m}),
+                   i -> CAST(bs[i].c AS BIGINT)
+                        * CAST(power({k}, i - 1) AS BIGINT))) AS code_key,
+               CAST(round(list_sum(list_transform(generate_series(1, {m}),
+                        i -> bs[i].d)) / {float(m * d_sub)!r} * 1000000)
+                    AS BIGINT) AS recon_mse_e6
+        FROM agg
+        ORDER BY vec_id
+    """
+
+
 @register(
     "emb_pq_encode",
-    oracle=None,  # nested argmin over codebooks is impractical in SQL;
-    # pinned by a numpy differential test (bit-exact codes + mse).
+    oracle=_pq_encode_oracle(),
     doc=f"Product quantization: {PQ_SUBSPACES}×{PQ_CODES}-code "
     "compression (4-bit/subspace) with reconstruction MSE — the PQ "
-    "half of the IVF-PQ scale architecture.",
+    "half of the IVF-PQ scale architecture. The registered entry "
+    "encodes with expression-based sequential folds and struct-least "
+    "argmins (full SQL oracle — promoted from rows-only: codes AND "
+    "the e6-quantized MSE hash-checked; numpy's reduction-tree sums "
+    "made the production pq_encode path unverifiable at exact-tie "
+    "precision). Serving paths (ADC/IVF-PQ) keep the vectorized "
+    "numpy encode.",
     tags=("embedding", "similarity", "approx"),
 )
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_encode_sorted(table(spark, sf_dir, "embeddings"))
+    return pq_encode_expr(table(spark, sf_dir, "embeddings"))
 
 
 def pq_adc_topk(

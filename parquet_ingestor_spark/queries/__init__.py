@@ -80,7 +80,7 @@ _LOADED = False
 #: than one 50-slot window can re-check. These converted entries are
 #: locally oracle-green (tools/stability_sweep.py) but their latest
 #: driver row predates the conversion; rotate them in next round:
-#: q19_running_sum, q20_lag_delta, q30_json_funcs, q33_cube,
+#: q19_running_sum, q20_lag_delta, q23_scalar_funcs, q30_json_funcs, q33_cube,
 #: q41_scalar_subquery, q45_unpivot,
 #: q55_volume_shipping, q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
@@ -145,7 +145,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q10_revenue_per_nation",
     "q14_broadcast_join",
     # — r2-cohort conversions, least-recently-checked first —
-    "q23_scalar_funcs",
     "q32_shipping_priority",
     "q35_stats_aggs",
     "q36_percentiles",
@@ -158,6 +157,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     # promotion (new entry, never checked — must take a slot)
     "emb_pca1_power",
     "emb_label_pca1",
+    "emb_pq_encode",
     "emb_normalize",
     "emb_quantize",
     "emb_dim_stats",

@@ -371,6 +371,20 @@ def test_pq_encode_matches_numpy(spark, sf_dir):
     # codebook members must reconstruct exactly
     assert sum(1 for k, (c, m) in got.items() if m == 0.0) >= PQ_CODES
 
+    # the registered expression twin computes the SAME codes (argmin
+    # ties broken identically) and the e6-quantized MSE
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    twin = {
+        r.vec_id: (r.code_key, r.recon_mse_e6)
+        for r in REGISTRY["emb_pq_encode"].fn(spark, sf_dir).collect()
+    }
+    assert set(twin) == set(want)
+    for vid, (key, mse) in want.items():
+        tk, tm = twin[vid]
+        assert tk == key, vid
+        assert abs(tm - mse * 1_000_000) <= 1, vid
+
 
 def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
     """ADC's exactness contract: its top-k must equal brute-force L2

@@ -196,14 +196,28 @@ def test_bm25_single_stats_row_broadcasts_and_takeordered(spark, sf_dir):
 
 
 def test_pq_encode_has_no_shuffle_before_sort(spark, sf_dir):
+    # registered entry: all-expression encode (no Python at all); the
+    # only exchange is the final presentation orderBy's range
+    # partitioning. The numpy MapInPandas path stays the serving
+    # encode — assert ITS shape too.
     plan = plan_of(spark, sf_dir, "emb_pq_encode")
-    # encode is map-only (scan → MapInPandas): the only exchange in
-    # the plan is the final presentation orderBy's range partitioning
     exchanges = [
         ln for ln in plan.splitlines() if "Exchange" in ln
     ]
     assert all("rangepartitioning" in ln for ln in exchanges), exchanges
-    assert "MapInPandas" in plan
+    assert "MapInPandas" not in plan  # expression twin is pure codegen
+
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import pq_encode
+
+    prod = (
+        pq_encode(table(spark, sf_dir, "embeddings"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in prod
+    assert "Exchange" not in prod  # map-only, unsorted serving output
 
 
 def test_line_dedup_partial_agg_no_skewed_window(spark, sf_dir):
