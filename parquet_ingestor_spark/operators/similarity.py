@@ -439,16 +439,85 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SRP_BITS = 128  # signature width (two packed longs)
 SRP_BANDS = 8  # 8 bands × 16 bits
 SRP_BAND_BITS = SRP_BITS // SRP_BANDS
-SRP_SEED = 42
+SRP_Q = 6  # embedding quantization exponent (e6 milli-micro units)
+
+
+def _srp_plane_signs(dim: int, bits: int):
+    """The ±1 (Rademacher) projection matrix, derived per-cell from
+    md5("srp:{bit}:{i}") — the same digest both engines expose, so the
+    DuckDB oracle rebuilds the identical matrix in SQL. Rademacher
+    entries satisfy the same sign-agreement property Gaussian SRP
+    uses (P[bit match] ≈ 1 − θ/π at these dims; Achlioptas 2003 for
+    the ±1 JL construction), and make every projection an exact
+    integer sum instead of a float fold."""
+    import hashlib
+
+    import numpy as np
+
+    s = np.empty((dim, bits), dtype=np.float64)
+    for j in range(bits):
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
+            s[i, j] = 1.0 if int(h[0], 16) % 2 else -1.0
+    return s
 
 
 @register(
     "sim_srp_lsh_neardup",
-    oracle=None,  # probabilistic candidate generation: rows-only;
-    # tests assert (subset of exact sim_neardup_pairs) + recall on
-    # high-similarity pairs.
-    doc="SRP-LSH cosine near-dup pairs: 128-bit signed-random-"
-    "projection signatures, 8×16-bit band self-join, exact-verified.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   list_transform(embedding, x ->
+                        CAST(round(CAST(x AS DOUBLE) * {10**SRP_Q})
+                             AS BIGINT)) AS q
+            FROM embeddings
+        ), eu AS (
+            SELECT vec_id,
+                   UNNEST(generate_series(0, len(q) - 1)) AS i,
+                   UNNEST(q) AS val
+            FROM e
+        ), planes AS (
+            SELECT j.j AS bit, d.i,
+                   CASE WHEN strpos('13579bdf',
+                        substr(md5('srp:' || CAST(j.j AS VARCHAR) || ':'
+                               || CAST(d.i AS VARCHAR)), 1, 1)) > 0
+                        THEN 1 ELSE -1 END AS s
+            FROM (SELECT DISTINCT i FROM eu) d
+            CROSS JOIN generate_series(0, {SRP_BITS - 1}) j(j)
+        ), bits AS (
+            SELECT eu.vec_id, p.bit,
+                   CASE WHEN sum(eu.val * p.s) > 0 THEN 1 ELSE 0 END AS b
+            FROM eu JOIN planes p USING (i)
+            GROUP BY eu.vec_id, p.bit
+        ), sigs AS (
+            SELECT vec_id, bit // {SRP_BAND_BITS} AS band,
+                   sum(b * (CAST(1 AS BIGINT)
+                            << (bit % {SRP_BAND_BITS}))) AS bkey
+            FROM bits GROUP BY vec_id, bit // {SRP_BAND_BITS}
+        ), cand AS (
+            SELECT DISTINCT sa.vec_id AS vec_a, sb.vec_id AS vec_b
+            FROM sigs sa JOIN sigs sb
+              ON sa.band = sb.band AND sa.bkey = sb.bkey
+             AND sa.vec_id < sb.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               CAST(round(list_sum(list_transform(
+                     generate_series(1, len(a.v)),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 10000)
+                   AS BIGINT) AS sim_e4
+        FROM cand c
+        JOIN e a ON a.vec_id = c.vec_a
+        JOIN e b ON b.vec_id = c.vec_b
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= {NEARDUP_TAU}
+        ORDER BY vec_a, vec_b
+    """,
+    doc="SRP-LSH cosine near-dup pairs: 128-bit md5-Rademacher "
+    "signatures over e6-quantized vectors, 8×16-bit band self-join, "
+    "exact-verified — every stage engine-exact, so fully hash-checked.",
     tags=("similarity", "dedup", "approx"),
 )
 def sim_srp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,22 +534,29 @@ def srp_lsh_neardup(
     twin, sim_neardup_pairs, is an all-pairs cross join — the
     verification/baseline formulation).
 
-    Signed random projections: sign(v @ P) for a fixed seeded
-    (dim × 128) Gaussian matrix P approximates cosine — P(bit match)
-    = 1 − θ/π. Signatures are computed in one numpy mapInPandas pass
-    (no shuffle), banded into 8 × 16-bit keys, and candidates come
-    from a (band, key) self-join — no collect_list, AQE splits hot
-    buckets. Candidates (rare) are verified with the exact fold-based
-    cosine and thresholded at the same τ as the exact twin, so output
-    is always a subset of it. For τ = 0.4 the 16-bit bands make the
-    S-curve steep near 0.9+: this operator targets *near-duplicate*
-    similarity, and the recall test pins the ≥0.9 planted pairs.
-    At billions of vectors the per-band key space (2^(bits/bands)) is
-    the bucket bound to watch — widen bands (and add bands to keep
-    recall) via the ``bits``/``bands`` parameters, the same way the
-    126-bit SimHash chunks do. Defaults (128 bits, 8×16-bit bands)
-    fit corpora up to ~hundreds of millions of vectors; band width is
-    capped at 62 bits so keys stay within a signed long.
+    Signed random projections: sign(q @ S) for a fixed (dim × 128)
+    md5-derived ±1 matrix S over e6-quantized integer vectors q —
+    P(bit match) ≈ 1 − θ/π, same as Gaussian SRP. Every projection
+    is an integer sum (exact in float64 while dim·max|q| < 2⁵³, i.e.
+    unit-scale embeddings up to ~10⁹ dims), so the signature bits,
+    band keys, candidate set and verified sims are all reproducible
+    bit-for-bit by the SQL oracle — this is what promoted the entry
+    from rows-only to hash-checked (round-6; the dedup_minhash_lsh
+    md5-twin pattern). Signatures are computed in one numpy
+    mapInPandas pass (no shuffle), banded into 8 × 16-bit keys, and
+    candidates come from a (band, key) self-join — no collect_list,
+    AQE splits hot buckets. Candidates (rare) are verified with the
+    exact fold-based cosine and thresholded at the same τ as the
+    exact twin, so output is always a subset of it. For τ = 0.4 the
+    16-bit bands make the S-curve steep near 0.9+: this operator
+    targets *near-duplicate* similarity, and the recall test pins the
+    ≥0.9 planted pairs. At billions of vectors the per-band key space
+    (2^(bits/bands)) is the bucket bound to watch — widen bands (and
+    add bands to keep recall) via the ``bits``/``bands`` parameters,
+    the same way the 126-bit SimHash chunks do. Defaults (128 bits,
+    8×16-bit bands) fit corpora up to ~hundreds of millions of
+    vectors; band width is capped at 62 bits so keys stay within a
+    signed long.
     """
     import numpy as np
     import pandas as pd
@@ -492,9 +568,7 @@ def srp_lsh_neardup(
         raise ValueError(f"band width {band_bits} > 62 overflows long keys")
     spark = emb.sparkSession
     dim = len(emb.select("embedding").first()[0])
-    rng = np.random.default_rng(SRP_SEED)
-    planes = rng.standard_normal((dim, bits))
-    b_planes = spark.sparkContext.broadcast(planes)
+    b_planes = spark.sparkContext.broadcast(_srp_plane_signs(dim, bits))
     weights = (1 << np.arange(band_bits)).astype(np.int64)
 
     def _sign(batches):
@@ -502,7 +576,10 @@ def srp_lsh_neardup(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            # int64 quantized upstream; float64 matmul of
+            # integer-valued operands is exact below 2^53, in any
+            # summation order — the property the oracle relies on.
+            vm = np.stack(pdf["qemb"].values).astype(np.float64)
             sgn = (vm @ P) > 0  # (n, bits)
             rows = {"vec_id": np.repeat(pdf["vec_id"].values, bands),
                     "band": np.tile(np.arange(bands), len(pdf)),
@@ -513,7 +590,11 @@ def srp_lsh_neardup(
                     ]).reshape(bands, len(pdf)).T.reshape(-1)}
             yield pd.DataFrame(rows)
 
-    banded = emb.select("vec_id", "embedding").mapInPandas(
+    qemb = F.expr(
+        f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
+        f"{10**SRP_Q}, 0) AS BIGINT))"
+    )
+    banded = emb.select("vec_id", qemb.alias("qemb")).mapInPandas(
         _sign, schema="vec_id long, band int, bkey long"
     )
     bl, br = banded.alias("bl"), banded.alias("br")
