@@ -721,20 +721,12 @@ def pq_encode_sorted(
     return pq_encode(emb, m, k).orderBy("vec_id")
 
 
-def pq_encode_expr(
-    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES
-) -> DataFrame:
-    """Expression-based PQ encode — the oracle-checkable twin of the
-    numpy :func:`pq_encode` path. Every distance is a SEQUENTIAL
-    8-term fold and every argmin a lexicographic struct-least with
-    the code index as tiebreak, so both engines compute identical
-    codes even at exact distance ties (numpy's 8-way unrolled
-    reduction tree sums in a different order, which is fine for the
-    production path but not for a hash gate). One codegen scan, the
-    (m × k × d_sub) codebook inlined as literals; per-vector output is
-    (vec_id, code_key, recon_mse_e6) with the MSE an integer e6
-    quantization of Σ d2_min / dim."""
-    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
+def _pq_best_structs(books) -> list[Column]:
+    """Per-subspace (d2, code) struct-least expressions — the shared
+    expression core of :func:`pq_encode_expr` and
+    :func:`pq_adc_topk_expr`. Each distance is a SEQUENTIAL d_sub-term
+    fold and each argmin a lexicographic struct ``least`` with the
+    code index as tiebreak, so both engines agree at exact ties."""
     m_, k_, d_sub = books.shape
     best = []
     for si in range(m_):
@@ -753,6 +745,28 @@ def pq_encode_expr(
                 F.struct(d2.alias("d2"), F.lit(ci).alias("code"))
             )
         best.append(F.least(*cands))
+    return best
+
+
+def pq_encode_expr(
+    emb: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    sort: bool = True,
+) -> DataFrame:
+    """Expression-based PQ encode — the oracle-checkable twin of the
+    numpy :func:`pq_encode` path. Every distance is a SEQUENTIAL
+    8-term fold and every argmin a lexicographic struct-least with
+    the code index as tiebreak, so both engines compute identical
+    codes even at exact distance ties (numpy's 8-way unrolled
+    reduction tree sums in a different order, which is fine for the
+    production path but not for a hash gate). One codegen scan, the
+    (m × k × d_sub) codebook inlined as literals; per-vector output is
+    (vec_id, code_key, recon_mse_e6) with the MSE an integer e6
+    quantization of Σ d2_min / dim."""
+    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
+    m_, k_, d_sub = books.shape
+    best = _pq_best_structs(books)
     code_key = None
     for si in range(m_):
         term = best[si]["code"].cast("long") * F.lit(int(k_**si))
@@ -763,11 +777,12 @@ def pq_encode_expr(
             best[si]["d2"] if total is None else total + best[si]["d2"]
         )
     mse = total / F.lit(float(m_ * d_sub))
-    return emb.select(
+    out = emb.select(
         "vec_id",
         code_key.alias("code_key"),
         int_e(mse, 6).alias("recon_mse_e6"),
-    ).orderBy("vec_id")
+    )
+    return out.orderBy("vec_id") if sort else out
 
 
 def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
@@ -926,6 +941,177 @@ def pq_adc_topk(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def pq_adc_topk_expr(
+    emb: DataFrame,
+    k_top: int = TOPK,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+) -> DataFrame:
+    """Expression-based ADC top-k — the oracle-checkable twin of the
+    numpy :func:`pq_adc_topk` serving path (same promotion pattern as
+    ``pq_encode_expr``). Codes come from the expression encode (codes
+    are already hash-proven engine-identical via emb_pq_encode); the
+    per-query (m × k) squared-distance tables are computed ON THE
+    DRIVER with strictly sequential Python float loops — the same
+    left-to-right IEEE fold DuckDB's ``list_sum`` performs — and ship
+    to executors as exact array<double> literals (Arrow preserves the
+    bits). A corpus vector's distance is then a FIXED-ORDER 8-term sum
+    of ``element_at`` lookups, so ranking (dist ASC, vec_id ASC) is
+    bit-identical on both engines with no quantized-tie risk.
+
+    This is the verification shape: it materializes corpus × queries
+    rows into one window. The numpy path stays the serving shape (per-
+    batch argpartition top-k, only partitions × q × k rows leave
+    Python) — the differential test pins both to the same rows.
+    """
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k)  # (m, k, d_sub) float64
+    d_sub = books.shape[2]
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qdata = []
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        dt = []
+        for s in range(m):
+            for c in range(k):
+                acc = 0.0
+                for d in range(d_sub):
+                    diff = qv[s * d_sub + d] - float(books[s, c, d])
+                    acc += diff * diff
+                dt.append(acc)
+        qdata.append((r.vec_id, dt))
+    qdf = spark.createDataFrame(qdata, "q_id long, dt array<double>")
+    # The per-subspace codes are materialized through an exchange
+    # before the query crossJoin, and the projection ALSO emits the
+    # reconstruction MSE. Both are load-bearing for codegen, not just
+    # output niceties: each struct-least must be referenced TWICE
+    # (.code and .d2) for Spark's codegen subexpression elimination to
+    # extract it into its own method — single-reference projections
+    # inline all 128 candidates into one generated method, blow
+    # janino's 64 KB limit and silently fall back to interpreted
+    # evaluation (observed). Split this way, the encode stage is
+    # emb_pq_encode's proven-codegen shape, the join stage carries
+    # only m element_at lookups, and the shuffle moves
+    # (vec_id + m small ints + one bigint).
+    d_sub_f = float(m * d_sub)
+    best = _pq_best_structs(pq_codebooks(emb, m, k))
+    total = None
+    for s in range(m):
+        total = best[s]["d2"] if total is None else total + best[s]["d2"]
+    codes = emb.select(
+        "vec_id",
+        *[best[s]["code"].alias(f"c{s}") for s in range(m)],
+        int_e(total / F.lit(d_sub_f), 6).alias("recon_mse_e6"),
+    ).repartition("vec_id")
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            "dt", F.lit(s * k + 1) + F.col(f"c{s}")
+        )
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        codes.crossJoin(F.broadcast(qdf))
+        .select(
+            "q_id", "vec_id", dist.alias("dist"), "recon_mse_e6"
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "q_id",
+            "vec_id",
+            int_e("dist", 6).alias("dist_e6"),
+            F.col("rank").cast("int").alias("rank"),
+            "recon_mse_e6",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _pq_adc_oracle(
+    m: int = PQ_SUBSPACES, k: int = PQ_CODES, k_top: int = TOPK
+) -> str:
+    """SQL mirror of :func:`pq_adc_topk_expr`: the encode CTEs from
+    ``_pq_encode_oracle`` produce the codes; per-query distance tables
+    are the same sequential d_sub-term folds the driver loop computes;
+    the total distance is a list_sum over the per-subspace entries in
+    subspace order — matching Spark's fixed-order 8-term sum."""
+    d_sub = 64 // m
+    return f"""
+        WITH cbv AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {k})
+        ),
+        cb AS (
+            SELECT s.s, cbv.code,
+                   list_transform(generate_series(1, {d_sub}),
+                       d -> CAST(embedding[s.s * {d_sub} + d] AS DOUBLE))
+                       AS cv
+            FROM cbv CROSS JOIN (SELECT unnest(generate_series(0, {m - 1}))
+                                 AS s) s
+        ),
+        d2s AS (
+            SELECT e.vec_id, cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, {d_sub}),
+                       d -> (CAST(e.embedding[cb.s * {d_sub} + d]
+                                  AS DOUBLE) - cb.cv[d])
+                            * (CAST(e.embedding[cb.s * {d_sub} + d]
+                                    AS DOUBLE) - cb.cv[d]))) AS d2
+            FROM embeddings e CROSS JOIN cb
+        ),
+        best AS (
+            SELECT vec_id, s,
+                   MIN(struct_pack(d := d2, c := code)) AS b
+            FROM d2s GROUP BY vec_id, s
+        ),
+        q AS (
+            SELECT vec_id AS q_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        dt AS (
+            SELECT q.q_id, cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, {d_sub}),
+                       d -> (qv[cb.s * {d_sub} + d] - cb.cv[d])
+                            * (qv[cb.s * {d_sub} + d] - cb.cv[d]))) AS d2
+            FROM q CROSS JOIN cb
+        ),
+        dists AS (
+            SELECT b.vec_id, t.q_id,
+                   list_sum(list(t.d2 ORDER BY t.s)) AS dist
+            FROM best b JOIN dt t ON t.s = b.s AND t.code = b.b.c
+            GROUP BY b.vec_id, t.q_id
+        ),
+        mses AS (
+            SELECT vec_id,
+                   CAST(round(list_sum(list(b.d ORDER BY s))
+                        / {float(m * d_sub)!r} * 1000000)
+                       AS BIGINT) AS recon_mse_e6
+            FROM best GROUP BY vec_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, dist,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY dist, vec_id
+                   ) AS INTEGER) AS rank
+            FROM dists
+        )
+        SELECT r.q_id, r.vec_id,
+               CAST(round(r.dist * 1000000) AS BIGINT) AS dist_e6,
+               r.rank, m.recon_mse_e6
+        FROM ranked r JOIN mses m ON m.vec_id = r.vec_id
+        WHERE r.rank <= {k_top}
+        ORDER BY r.q_id, r.rank
+    """
 
 
 SEM_TAU = 0.4  # within-cluster cosine above which docs are semantic dups
@@ -1200,16 +1386,18 @@ def sem_dedup_trained(
 
 @register(
     "pq_adc_topk",
-    oracle=None,  # PQ reconstruction + argmin are impractical in SQL;
-    # equivalence-tested: ADC ranking ≡ brute-force L2 over the
-    # PQ-reconstructed corpus, bit-exact (tests/test_corpus.py).
+    oracle=_pq_adc_oracle(),
     doc="ADC top-k serving over PQ codes: per-query distance tables "
     "broadcast, corpus scanned as 8 nibbles/vector — queries never "
-    "touch the raw embeddings.",
+    "touch the raw embeddings. The registered entry is the expression "
+    "twin (driver-sequential distance tables + fixed-order lookup "
+    "sums — fully hash-checked; promoted from rows-only round 6); "
+    "the numpy path stays the serving shape, pinned equal by the "
+    "differential test.",
     tags=("embedding", "similarity", "approx"),
 )
 def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_adc_topk(table(spark, sf_dir, "embeddings"))
+    return pq_adc_topk_expr(table(spark, sf_dir, "embeddings"))
 
 
 def ivfpq_index(

@@ -439,6 +439,28 @@ def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_pq_adc_expr_twin_matches_serving_path(spark, sf_dir):
+    """The registered expression twin and the numpy serving path must
+    agree row-for-row (the encode-twin guarantee extended to ADC):
+    same codes, same e6 distances, same (dist, vec_id) ranking."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_expr,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    serving = [
+        (r.q_id, r.vec_id, r.dist_e6, r.rank)
+        for r in pq_adc_topk(emb).collect()
+    ]
+    twin = [
+        (r.q_id, r.vec_id, r.dist_e6, r.rank)
+        for r in pq_adc_topk_expr(emb).collect()
+    ]
+    assert serving == twin
+
+
 def test_ivfpq_equals_probed_adc_bruteforce(spark, sf_dir):
     """IVF-PQ serving must equal brute-force ADC restricted to the
     probed lists — the approximation lives in list choice + quantizer,
