@@ -785,13 +785,13 @@ def pq_encode_expr(
     return out.orderBy("vec_id") if sort else out
 
 
-def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
-    """SQL mirror of :func:`pq_encode_expr`: codebooks from the first
-    k vectors by vec_id, sequential distance folds, struct-min
-    argmin, s-ordered fold of the winning distances."""
+def _pq_code_ctes(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
+    """The shared encode CTE chain (codebooks → per-subspace
+    sequential distance folds → struct-min argmin), used verbatim by
+    the emb_pq_encode, pq_adc_topk and sim_ivfpq_topk oracles so all
+    three gate on the SAME code derivation."""
     d_sub = 64 // m
-    return f"""
-        WITH cbv AS (
+    return f"""cbv AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
                    embedding
             FROM (SELECT vec_id, embedding FROM embeddings
@@ -818,7 +818,42 @@ def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
             SELECT vec_id, s,
                    MIN(struct_pack(d := d2, c := code)) AS b
             FROM d2s GROUP BY vec_id, s
+        )"""
+
+
+def _pq_adc_tail_ctes(m: int = PQ_SUBSPACES) -> str:
+    """The shared ADC CTE pair: per-query subvector distance tables
+    (the same sequential folds the driver loop computes) and the
+    reconstruction-MSE summary."""
+    d_sub = 64 // m
+    return f"""q AS (
+            SELECT vec_id AS q_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+            FROM embeddings WHERE vec_id < {N_QUERIES}
         ),
+        dt AS (
+            SELECT q.q_id, cb.s, cb.code,
+                   list_sum(list_transform(generate_series(1, {d_sub}),
+                       d -> (qv[cb.s * {d_sub} + d] - cb.cv[d])
+                            * (qv[cb.s * {d_sub} + d] - cb.cv[d]))) AS d2
+            FROM q CROSS JOIN cb
+        ),
+        mses AS (
+            SELECT vec_id,
+                   CAST(round(list_sum(list(b.d ORDER BY s))
+                        / {float(m * (64 // m))!r} * 1000000)
+                       AS BIGINT) AS recon_mse_e6
+            FROM best GROUP BY vec_id
+        )"""
+
+
+def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
+    """SQL mirror of :func:`pq_encode_expr`: codebooks from the first
+    k vectors by vec_id, sequential distance folds, struct-min
+    argmin, s-ordered fold of the winning distances."""
+    d_sub = 64 // m
+    return f"""
+        WITH {_pq_code_ctes(m, k)},
         agg AS (
             SELECT vec_id,
                    list(b ORDER BY s) AS bs
@@ -943,6 +978,28 @@ def pq_adc_topk(
     )
 
 
+def _adc_query_tables(q_rows, books) -> list[tuple[int, list[float]]]:
+    """Per-query flattened (m × k) squared-distance tables, computed
+    with strictly SEQUENTIAL Python float loops — the same
+    left-to-right IEEE fold DuckDB's ``list_sum`` performs, so the
+    doubles that ship to executors are bit-identical to the oracle's.
+    (numpy's pairwise-summed reductions would not be.)"""
+    m, k, d_sub = books.shape
+    out = []
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        dt = []
+        for s in range(m):
+            for c in range(k):
+                acc = 0.0
+                for d in range(d_sub):
+                    diff = qv[s * d_sub + d] - float(books[s, c, d])
+                    acc += diff * diff
+                dt.append(acc)
+        out.append((r.vec_id, dt))
+    return out
+
+
 def pq_adc_topk_expr(
     emb: DataFrame,
     k_top: int = TOPK,
@@ -968,25 +1025,14 @@ def pq_adc_topk_expr(
     """
     spark = emb.sparkSession
     books = pq_codebooks(emb, m, k)  # (m, k, d_sub) float64
-    d_sub = books.shape[2]
     q_rows = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
         .select("vec_id", "embedding")
         .collect()
     )
-    qdata = []
-    for r in q_rows:
-        qv = [float(x) for x in r.embedding]
-        dt = []
-        for s in range(m):
-            for c in range(k):
-                acc = 0.0
-                for d in range(d_sub):
-                    diff = qv[s * d_sub + d] - float(books[s, c, d])
-                    acc += diff * diff
-                dt.append(acc)
-        qdata.append((r.vec_id, dt))
+    d_sub = books.shape[2]
+    qdata = _adc_query_tables(q_rows, books)
     qdf = spark.createDataFrame(qdata, "q_id long, dt array<double>")
     # The per-subspace codes are materialized through an exchange
     # before the query crossJoin, and the projection ALSO emits the
@@ -1043,60 +1089,195 @@ def _pq_adc_oracle(
     are the same sequential d_sub-term folds the driver loop computes;
     the total distance is a list_sum over the per-subspace entries in
     subspace order — matching Spark's fixed-order 8-term sum."""
-    d_sub = 64 // m
     return f"""
-        WITH cbv AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
-                   embedding
-            FROM (SELECT vec_id, embedding FROM embeddings
-                  ORDER BY vec_id LIMIT {k})
-        ),
-        cb AS (
-            SELECT s.s, cbv.code,
-                   list_transform(generate_series(1, {d_sub}),
-                       d -> CAST(embedding[s.s * {d_sub} + d] AS DOUBLE))
-                       AS cv
-            FROM cbv CROSS JOIN (SELECT unnest(generate_series(0, {m - 1}))
-                                 AS s) s
-        ),
-        d2s AS (
-            SELECT e.vec_id, cb.s, cb.code,
-                   list_sum(list_transform(generate_series(1, {d_sub}),
-                       d -> (CAST(e.embedding[cb.s * {d_sub} + d]
-                                  AS DOUBLE) - cb.cv[d])
-                            * (CAST(e.embedding[cb.s * {d_sub} + d]
-                                    AS DOUBLE) - cb.cv[d]))) AS d2
-            FROM embeddings e CROSS JOIN cb
-        ),
-        best AS (
-            SELECT vec_id, s,
-                   MIN(struct_pack(d := d2, c := code)) AS b
-            FROM d2s GROUP BY vec_id, s
-        ),
-        q AS (
-            SELECT vec_id AS q_id,
-                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-            FROM embeddings WHERE vec_id < {N_QUERIES}
-        ),
-        dt AS (
-            SELECT q.q_id, cb.s, cb.code,
-                   list_sum(list_transform(generate_series(1, {d_sub}),
-                       d -> (qv[cb.s * {d_sub} + d] - cb.cv[d])
-                            * (qv[cb.s * {d_sub} + d] - cb.cv[d]))) AS d2
-            FROM q CROSS JOIN cb
-        ),
+        WITH {_pq_code_ctes(m, k)},
+        {_pq_adc_tail_ctes(m)},
         dists AS (
             SELECT b.vec_id, t.q_id,
                    list_sum(list(t.d2 ORDER BY t.s)) AS dist
             FROM best b JOIN dt t ON t.s = b.s AND t.code = b.b.c
             GROUP BY b.vec_id, t.q_id
         ),
-        mses AS (
-            SELECT vec_id,
-                   CAST(round(list_sum(list(b.d ORDER BY s))
-                        / {float(m * d_sub)!r} * 1000000)
-                       AS BIGINT) AS recon_mse_e6
-            FROM best GROUP BY vec_id
+        ranked AS (
+            SELECT q_id, vec_id, dist,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY dist, vec_id
+                   ) AS INTEGER) AS rank
+            FROM dists
+        )
+        SELECT r.q_id, r.vec_id,
+               CAST(round(r.dist * 1000000) AS BIGINT) AS dist_e6,
+               r.rank, m.recon_mse_e6
+        FROM ranked r JOIN mses m ON m.vec_id = r.vec_id
+        WHERE r.rank <= {k_top}
+        ORDER BY r.q_id, r.rank
+    """
+
+
+def ivfpq_topk_expr(
+    emb: DataFrame,
+    k_top: int = TOPK,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    n_lists: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Expression-based IVF-PQ serving — the oracle-checkable twin of
+    the numpy :func:`sim_ivfpq_topk` path. Every approximate stage is
+    made engine-exact the same way the ADC twin is:
+
+    - coarse assignment: corpus × broadcast-centroids cross join with
+      a SEQUENTIAL zip_with/aggregate L2 fold and a min(struct(l2,
+      c_id)) argmin — identical to the oracle's row_number over
+      (l2, c_id);
+    - probe selection: driver-side sequential Python folds over the
+      same centroid doubles, sorted by (dist, c_id) — identical to
+      the oracle's row_number ≤ nprobe;
+    - ADC scoring: the struct-least codes plus fixed-order lookups
+      into driver-sequential distance tables (see pq_adc_topk_expr).
+
+    The probed (q_id, list_id, dt) rows broadcast and the join on
+    list_id IS the inverted-file prune: unprobed lists never join.
+    This is the verification shape; the numpy path stays the serving
+    shape, pinned by the probed-ADC differential test.
+    """
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m, k)
+    d_sub = books.shape[2]
+    cent = emb.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").cast("int").alias("c_id"),
+        F.col("embedding").alias("cv"),
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(embedding, cv, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), "
+        "(acc, v) -> acc + v)"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "c_id", l2.alias("l2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("l2"), F.col("c_id"))).alias("bestc"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id", F.col("bestc.c_id").alias("list_id"), "embedding"
+        )
+    )
+    # encode projection: same double-reference + exchange-barrier
+    # discipline as pq_adc_topk_expr (codegen 64 KB limit).
+    best = _pq_best_structs(books)
+    total = None
+    for s in range(m):
+        total = best[s]["d2"] if total is None else total + best[s]["d2"]
+    codes = assigned.select(
+        "vec_id",
+        "list_id",
+        *[best[s]["code"].alias(f"c{s}") for s in range(m)],
+        int_e(total / F.lit(float(m * d_sub)), 6).alias("recon_mse_e6"),
+    ).repartition("vec_id")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    c_rows = cent.orderBy("c_id").collect()
+    cvs = [(r.c_id, [float(x) for x in r.cv]) for r in c_rows]
+    dts = dict(_adc_query_tables(q_rows, books))
+    pdata = []
+    for r in q_rows:
+        qv = [float(x) for x in r.embedding]
+        ds = []
+        for cid, cv in cvs:
+            acc = 0.0
+            for d in range(len(qv)):
+                diff = qv[d] - cv[d]
+                acc += diff * diff
+            ds.append((acc, cid))
+        ds.sort()
+        pdata.extend(
+            (r.vec_id, cid, dts[r.vec_id]) for _, cid in ds[:nprobe]
+        )
+    pdf = spark.createDataFrame(
+        pdata, "q_id long, list_id int, dt array<double>"
+    )
+    dist = None
+    for s in range(m):
+        term = F.element_at("dt", F.lit(s * k + 1) + F.col(f"c{s}"))
+        dist = term if dist is None else dist + term
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        codes.join(F.broadcast(pdf), "list_id")
+        .select("q_id", "vec_id", dist.alias("dist"), "recon_mse_e6")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select(
+            "q_id",
+            "vec_id",
+            int_e("dist", 6).alias("dist_e6"),
+            F.col("rank").cast("int").alias("rank"),
+            "recon_mse_e6",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+def _pq_ivfpq_oracle(
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    k_top: int = TOPK,
+    n_lists: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """SQL mirror of :func:`ivfpq_topk_expr`: the shared encode/ADC
+    CTEs plus coarse assignment and probe selection as row_number
+    over the same sequential L2 folds."""
+    return f"""
+        WITH {_pq_code_ctes(m, k)},
+        {_pq_adc_tail_ctes(m)},
+        cent AS (
+            SELECT CAST(vec_id AS INTEGER) AS c_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            FROM embeddings WHERE vec_id < {n_lists}
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS list_id FROM (
+                SELECT e.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, len(c.cv)),
+                               d -> (CAST(e.embedding[d] AS DOUBLE)
+                                     - c.cv[d])
+                                    * (CAST(e.embedding[d] AS DOUBLE)
+                                       - c.cv[d]))),
+                           c.c_id) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, c_id AS list_id FROM (
+                SELECT q.q_id, c.c_id,
+                       row_number() OVER (PARTITION BY q.q_id ORDER BY
+                           list_sum(list_transform(
+                               generate_series(1, len(c.cv)),
+                               d -> (qv[d] - c.cv[d])
+                                    * (qv[d] - c.cv[d]))),
+                           c.c_id) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn <= {nprobe}
+        ),
+        dists AS (
+            SELECT b.vec_id, t.q_id,
+                   list_sum(list(t.d2 ORDER BY t.s)) AS dist
+            FROM best b
+            JOIN assign a ON a.vec_id = b.vec_id
+            JOIN probes p ON p.list_id = a.list_id
+            JOIN dt t ON t.s = b.s AND t.code = b.b.c
+                     AND t.q_id = p.q_id
+            GROUP BY b.vec_id, t.q_id
         ),
         ranked AS (
             SELECT q_id, vec_id, dist,
@@ -1472,14 +1653,21 @@ def ivfpq_index(
 
 @register(
     "sim_ivfpq_topk",
-    oracle=None,  # approximate (probes 3 of 25 lists over quantized
-    # codes); pinned by an exact numpy differential: result ≡ ADC
-    # ranking restricted to the probed lists (tests/test_corpus.py).
+    oracle=_pq_ivfpq_oracle(),
     doc=f"IVF-PQ serving: probe {IVF_NPROBE}/{IVF_K} coarse lists, "
     "ADC-score 4-bit codes via broadcast distance tables — the full "
-    "billion-vector architecture (corpus read as codes, never floats).",
+    "billion-vector architecture (corpus read as codes, never "
+    "floats). The registered entry is the expression twin (sequential "
+    "L2 folds for assignment/probing + the ADC expression pipeline — "
+    "fully hash-checked; promoted from rows-only round 6); the numpy "
+    "path stays the serving shape, pinned by the probed-ADC "
+    "differential test.",
     tags=("embedding", "similarity", "approx"),
 )
+def sim_ivfpq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_topk_expr(table(spark, sf_dir, "embeddings"))
+
+
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The combined IVF-PQ serving query (Jégou et al. 2011 §IV) —
     composes the two registered halves into the shape a real ANN

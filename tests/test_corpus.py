@@ -461,6 +461,28 @@ def test_pq_adc_expr_twin_matches_serving_path(spark, sf_dir):
     assert serving == twin
 
 
+def test_ivfpq_expr_twin_matches_serving_path(spark, sf_dir):
+    """The registered IVF-PQ expression twin and the numpy serving
+    path must agree row-for-row: same coarse assignment, same probe
+    lists, same codes, same e6 distances and ranking."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        ivfpq_topk_expr,
+        sim_ivfpq_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    serving = [
+        (r.q_id, r.vec_id, r.dist_e6, r.rank)
+        for r in sim_ivfpq_topk(spark, sf_dir).collect()
+    ]
+    twin = [
+        (r.q_id, r.vec_id, r.dist_e6, r.rank)
+        for r in ivfpq_topk_expr(emb).collect()
+    ]
+    assert serving == twin
+
+
 def test_ivfpq_equals_probed_adc_bruteforce(spark, sf_dir):
     """IVF-PQ serving must equal brute-force ADC restricted to the
     probed lists — the approximation lives in list choice + quantizer,
