@@ -82,6 +82,7 @@ _LOADED = False
 #: driver row predates the conversion; rotate them in next round:
 #: q19_running_sum, q20_lag_delta, q23_scalar_funcs, q30_json_funcs, q33_cube,
 #: q32_shipping_priority, q35_stats_aggs, q36_percentiles,
+#: q38_grouping_sets,
 #: q41_scalar_subquery, q45_unpivot,
 #: q55_volume_shipping, q56_market_share,
 #: q57_profit_by_nation_year, q59_disjunctive_bands,
@@ -95,15 +96,14 @@ _LOADED = False
 #: corpus_mixture_weights, corpus_temperature_weights,
 #: corpus_length_histogram, dedup_jaccard_pairs, sim_bruteforce_topk,
 #: sim_neardup_pairs, range_join_bands, skew_salted_agg,
-#: emb_kmeans_step. (sim_ivf_topk /
-#: emb_kmeans_fit / emb_pca_project
+#: emb_kmeans_step. (emb_kmeans_fit / emb_pca_project
 #: also renamed their rows-only output columns to integer _e{d}
 #: forms this round; their driver rows are COUNT-only and the row
 #: counts are unchanged, so no staleness — listed here so nothing
 #: reads as silently forgotten. dedup_minhash_lsh, dedup_simhash,
-#: sim_srp_lsh_neardup, pq_adc_topk and sim_ivfpq_topk were instead
-#: PROMOTED to fully hash-checked oracles and hold round-6 window
-#: slots.) Then resume least-recently-checked order.
+#: sim_srp_lsh_neardup, pq_adc_topk, sim_ivfpq_topk and sim_ivf_topk
+#: were instead PROMOTED to fully hash-checked oracles and hold
+#: round-6 window slots.) Then resume least-recently-checked order.
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 22 never-driver-checked entries (round-5 verdict #2) —
     "q76_anomalous_hours",
@@ -147,7 +147,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q10_revenue_per_nation",
     "q14_broadcast_join",
     # — r2-cohort conversions, least-recently-checked first —
-    "q38_grouping_sets",
     "q40_window_breadth",
     "q47_null_semantics",
     "q48_conditional_aggs",
@@ -163,6 +162,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "sim_srp_lsh_neardup",
     "pq_adc_topk",
     "sim_ivfpq_topk",
+    "sim_ivf_topk",
     "emb_normalize",
     "emb_quantize",
     "emb_dim_stats",

@@ -439,6 +439,36 @@ def test_pq_adc_equals_reconstructed_bruteforce(spark, sf_dir):
     assert got == want
 
 
+def test_ivf_expr_twin_matches_serving_path(spark, sf_dir):
+    """The registered cosine-IVF expression twin and the numpy
+    ivf_search serving path must agree on everything observable at e4
+    precision: same per-rank scores and same answer sets per query.
+    (Exact within-tie ORDER may differ: the serving path ranks on
+    round(sim, 4) then vec_id, the twin on the exact double — at an
+    e4 tie each picks a legitimate order, so row-for-row equality is
+    deliberately NOT asserted.)"""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        IVF_K,
+        ivf_search,
+        ivf_topk_expr,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    serving = ivf_search(emb, n_lists=IVF_K).collect()
+    twin = ivf_topk_expr(emb).collect()
+    s_scores = [(r.q_id, r.rank, r.sim_e4) for r in serving]
+    t_scores = [(r.q_id, r.rank, r.sim_e4) for r in twin]
+    assert s_scores == t_scores
+    s_sets: dict[int, set] = {}
+    t_sets: dict[int, set] = {}
+    for r in serving:
+        s_sets.setdefault(r.q_id, set()).add((r.vec_id, r.sim_e4))
+    for r in twin:
+        t_sets.setdefault(r.q_id, set()).add((r.vec_id, r.sim_e4))
+    assert s_sets == t_sets
+
+
 def test_pq_adc_expr_twin_matches_serving_path(spark, sf_dir):
     """The registered expression twin and the numpy serving path must
     agree row-for-row (the encode-twin guarantee extended to ADC):
