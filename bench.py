@@ -232,12 +232,30 @@ def _extra_probes():
     def _minhash_prod(s, d):
         return minhash_lsh_pairs(table(s, d, "documents"))
 
+    # same oracle-tax visibility rule for the round-6 ANN twins: the
+    # registered sim_ivf_topk / pq_adc_topk / sim_ivfpq_topk now run
+    # expression twins the driver can hash-check; these probes keep
+    # the numpy single-pass serving paths' costs on record so the
+    # twin-vs-serving delta reads as the deliberate rule, not a
+    # regression.
+    from parquet_ingestor_spark.operators.similarity import (
+        pq_adc_topk as _pq_adc_serving,
+        sim_ivfpq_topk as _ivfpq_serving,
+    )
+
     return {
         "corpus_bloom_seen_prod": _bloom_seen_prod,
         # same oracle-tax visibility rule as corpus_bloom_seen_prod:
         # the registered dedup_minhash_lsh now runs the md5 twin; this
         # probe keeps the xxhash64 production path's cost on record
         "dedup_minhash_lsh_prod": _minhash_prod,
+        "sim_ivf_topk_prod": lambda s, d: ivf_search(
+            table(s, d, "embeddings"), n_lists=IVF_K
+        ),
+        "pq_adc_topk_prod": lambda s, d: _pq_adc_serving(
+            table(s, d, "embeddings")
+        ),
+        "sim_ivfpq_topk_prod": lambda s, d: _ivfpq_serving(s, d),
         "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
             s, d, 2 * _PAGERANK_ITERS
         ),
