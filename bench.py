@@ -268,6 +268,9 @@ def _extra_probes():
         "sim_ivf_topk_x2rows": lambda s, d: ivf_search(
             _emb_x2(s, d), n_lists=IVF_K
         ),
+        "pq_adc_topk_x2rows": lambda s, d: _pq_adc_serving(
+            _emb_x2(s, d)
+        ),
     }
 
 

@@ -405,3 +405,40 @@ def test_symspell_equals_quadratic_on_random_strings(spark, names, k):
         if i < j and ed(a, b) <= k
     }
     assert got == want
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=64
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_dlit_sql_double_literals_roundtrip_exactly(spark, vals):
+    """Property: _dlit renders ANY finite double (subnormals, extreme
+    exponents, negative zero) as a Spark SQL literal that parses back
+    to the identical bits — the contract every PQ/ADC oracle twin's
+    inlined codebook rests on."""
+    import math
+    import struct
+
+    from parquet_ingestor_spark.operators.similarity import _dlit
+
+    exprs = ", ".join(
+        f"{_dlit(v)} AS c{i}" for i, v in enumerate(vals)
+    )
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    for i, v in enumerate(vals):
+        got = row[i]
+        assert struct.pack("<d", got) == struct.pack("<d", v), (
+            v,
+            got,
+            math.copysign(1, got),
+        )
