@@ -275,18 +275,65 @@ def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q34_oracle() -> str:
+    from ..operators.sketches import _hll_det_est_sql, hll_det_regs_sql
+
+    return f"""
+        WITH {hll_det_regs_sql("orders", "o_orderpriority", "o_custkey")},
+        est AS (
+            SELECT o_orderpriority,
+                   CAST(round(({_hll_det_est_sql()}) * 10000) AS BIGINT)
+                       AS approx_custs_e4
+            FROM r GROUP BY o_orderpriority
+        ),
+        e AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY o_orderpriority
+        )
+        SELECT est.o_orderpriority, est.approx_custs_e4, e.exact_custs
+        FROM est JOIN e USING (o_orderpriority)
+        ORDER BY est.o_orderpriority
+    """
+
+
 @register(
     "q34_approx_distinct",
-    oracle=None,  # HLL sketches differ per engine: rows-only; the test
-    # asserts <5% relative error against the exact distinct count.
-    doc="approx_count_distinct (HLL) — the O(1)-memory distinct that "
-    "replaces exact COUNT(DISTINCT) shuffles at 100 TB.",
-    tags=("relational", "aggregate", "approx"),
+    oracle=_q34_oracle(),
+    doc="Approximate distinct customers per order priority via the "
+    "DETERMINISTIC md5-register HLL (4096 registers) — the O(1)-memory "
+    "distinct that replaces exact COUNT(DISTINCT) shuffles at 100 TB, "
+    "made hash-verifiable end to end (r5 verdict #3: the "
+    "events_hll_users playbook applied to the relational inventory). "
+    "Spark's native HyperLogLog++ approx_count_distinct remains the "
+    "production library surface, pinned by the <5%-error invariant "
+    "test (test_operators_quality).",
+    tags=("relational", "aggregate", "approx", "sketch"),
 )
 def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .orderBy("event_type")
+    """One keyed register aggregate (≤ priorities × 4096 tiny rows)
+    plus the toy-SF exact column for error auditing; at 100 TB only
+    the register aggregate survives — mergeable, shuffle state
+    independent of row count."""
+    from ..operators.sketches import hll_det_estimate, hll_det_registers
+
+    ords = (
+        table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_custkey").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+        )
+        .select("o_orderpriority", "o_custkey")
     )
+    est = hll_det_estimate(
+        hll_det_registers(ords, "o_orderpriority", "o_custkey"),
+        "o_orderpriority",
+    ).select(
+        "o_orderpriority", F.col("est_e4").alias("approx_custs_e4")
+    )
+    exact = ords.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    return est.join(exact, "o_orderpriority").orderBy("o_orderpriority")
