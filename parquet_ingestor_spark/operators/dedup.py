@@ -644,9 +644,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_jaccard_pairs",
-    oracle=f"""
+def _jaccard_oracle() -> str:
+    """SQL mirror of :func:`exact_jaccard_pairs` over the standard
+    3-gram shingles — shared by the registered baseline entry and the
+    recall-eval oracle's MinHash ground truth."""
+    return f"""
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         ), s AS (
@@ -673,7 +675,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sz sb ON sb.doc_id = doc_b
         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "dedup_jaccard_pairs",
+    oracle=_jaccard_oracle(),
     doc="Exact 3-gram-shingle Jaccard near-dup pairs (oracle baseline).",
     tags=("dedup",),
 )
@@ -842,10 +849,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_md5(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_simhash",
-    oracle="""
-        WITH tok AS (
+#: CTE chain producing the md5-twin SimHash fingerprints
+#: (doc_id, sh0, sh1) — shared by the dedup_simhash oracle and the
+#: recall-eval oracle's all-pairs hamming ground truth.
+_SIMHASH_FP_CTES = """
+        tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS t
             FROM documents
         ),
@@ -874,7 +882,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                        THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
                        ELSE 0 END) AS sh1
             FROM votes GROUP BY doc_id
-        ),
+        )
+"""
+
+
+def _simhash_md5_oracle() -> str:
+    """SQL mirror of ``simhash_pairs(docs, hasher="md5")`` — the
+    pigeonhole-banded candidate join over the shared fingerprint
+    CTEs."""
+    return f"""
+        WITH {_SIMHASH_FP_CTES},
         chunks AS (
             SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM fp
             CROSS JOIN LATERAL (VALUES
@@ -891,7 +908,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE bit_count(xor(a.sh0, b.sh0))
               + bit_count(xor(a.sh1, b.sh1)) <= 3
         ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_simhash_md5_oracle(),
     doc="SimHash fingerprint pairs at hamming ≤ 3 via 4-chunk "
     "pigeonhole self-join banding. The registered entry derives its "
     "2×60-bit fingerprints from the two md5 halves (full SQL oracle — "
@@ -1005,10 +1027,11 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pair_audit(approx: DataFrame, truth: DataFrame, method: str) -> DataFrame:
     """One audit row comparing an approximate pair set against its
-    ground truth: counts, precision, recall (exact-integer count
-    ratios — single IEEE divisions, engine-identical). All three
-    counts are single-row aggregates; the hit count joins on the
-    canonical (doc_a, doc_b) key."""
+    ground truth: counts plus precision/recall as EXACT-INTEGER e4
+    ratios ((10000·hits) div total — the no-doubles output rule, same
+    as sim_recall_eval's recall_e4). All three counts are single-row
+    aggregates; the hit count joins on the canonical (doc_a, doc_b)
+    key."""
     a = approx.select("doc_a", "doc_b").dropDuplicates()
     t = truth.select("doc_a", "doc_b").dropDuplicates()
     n_cand = a.agg(F.count("*").alias("n_candidates"))
@@ -1022,24 +1045,26 @@ def pair_audit(approx: DataFrame, truth: DataFrame, method: str) -> DataFrame:
             "n_truth",
             "n_candidates",
             "n_hits",
-            F.when(
-                F.col("n_candidates") > 0,
-                F.col("n_hits").cast("double") / F.col("n_candidates"),
-            ).alias("precision"),
-            F.when(
-                F.col("n_truth") > 0,
-                F.col("n_hits").cast("double") / F.col("n_truth"),
-            ).alias("recall"),
+            F.expr("(10000 * n_hits) div nullif(n_candidates, 0)").alias(
+                "precision_e4"
+            ),
+            F.expr("(10000 * n_hits) div nullif(n_truth, 0)").alias(
+                "recall_e4"
+            ),
         )
     )
 
 
-def _exact_hamming_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
-    """All-pairs exact 126-bit hamming ground truth — the declared
-    quadratic audit baseline (fingerprints are doc-count rows, tiny
-    next to the corpus; the broadcast NLJ is the offline-audit shape,
-    same stance as sim_recall_eval's brute-force baselines)."""
-    fp = simhash_fingerprints(docs)
+def _exact_hamming_pairs(
+    docs: DataFrame, max_hamming: int, hasher: str = "xxhash64"
+) -> DataFrame:
+    """All-pairs exact hamming ground truth (126-bit xxhash64 default,
+    120-bit for the md5 oracle twin) — the declared quadratic audit
+    baseline (fingerprints are doc-count rows, tiny next to the
+    corpus; the broadcast NLJ is the offline-audit shape, same stance
+    as sim_recall_eval's brute-force baselines)."""
+    bits = 60 if hasher == "md5" else 63
+    fp = simhash_fingerprints(docs, bits=bits, hasher=hasher)
     a = fp.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh0").alias("a0"),
@@ -1060,15 +1085,56 @@ def _exact_hamming_pairs(docs: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def _dedup_recall_oracle() -> str:
+    """The dedup-audit oracle by COMPOSITION: candidate sets are the
+    already-hash-verified md5 twins' oracles, ground truths are the
+    exact-Jaccard oracle and an all-pairs hamming join over the shared
+    fingerprint CTEs, and every ratio is exact integer arithmetic."""
+
+    def pairs(sql: str) -> str:
+        return f"(SELECT doc_a, doc_b FROM ({sql}) _t)"
+
+    return f"""
+        WITH mh AS {pairs(_minhash_md5_oracle())},
+        exj AS {pairs(_jaccard_oracle())},
+        shp AS {pairs(_simhash_md5_oracle())},
+        fps AS (SELECT doc_id, sh0, sh1 FROM (WITH {_SIMHASH_FP_CTES}
+                SELECT doc_id, sh0, sh1 FROM fp) _t),
+        ham AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh0, b.sh0))
+                  + bit_count(xor(a.sh1, b.sh1)) <= 3
+        )
+        SELECT method, n_truth, n_candidates, n_hits,
+               (10000 * n_hits) // NULLIF(n_candidates, 0) AS precision_e4,
+               (10000 * n_hits) // NULLIF(n_truth, 0) AS recall_e4
+        FROM (
+            SELECT 'minhash_lsh_vs_exact_jaccard' AS method,
+                   (SELECT COUNT(*) FROM exj) AS n_truth,
+                   (SELECT COUNT(*) FROM mh) AS n_candidates,
+                   (SELECT COUNT(*) FROM mh JOIN exj USING (doc_a, doc_b))
+                       AS n_hits
+            UNION ALL
+            SELECT 'simhash_bands_vs_exact_hamming',
+                   (SELECT COUNT(*) FROM ham),
+                   (SELECT COUNT(*) FROM shp),
+                   (SELECT COUNT(*) FROM shp JOIN ham USING (doc_a, doc_b))
+        ) ORDER BY method
+    """
+
+
 @register(
     "dedup_recall_eval",
-    oracle=None,  # audits probabilistic candidate generation; invariant
-    # tests pin precision ≡ 1 (both methods verify candidates exactly)
-    # and the simhash pigeonhole's recall ≡ 1 guarantee.
-    doc="Dedup sketch quality report: precision/recall of MinHash-LSH "
-    "candidates vs exact Jaccard pairs, and of SimHash banding vs "
-    "all-pairs 126-bit hamming — the audit a pipeline runs before "
-    "trusting sketch dedup at scale.",
+    oracle=_dedup_recall_oracle(),
+    doc="Dedup sketch quality report: counts and precision/recall of "
+    "MinHash-LSH candidates vs exact Jaccard pairs, and of SimHash "
+    "banding vs all-pairs hamming — the audit a pipeline runs before "
+    "trusting sketch dedup at scale, hash-verified end to end by "
+    "composing the md5 twins' oracles (promoted from rows-only). The "
+    "entry audits the md5 twins; the xxhash64 production paths are "
+    "pinned by their own invariant tests (precision ≡ 1, pigeonhole "
+    "recall ≡ 1), which hold hasher-independently.",
     tags=("dedup", "approx", "eval"),
 )
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,13 +1146,13 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     S-curve's whp-1 (~0.999 per pair at J=0.8 with 16x4 banding)."""
     docs = table(spark, sf_dir, "documents")
     mh = pair_audit(
-        minhash_lsh_pairs(docs),
+        minhash_lsh_pairs_md5(docs),
         exact_jaccard_pairs(_doc_shingles(spark, sf_dir), JACCARD_THRESHOLD),
         "minhash_lsh_vs_exact_jaccard",
     )
     sh = pair_audit(
-        simhash_pairs(docs),
-        _exact_hamming_pairs(docs, max_hamming=3),
+        simhash_pairs(docs, hasher="md5"),
+        _exact_hamming_pairs(docs, max_hamming=3, hasher="md5"),
         "simhash_bands_vs_exact_hamming",
     )
     return mh.unionByName(sh).orderBy("method")

@@ -105,9 +105,11 @@ def _query_set(emb: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_bruteforce_topk",
-    oracle=f"""
+def _bruteforce_cos_oracle(k_top: int = TOPK) -> str:
+    """SQL mirror of :func:`brute_force_topk` on the standard probe
+    set — shared by the registered baseline entry and the recall-eval
+    oracle's cosine ground truth."""
+    return f"""
         WITH n AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -132,9 +134,50 @@ def _query_set(emb: DataFrame) -> DataFrame:
             FROM sims
         )
         SELECT q_id, vec_id, sim_e4, rank FROM ranked
-        WHERE rank <= {TOPK}
+        WHERE rank <= {k_top}
         ORDER BY q_id, rank
-    """,
+    """
+
+
+def _bruteforce_l2_oracle(k_top: int = TOPK) -> str:
+    """SQL mirror of :func:`brute_force_l2_topk` (the norm identity
+    ‖q−v‖² = ‖q‖²+‖v‖²−2q·v over the same sequential folds, ranked on
+    the same INTEGER e6 quantization) — the recall-eval oracle's L2
+    ground truth."""
+    return f"""
+        WITH n AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+            WHERE vec_id < {N_QUERIES}
+        ), dists AS (
+            SELECT q.q_id, n.vec_id,
+                   CAST(round((qn * qn + nrm * nrm
+                         - 2 * list_sum(list_transform(
+                               generate_series(1, len(qv)),
+                               i -> qv[i] * v[i]))) * 1000000)
+                       AS BIGINT) AS dist_e6
+            FROM q CROSS JOIN n
+        ), ranked AS (
+            SELECT q_id, vec_id, dist_e6,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY dist_e6, vec_id
+                   ) AS INTEGER) AS rank
+            FROM dists
+        )
+        SELECT q_id, vec_id, dist_e6, rank
+        FROM ranked WHERE rank <= {k_top}
+        ORDER BY q_id, rank
+    """
+
+
+@register(
+    "sim_bruteforce_topk",
+    oracle=_bruteforce_cos_oracle(),
     doc="Exact cosine top-5 for the 10-query probe set (ANN baseline).",
     tags=("similarity",),
 )
@@ -1996,23 +2039,26 @@ def brute_force_l2_topk(
 ) -> DataFrame:
     """Exact L2 top-k via the norm identity ‖q−v‖² = ‖q‖²+‖v‖²−2q·v —
     reuses the cosine path's precomputed norms and dot, so the exact
-    baseline costs the same single broadcast-crossJoin scan."""
-    dist = F.round(
+    baseline costs the same single broadcast-crossJoin scan. Ranking
+    uses the INTEGER e6 quantization directly (the no-rounded-doubles
+    rule: an int_e value compares identically in both engines, so the
+    oracle's rank order mirrors this one verbatim)."""
+    dist_e6 = int_e(
         F.col("qn") * F.col("qn") + F.col("nrm") * F.col("nrm")
         - 2 * _dot("qv", "embedding"),
         6,
     )
-    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist_e6"), F.asc("vec_id"))
     return (
         with_norm(emb)
         .crossJoin(F.broadcast(queries))
-        .select("q_id", "vec_id", dist.alias("dist"))
+        .select("q_id", "vec_id", dist_e6.alias("dist_e6"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_id",
             "vec_id",
-            int_e("dist", 6).alias("dist_e6"),
+            "dist_e6",
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -2039,12 +2085,50 @@ def recall_against(exact: DataFrame, approx: DataFrame, method: str) -> DataFram
     )
 
 
+def _sim_recall_oracle() -> str:
+    """The recall-eval oracle by COMPOSITION: every operand set is an
+    already-hash-verified twin's oracle (exact cosine/L2 baselines,
+    IVF / PQ-ADC / IVF-PQ expression twins) wrapped as a subquery, and
+    recall@k is exact integer arithmetic over the tiny topk sets."""
+
+    def pairs(sql: str) -> str:
+        return f"(SELECT q_id, vec_id FROM ({sql}) _t)"
+
+    def recall(approx: str, exact: str) -> str:
+        return (
+            f"(10000 * (SELECT COUNT(*) FROM {approx} a"
+            f" JOIN {exact} e USING (q_id, vec_id)))"
+            f" // (SELECT COUNT(*) FROM {exact} e)"
+        )
+
+    return f"""
+        WITH ex_cos AS {pairs(_bruteforce_cos_oracle())},
+        ex_l2 AS {pairs(_bruteforce_l2_oracle())},
+        ivf AS {pairs(_ivf_oracle())},
+        adc AS {pairs(_pq_adc_oracle())},
+        ivfpq AS {pairs(_pq_ivfpq_oracle())}
+        SELECT * FROM (
+            SELECT 'ivf_cosine' AS method,
+                   {recall("ivf", "ex_cos")} AS recall_e4
+            UNION ALL
+            SELECT 'pq_adc_l2', {recall("adc", "ex_l2")}
+            UNION ALL
+            SELECT 'ivfpq_l2', {recall("ivfpq", "ex_l2")}
+        ) ORDER BY method
+    """
+
+
 @register(
     "sim_recall_eval",
-    oracle=None,  # scores approximate indexes — no SQL twin; invariant
-    # tests pin recall ∈ [0,1], exact-vs-exact ≡ 1, and the IVF floor.
+    oracle=_sim_recall_oracle(),
     doc="ANN index quality report: recall@5 of IVF (vs exact cosine) "
-    "and PQ-ADC / IVF-PQ (vs exact L2) on the 10-query probe set.",
+    "and PQ-ADC / IVF-PQ (vs exact L2) on the 10-query probe set — "
+    "hash-verified end to end by composing the five twin oracles "
+    "(promoted from rows-only once every operand became "
+    "deterministic). The entry audits the expression twins; the numpy "
+    "serving paths (ivf_search / pq_adc_topk / sim_ivfpq_topk) are "
+    "pinned row-identical to those twins by differential tests, so "
+    "the measured recall applies to them verbatim.",
     tags=("similarity", "approx", "eval"),
 )
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2059,9 +2143,9 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_exact = brute_force_topk(emb, qs)
     l2_exact = brute_force_l2_topk(emb, qs)
     parts = [
-        recall_against(cos_exact, ivf_search(emb, n_lists=IVF_K), "ivf_cosine"),
-        recall_against(l2_exact, pq_adc_topk(emb), "pq_adc_l2"),
-        recall_against(l2_exact, sim_ivfpq_topk(spark, sf_dir), "ivfpq_l2"),
+        recall_against(cos_exact, ivf_topk_expr(emb), "ivf_cosine"),
+        recall_against(l2_exact, pq_adc_topk_expr(emb), "pq_adc_l2"),
+        recall_against(l2_exact, ivfpq_topk_expr(emb), "ivfpq_l2"),
     ]
     out = parts[0]
     for p in parts[1:]:

@@ -96,13 +96,15 @@ _LOADED = False
 #: corpus_mixture_weights, corpus_temperature_weights,
 #: corpus_length_histogram, dedup_jaccard_pairs, sim_bruteforce_topk,
 #: sim_neardup_pairs, range_join_bands, skew_salted_agg,
-#: emb_kmeans_step, and the three late-round-6 rows-only→oracle
-#: promotions q34_approx_distinct (deterministic md5-register HLL on
+#: emb_kmeans_step, and the five late-round-6 rows-only→oracle
+#: promotions: q34_approx_distinct (deterministic md5-register HLL on
 #: orders/o_custkey), q37_approx_percentiles and
 #: events_kll_value_quantiles (deterministic fixed-width histogram
 #: quantiles — integer-exact outputs; KLL stays the invariant-tested
-#: library surface), whose old driver rows were COUNT-only and
-#: predate the promotion.
+#: library surface), and sim_recall_eval / dedup_recall_eval (audit
+#: oracles COMPOSED from the already-verified twin oracles, counts
+#: and e4 ratios all exact integers). All five old driver rows were
+#: COUNT-only and predate the promotion.
 #: (emb_kmeans_fit / emb_pca_project
 #: also renamed their rows-only output columns to integer _e{d}
 #: forms this round; their driver rows are COUNT-only and the row

@@ -982,11 +982,11 @@ def test_dedup_recall_eval_guarantees(spark, sf_dir):
     for r in rows.values():
         assert r.n_hits <= r.n_candidates and r.n_hits <= r.n_truth
         if r.n_candidates > 0:
-            assert r.precision == 1.0, r
+            assert r.precision_e4 == 10000, r
     sh = rows["simhash_bands_vs_exact_hamming"]
-    assert sh.n_truth > 0 and sh.recall == 1.0
+    assert sh.n_truth > 0 and sh.recall_e4 == 10000
     mh = rows["minhash_lsh_vs_exact_jaccard"]
-    assert mh.n_truth > 0 and mh.recall >= 0.9
+    assert mh.n_truth > 0 and mh.recall_e4 >= 9000
 
 
 def test_profile_table_planted_nulls_and_types(spark):
