@@ -1097,9 +1097,23 @@ def _dedup_recall_oracle() -> str:
     return f"""
         WITH mh AS {pairs(_minhash_md5_oracle())},
         exj AS {pairs(_jaccard_oracle())},
-        shp AS {pairs(_simhash_md5_oracle())},
         fps AS (SELECT doc_id, sh0, sh1 FROM (WITH {_SIMHASH_FP_CTES}
                 SELECT doc_id, sh0, sh1 FROM fp) _t),
+        chunks AS (
+            SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM fps
+            CROSS JOIN LATERAL (VALUES
+                (0, sh0 & 1073741823), (1, sh0 >> 30),
+                (2, sh1 & 1073741823), (3, sh1 >> 30)) AS c(chunk, ckey)
+        ),
+        shp AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM chunks a
+            JOIN chunks b
+              ON a.chunk = b.chunk AND a.ckey = b.ckey
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh0, b.sh0))
+                  + bit_count(xor(a.sh1, b.sh1)) <= 3
+        ),
         ham AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM fps a JOIN fps b ON a.doc_id < b.doc_id
@@ -1132,9 +1146,12 @@ def _dedup_recall_oracle() -> str:
     "banding vs all-pairs hamming — the audit a pipeline runs before "
     "trusting sketch dedup at scale, hash-verified end to end by "
     "composing the md5 twins' oracles (promoted from rows-only). The "
-    "entry audits the md5 twins; the xxhash64 production paths are "
-    "pinned by their own invariant tests (precision ≡ 1, pigeonhole "
-    "recall ≡ 1), which hold hasher-independently.",
+    "entry audits the md5 twins. Of the production xxhash64 paths' "
+    "guarantees, precision ≡ 1 (exact candidate verify) and the "
+    "SimHash pigeonhole recall ≡ 1 ARE hasher-independent; MinHash "
+    "recall is NOT (it depends on the hash family), so the xxhash "
+    "production MinHash path keeps its own corpus-level recall floor "
+    "in test_xxhash_minhash_corpus_recall.",
     tags=("dedup", "approx", "eval"),
 )
 def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

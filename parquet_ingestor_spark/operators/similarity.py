@@ -2086,10 +2086,13 @@ def recall_against(exact: DataFrame, approx: DataFrame, method: str) -> DataFram
 
 
 def _sim_recall_oracle() -> str:
-    """The recall-eval oracle by COMPOSITION: every operand set is an
-    already-hash-verified twin's oracle (exact cosine/L2 baselines,
-    IVF / PQ-ADC / IVF-PQ expression twins) wrapped as a subquery, and
-    recall@k is exact integer arithmetic over the tiny topk sets."""
+    """The recall-eval oracle by COMPOSITION: each operand set is a
+    twin's oracle (exact cosine baseline + IVF / PQ-ADC / IVF-PQ
+    expression twins, all independently hash-verified as registered
+    entries; the L2 baseline `_bruteforce_l2_oracle` has no entry of
+    its own and is pinned by its direct differential test) wrapped as
+    a subquery, and recall@k is exact integer arithmetic over the
+    tiny topk sets."""
 
     def pairs(sql: str) -> str:
         return f"(SELECT q_id, vec_id FROM ({sql}) _t)"
@@ -2127,8 +2130,11 @@ def _sim_recall_oracle() -> str:
     "(promoted from rows-only once every operand became "
     "deterministic). The entry audits the expression twins; the numpy "
     "serving paths (ivf_search / pq_adc_topk / sim_ivfpq_topk) are "
-    "pinned row-identical to those twins by differential tests, so "
-    "the measured recall applies to them verbatim.",
+    "pinned to those twins by differential tests asserting per-rank "
+    "scores and per-query ANSWER SETS (row order within e4-score ties "
+    "may differ — test_corpus documents this deliberately), and "
+    "recall@k is a set measure, so the measured recall applies to "
+    "them verbatim.",
     tags=("similarity", "approx", "eval"),
 )
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

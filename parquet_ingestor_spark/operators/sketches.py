@@ -393,41 +393,71 @@ def hist_quantiles_by(
     return cum.join(tot, key).groupBy(key).agg(*aggs, F.max("n").alias("n"))
 
 
+def hist_quantiles_sql(
+    tbl: str,
+    key: str,
+    val: str,
+    width: float,
+    probs: tuple[tuple[int, int, str], ...],
+    extra_cols: str = "",
+) -> str:
+    """SQL mirror of :func:`hist_quantiles_by` — one parameterized
+    builder (the ``hll_det_regs_sql`` rule) shared by every histogram-
+    quantile oracle. Emits ``(key, <name>_hi_e2 …[, extra_cols])``
+    where each estimate is the selected bucket's exact-integer upper
+    bound; ``extra_cols`` is appended verbatim to the final SELECT
+    (e.g. ``", CAST(MAX(n) AS BIGINT) AS n_events"``)."""
+    scale = int(width * 100)
+    est_cols = ",\n               ".join(
+        f"(MIN(CASE WHEN cum >= ({num} * n + {den - 1}) // {den}"
+        f" THEN b END) + 1) * {scale} AS {name}_hi_e2"
+        for num, den, name in probs
+    )
+    return f"""
+        WITH h AS (
+            SELECT {key},
+                   CAST(floor({val} / {width!r}) AS BIGINT) AS b,
+                   COUNT(*) AS c
+            FROM {tbl}
+            WHERE {val} IS NOT NULL AND {key} IS NOT NULL
+            GROUP BY {key}, b
+        ),
+        cum AS (
+            SELECT {key}, b, c,
+                   SUM(c) OVER (PARTITION BY {key} ORDER BY b
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+            FROM h
+        ),
+        tot AS (SELECT {key}, SUM(c) AS n FROM h GROUP BY {key})
+        SELECT cum.{key},
+               {est_cols}{extra_cols}
+        FROM cum JOIN tot USING ({key})
+        GROUP BY cum.{key}
+        ORDER BY cum.{key}
+    """
+
+
 #: Histogram bucket width for the registered value-quantile entry:
 #: events.value spans [0, ~500] → ≤ 125 buckets per event type;
 #: measured estimate error < 2% at sf0.001/0.01/0.1.
 HIST_VALUE_BUCKET = 4.0
 
 
+_EVENTS_HIST_SQL = hist_quantiles_sql(
+    "events",
+    "event_type",
+    "value",
+    HIST_VALUE_BUCKET,
+    ((1, 2, "p50"), (19, 20, "p95")),
+    extra_cols=", CAST(MAX(n) AS BIGINT) AS n_events",
+)
+
+
 @register(
     "events_kll_value_quantiles",
     oracle=f"""
-        WITH h AS (
-            SELECT event_type,
-                   CAST(floor(value / {HIST_VALUE_BUCKET!r}) AS BIGINT) AS b,
-                   COUNT(*) AS c
-            FROM events
-            WHERE value IS NOT NULL AND event_type IS NOT NULL
-            GROUP BY event_type, b
-        ),
-        cum AS (
-            SELECT event_type, b, c,
-                   SUM(c) OVER (PARTITION BY event_type ORDER BY b
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum
-            FROM h
-        ),
-        tot AS (SELECT event_type, SUM(c) AS n FROM h GROUP BY event_type),
-        est AS (
-            SELECT cum.event_type,
-                   (MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) + 1)
-                       * {int(HIST_VALUE_BUCKET * 100)} AS p50_hi_e2,
-                   (MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN b END) + 1)
-                       * {int(HIST_VALUE_BUCKET * 100)} AS p95_hi_e2,
-                   CAST(MAX(n) AS BIGINT) AS n_events
-            FROM cum JOIN tot USING (event_type)
-            GROUP BY cum.event_type
-        )
+        WITH est AS (SELECT * FROM ({_EVENTS_HIST_SQL}) _t)
         SELECT event_type, p50_hi_e2, p95_hi_e2,
                p50_hi_e2 AS p50_merged_hi_e2,
                p95_hi_e2 AS p95_merged_hi_e2,

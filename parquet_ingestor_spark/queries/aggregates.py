@@ -11,7 +11,7 @@ dedup and similarity.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
 from ..functions import int_e
@@ -99,87 +99,54 @@ def q36_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q37_BUCKET = 2000.0
 
 
+def _q37_oracle() -> str:
+    from ..operators.sketches import hist_quantiles_sql
+
+    return hist_quantiles_sql(
+        "orders",
+        "o_orderpriority",
+        "o_totalprice",
+        Q37_BUCKET,
+        ((1, 2, "p50"), (9, 10, "p90")),
+        extra_cols=", CAST(MAX(n) AS BIGINT) AS n_orders",
+    )
+
+
 @register(
     "q37_approx_percentiles",
-    oracle=f"""
-        WITH h AS (
-            SELECT o_orderpriority,
-                   CAST(floor(o_totalprice / {Q37_BUCKET!r}) AS BIGINT) AS b,
-                   COUNT(*) AS c
-            FROM orders GROUP BY o_orderpriority, b
-        ),
-        cum AS (
-            SELECT o_orderpriority, b, c,
-                   SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY b
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum
-            FROM h
-        ),
-        tot AS (SELECT o_orderpriority, SUM(c) AS n FROM h
-                GROUP BY o_orderpriority)
-        SELECT cum.o_orderpriority,
-               (MIN(CASE WHEN cum >= (n + 1) // 2 THEN b END) + 1)
-                   * {int(Q37_BUCKET * 100)} AS p50_hi_e2,
-               (MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN b END) + 1)
-                   * {int(Q37_BUCKET * 100)} AS p90_hi_e2,
-               CAST(MAX(n) AS BIGINT) AS n_orders
-        FROM cum JOIN tot USING (o_orderpriority)
-        GROUP BY cum.o_orderpriority
-        ORDER BY cum.o_orderpriority
-    """,
-    doc="Approximate percentiles via a DETERMINISTIC fixed-width "
-    "histogram sketch: bucket counts are a commutative monoid (the "
-    "mergeable O(buckets)-memory shape that replaces exact percentile "
-    "at 100 TB), the estimate is the selected bucket's exact-integer "
-    "upper bound — no doubles in the output, hash-verifiable end to "
-    "end (r5 verdict #3). Spark's native approx_percentile (GK "
-    "sketch) remains the production library surface, pinned by the "
-    "<5%-error invariant test (test_operators_quality).",
+    oracle=_q37_oracle(),
+    doc="Approximate percentiles via the DETERMINISTIC fixed-width "
+    "histogram sketch (operators.sketches.hist_quantiles_by): bucket "
+    "counts are a commutative monoid (the mergeable O(buckets)-memory "
+    "shape that replaces exact percentile at 100 TB), the estimate is "
+    "the selected bucket's exact-integer upper bound — no doubles in "
+    "the output, hash-verifiable end to end (r5 verdict #3). Spark's "
+    "native approx_percentile (GK sketch) remains the production "
+    "library surface, pinned by the <5%-error invariant test "
+    "(test_operators_quality).",
     tags=("relational", "aggregate", "stats", "approx", "sketch"),
 )
 def q37_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-side-combinable histogram aggregate (≤ priorities × 250
-    rows), then a window cumsum over that tiny summary — corpus cost
-    is ONE scan regardless of quantile count; sketch state is
-    independent of row count. ceil(q·n) is computed in exact integer
-    arithmetic ((n+1) div 2, (9n+9) div 10) so bucket selection is
-    engine-exact; floor of an integer-exact double quotient matches
-    DuckDB's ``//`` for all n < 2^52."""
-    hist = (
-        table(spark, sf_dir, "orders")
-        .groupBy(
-            "o_orderpriority",
-            F.floor(F.col("o_totalprice") / F.lit(Q37_BUCKET))
-            .cast("long")
-            .alias("b"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    win = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum", F.sum("c").over(win))
-    tot = hist.groupBy("o_orderpriority").agg(F.sum("c").alias("n"))
-    j = cum.join(tot, "o_orderpriority")
-    need50 = F.floor((F.col("n") + F.lit(1)) / F.lit(2)).cast("long")
-    need90 = F.floor(
-        (F.lit(9) * F.col("n") + F.lit(9)) / F.lit(10)
-    ).cast("long")
+    """One shared histogram-sketch helper call (map-side-combinable
+    aggregate to ≤ priorities × 250 summary rows, window cumsum over
+    that summary, exact-integer ceil(q·n) bucket selection — see
+    hist_quantiles_by for the engine-exactness argument)."""
+    from ..operators.sketches import hist_quantiles_by
+
     scale = F.lit(int(Q37_BUCKET * 100))
     return (
-        j.groupBy("o_orderpriority")
-        .agg(
-            (
-                (F.min(F.when(F.col("cum") >= need50, F.col("b"))) + 1)
-                * scale
-            ).alias("p50_hi_e2"),
-            (
-                (F.min(F.when(F.col("cum") >= need90, F.col("b"))) + 1)
-                * scale
-            ).alias("p90_hi_e2"),
-            F.max("n").alias("n_orders"),
+        hist_quantiles_by(
+            table(spark, sf_dir, "orders"),
+            "o_orderpriority",
+            "o_totalprice",
+            Q37_BUCKET,
+            ((1, 2, "b50"), (9, 10, "b90")),
+        )
+        .select(
+            "o_orderpriority",
+            ((F.col("b50") + 1) * scale).alias("p50_hi_e2"),
+            ((F.col("b90") + 1) * scale).alias("p90_hi_e2"),
+            F.col("n").alias("n_orders"),
         )
         .orderBy("o_orderpriority")
     )

@@ -711,6 +711,30 @@ def test_recall_eval_invariants(spark, sf_dir):
     assert rows["pq_adc_l2"] > 0.0 and rows["ivfpq_l2"] > 0.0
 
 
+def test_bruteforce_l2_oracle_differential(spark, sf_dir):
+    """_bruteforce_l2_oracle has no registered entry of its own (it
+    exists only as the L2 ground truth inside sim_recall_eval's
+    composed oracle), so pin it DIRECTLY against brute_force_l2_topk —
+    full rows, not just top-5 membership — or a tie-break divergence
+    could hide until it changed a recall number."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.similarity import (
+        _bruteforce_l2_oracle,
+        _query_set,
+        brute_force_l2_topk,
+    )
+    from parquet_ingestor_spark.testing import (
+        duck_canon,
+        duck_connect,
+        spark_canon,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = spark_canon(brute_force_l2_topk(emb, _query_set(emb)))
+    b = duck_canon(duck_connect(sf_dir), _bruteforce_l2_oracle())
+    assert sorted(a) == sorted(b)
+
+
 def test_recall_of_exact_against_itself_is_one(spark, sf_dir):
     from parquet_ingestor_spark.catalog import table
     from parquet_ingestor_spark.operators.similarity import (
@@ -987,6 +1011,31 @@ def test_dedup_recall_eval_guarantees(spark, sf_dir):
     assert sh.n_truth > 0 and sh.recall_e4 == 10000
     mh = rows["minhash_lsh_vs_exact_jaccard"]
     assert mh.n_truth > 0 and mh.recall_e4 >= 9000
+
+
+def test_xxhash_minhash_corpus_recall(spark, sf_dir):
+    """Corpus-level recall of the PRODUCTION xxhash64 MinHash path
+    (the registered dedup_recall_eval audits the md5 twin; MinHash
+    recall is hash-family-dependent, so a regression in the xxhash
+    signature wiring would not surface there — this is the direct
+    floor on the path production callers run)."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        exact_jaccard_pairs,
+        minhash_lsh_pairs,
+        pair_audit,
+    )
+
+    row = pair_audit(
+        minhash_lsh_pairs(table(spark, sf_dir, "documents")),
+        exact_jaccard_pairs(_doc_shingles(spark, sf_dir), JACCARD_THRESHOLD),
+        "xxhash_minhash_vs_exact",
+    ).collect()[0]
+    assert row.n_truth > 0
+    assert row.precision_e4 == 10000
+    assert row.recall_e4 >= 9000, row
 
 
 def test_profile_table_planted_nulls_and_types(spark):
