@@ -352,13 +352,14 @@ def hist_quantiles_by(
     order), so the one-shot and any sharded-then-summed build produce
     byte-identical estimates. Each prob is an exact rational
     (num, den, name); the estimate is the first bucket whose
-    cumulative count reaches ceil(num·n/den), computed in exact
-    integer arithmetic (floor((num·n + den−1)/den) — the double
-    quotient's fractional part is ≥ 1/den away from the next integer,
-    so floor matches SQL's integer ``//`` for all n < 2^52). The
-    histogram aggregate is map-side combinable; the window cumsum runs
-    over ≤ keys × (range/width) summary rows, independent of corpus
-    size."""
+    cumulative count reaches ceil(num·n/den) = (num·n + den−1) div
+    den, computed in LONG integer arithmetic on both engines (Spark
+    ``div`` ≡ DuckDB ``//`` — exact for every representable n; the
+    earlier floor-of-double formulation drifts one off once
+    num·n + den−1 exceeds 2^53, a boundary the hypothesis test
+    test_hist_quantile_ceil_formula pins). The histogram aggregate is
+    map-side combinable; the window cumsum runs over ≤ keys ×
+    (range/width) summary rows, independent of corpus size."""
     b = F.floor(F.col(val) / F.lit(width)).cast("long").alias("_b")
     base = df.where(F.col(val).isNotNull() & F.col(key).isNotNull())
     if shard is None:
@@ -382,9 +383,7 @@ def hist_quantiles_by(
         F.min(
             F.when(
                 F.col("cum")
-                >= F.floor(
-                    (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
-                ).cast("long"),
+                >= F.expr(f"({num} * n + {den - 1}) div {den}"),
                 F.col("_b"),
             )
         ).alias(name)

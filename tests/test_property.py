@@ -442,3 +442,83 @@ def test_dlit_sql_double_literals_roundtrip_exactly(spark, vals):
             got,
             math.copysign(1, got),
         )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=(1 << 63) // 100 - 1),
+    st.sampled_from([(1, 2), (9, 10), (19, 20), (1, 100), (99, 100)]),
+)
+def test_hist_quantile_ceil_formula_is_exact(n, frac):
+    """Property: the histogram sketch's need-count formula
+    (num·n + den−1) div den — LONG integer arithmetic on both engines
+    (Spark ``div`` ≡ DuckDB ``//``) — is the exact ceil(num·n/den)
+    over the whole overflow-safe int64 domain. The floor-of-DOUBLE
+    formulation this replaced is additionally shown to drift once the
+    numerator exceeds 2^53 (this test originally found the divergence
+    at n = 648_483_042_064_900, num=19 — which is why the helper uses
+    integer div, not float floor)."""
+    import math
+
+    num, den = frac
+    want = -((-num * n) // den)  # exact integer ceil(num·n/den)
+    got = (num * n + den - 1) // den  # the div-based formula
+    assert got == want, (n, num, den, got, want)
+    if num * n + den - 1 < (1 << 53):
+        # inside the float-exact domain the old formulation agreed too
+        assert math.floor((num * n + den - 1) / den) == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),  # key
+            st.integers(min_value=0, max_value=499),  # value (int ⇒ exact)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([1, 2, 3, 8]),
+)
+def test_hist_quantiles_match_definition_and_shard_invariance(rows, nshards):
+    """Property: hist_quantiles_by's selected bucket equals the direct
+    definition (smallest bucket whose cumulative count reaches
+    ceil(q·n)) on random integer-valued data, and the sharded build is
+    byte-identical to the one-shot one for ANY shard count/assignment
+    (bucket counts are a monoid — the claim the registered
+    events_kll_value_quantiles entry carries in its output)."""
+    from parquet_ingestor_spark.operators.sketches import hist_quantiles_by
+
+    width = 4.0
+    probs = ((1, 2, "b50"), (19, 20, "b95"))
+    df = _spark.createDataFrame(rows, "k int, v int").select(
+        F.col("k"), F.col("v").cast("double").alias("v")
+    )
+    one = {
+        r.k: (r.b50, r.b95, r.n)
+        for r in hist_quantiles_by(df, "k", "v", width, probs).collect()
+    }
+    sharded = {
+        r.k: (r.b50, r.b95, r.n)
+        for r in hist_quantiles_by(
+            df, "k", "v", width, probs,
+            shard=F.pmod(F.col("v").cast("long"), F.lit(nshards)),
+        ).collect()
+    }
+    assert one == sharded
+    by_key: dict[int, list[int]] = {}
+    for k, v in rows:
+        by_key.setdefault(k, []).append(v)
+    assert set(one) == set(by_key)
+    for k, vals in by_key.items():
+        buckets = sorted(int(v // width) for v in vals)
+        n = len(buckets)
+        for (num, den), got in zip(((1, 2), (19, 20)), one[k][:2]):
+            need = -((-num * n) // den)
+            assert got == buckets[need - 1], (k, num, den, got, buckets)
+        assert one[k][2] == n
