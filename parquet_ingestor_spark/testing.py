@@ -193,4 +193,32 @@ def rounding_battery(spark, con, max_abs: float = float(2**40)) -> list[str]:
         for v, g, w in zip(vals, got, want):
             if g != w:
                 mismatches.append(f"d={d} x={v!r}: spark={g} duckdb={w}")
+    # floor(log2(w)) — the deterministic-HLL rank rule — at every
+    # power-of-two boundary in the 40-bit md5 domain: an engine whose
+    # libm computes log2 as ln(x)/ln(2) could land a hair under an
+    # exact k and floor one low, silently shifting a register rank.
+    ws = sorted(
+        {(1 << k) + dlt for k in range(1, 41) for dlt in (-1, 0, 1)}
+    )
+    got = {
+        r.w: r.r
+        for r in spark.sql(
+            "SELECT w, CAST(floor(log2(w)) AS BIGINT) AS r FROM VALUES "
+            + ",".join(f"({v}L)" for v in ws)
+            + " AS t(w)"
+        ).collect()
+    }
+    want = dict(
+        con.execute(
+            "SELECT w, CAST(floor(log2(w)) AS BIGINT) FROM (VALUES "
+            + ",".join(f"({v})" for v in ws)
+            + ") t(w)"
+        ).fetchall()
+    )
+    for v in ws:
+        exact = v.bit_length() - 1
+        if not (got[v] == want[v] == exact):
+            mismatches.append(
+                f"log2 w={v}: spark={got[v]} duckdb={want[v]} exact={exact}"
+            )
     return mismatches
