@@ -372,13 +372,18 @@ def hist_quantiles_by(
             .groupBy(key, "_b")
             .agg(F.sum("c").alias("c"))
         )
-    win = (
-        Window.partitionBy(key)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Both the cumulative count and the per-key total come from
+    # windows over the SAME key partitioning of the tiny histogram —
+    # one corpus scan, one exchange; the earlier groupBy+join variant
+    # recomputed the histogram from a second scan (2 scans for the
+    # one-shot build, 4 for the entry's one-shot+sharded pair).
+    wk = Window.partitionBy(key)
+    wcum = wk.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.withColumn("cum", F.sum("c").over(win))
-    tot = hist.groupBy(key).agg(F.sum("c").alias("n"))
+    enriched = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wk)
+    )
     aggs = [
         F.min(
             F.when(
@@ -389,7 +394,7 @@ def hist_quantiles_by(
         ).alias(name)
         for num, den, name in probs
     ]
-    return cum.join(tot, key).groupBy(key).agg(*aggs, F.max("n").alias("n"))
+    return enriched.groupBy(key).agg(*aggs, F.max("n").alias("n"))
 
 
 def hist_quantiles_sql(

@@ -690,3 +690,17 @@ def test_pagerank_rounds_reuse_cached_edge_partitioning(spark, sf_dir):
         )
         assert "Exchange" not in first_child, first_child
         assert "Sort [src" not in first_child, first_child
+
+
+def test_hist_quantile_sketch_scans_corpus_once(spark, sf_dir):
+    """The histogram-quantile sketch's total-count comes from a second
+    window over the SAME key partitioning as the cumsum — never a
+    groupBy+join that re-aggregates the corpus from a second scan. One
+    build = one parquet scan (the entry doc's 'corpus cost is ONE
+    scan' claim, as a plan fact): q37 reads orders once; the
+    events entry's one-shot + sharded pair reads events exactly
+    twice (two independent builds — the monoid check is honest)."""
+    q37 = plan_of(spark, sf_dir, "q37_approx_percentiles")
+    assert q37.count("Scan parquet") == 1, q37.count("Scan parquet")
+    kll = plan_of(spark, sf_dir, "events_kll_value_quantiles")
+    assert kll.count("Scan parquet") == 2, kll.count("Scan parquet")
