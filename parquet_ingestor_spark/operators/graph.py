@@ -273,12 +273,21 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     clustering_coeff (= 3·triangles / wedges, one IEEE division of
     exact integers — engine-identical).
     """
-    e = (
+    # The canonical edge set feeds FIVE downstream branches (degree
+    # union ×2, the two orientation annotations, the n_edges stat) —
+    # and `oriented` feeds three more. Without truncation Catalyst
+    # re-derives the upstream pair-mining join per branch (36 corpus
+    # scans in the registered entry's plan, multiplying through the
+    # compose); eager checkpoints make every branch read the
+    # materialized O(m)-row blocks instead — the pagerank edge-list
+    # rule applied to the census.
+    e = truncate_lineage(
         edges.select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"])
+        .dropDuplicates(["u", "v"]),
+        eager=True,
     )
     deg = (
         e.select(F.col("u").alias("x"))
@@ -294,13 +303,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("x").alias("v"), F.struct("deg", "x").alias("rv")
     )
     ann = e.join(du, "u").join(dv, "v")
-    oriented = ann.select(
-        F.when(F.col("ru") < F.col("rv"), F.col("u"))
-        .otherwise(F.col("v"))
-        .alias("src"),
-        F.when(F.col("ru") < F.col("rv"), F.col("v"))
-        .otherwise(F.col("u"))
-        .alias("dst"),
+    oriented = truncate_lineage(
+        ann.select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+        ),
+        eager=True,
     )
     # Count per-EDGE by out-neighborhood intersection instead of
     # materializing the wedge set: triangles = Σ_{(u,v) oriented}
@@ -830,12 +842,17 @@ def graph_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v")
     )
-    strong = (
+    # strong feeds five plan branches inside link_scores (the adj
+    # union twice, each wedge side, the anti-join probe); truncation
+    # stops Catalyst re-mining the lineitem pair aggregate per branch
+    # (10 corpus scans in the untruncated plan)
+    strong = truncate_lineage(
         a.join(b, "ok")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count_distinct("ok").alias("w"))
         .where(F.col("w") >= _LINK_MIN_WEIGHT)
-        .select("u", "v")
+        .select("u", "v"),
+        eager=True,
     )
     return link_scores(strong)

@@ -704,3 +704,15 @@ def test_hist_quantile_sketch_scans_corpus_once(spark, sf_dir):
     assert q37.count("Scan parquet") == 1, q37.count("Scan parquet")
     kll = plan_of(spark, sf_dir, "events_kll_value_quantiles")
     assert kll.count("Scan parquet") == 2, kll.count("Scan parquet")
+
+
+def test_triangles_and_link_scores_read_materialized_edges(spark, sf_dir):
+    """The census/link-prediction entries truncate the mined edge set
+    before fanning out (e feeds 5 branches, oriented 3, strong 5):
+    their final plans must read ONLY materialized edge blocks — zero
+    parquet scans — instead of re-deriving the lineitem pair join per
+    branch (36 and 10 corpus scans respectively before truncation)."""
+    for name in ("graph_triangles", "graph_link_scores"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Scan parquet") == 0, (name,)
+        assert "ExistingRDD" in plan, (name,)
