@@ -45,6 +45,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..functions import int_e
 from ..queries import register
 
@@ -120,6 +121,10 @@ def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     quadratically — which is exactly why minhash_lsh_pairs below is the
     scale path and this is the verification/oracle path.
     """
+    # shingles feed the explode (twice, via the self-join) and the
+    # size lookup — truncate so the tokenization runs once, not per
+    # branch (the ppjoin_pairs rule)
+    sh = truncate_lineage(sh, eager=True)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sz = sh.select("doc_id", F.size("shingles").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -707,9 +712,14 @@ def minhash_lsh_pairs_md5(
     candidates come from band-key collisions, never all pairs)."""
     num = bands * rows_per_band
     params = [_perm_params(i) for i in range(1, num + 1)]
-    sh = docs.select(
-        "doc_id", F.explode(shingle_col(text_col)).alias("sh")
+    # one truncated (doc_id, shingles) frame feeds the signature
+    # explode AND both verification array sides — the tokenization
+    # runs once, not three times (the ppjoin_pairs rule)
+    s = truncate_lineage(
+        docs.select("doc_id", shingle_col(text_col).alias("shingles")),
+        eager=True,
     )
+    sh = s.select("doc_id", F.explode("shingles").alias("sh"))
     h = (
         F.conv(
             F.substring(F.md5(F.col("sh").cast("binary")), 1, 15), 16, 10
@@ -751,11 +761,11 @@ def minhash_lsh_pairs_md5(
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    seta = docs.select(
-        F.col("doc_id").alias("doc_a"), shingle_col(text_col).alias("sa")
+    seta = s.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
     )
-    setb = docs.select(
-        F.col("doc_id").alias("doc_b"), shingle_col(text_col).alias("sb")
+    setb = s.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
     )
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
@@ -1213,6 +1223,13 @@ def ppjoin_pairs(
     from pyspark.sql import Window
 
     threshold = t_num / t_den
+    # The shingle frame feeds FOUR branches (the exploded hash stream,
+    # the size lookup, both verification array sides); without
+    # truncation each branch re-runs the split/slice/distinct shingle
+    # transform from a fresh corpus scan (8 scans in the registered
+    # entry's untruncated plan) — the graph edge-list rule applied to
+    # the tokenization.
+    sh = truncate_lineage(sh, eager=True)
     # Shingle strings never enter a shuffle: every stage from the
     # frequency count to the candidate join keys on the 8-byte
     # xxhash64 of the shingle (the text_dup_spans rule — ~10× fewer
