@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..functions import int_e
 from ..queries import register
 
@@ -230,7 +231,12 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     produced; its output aggregates to ≤ |sources|² rows, so the pair
     matrix and the size join are both trivially broadcastable.
     """
-    grams = _gram_hashes(spark, sf_dir, "source")
+    # the distinct gram-hash set feeds three branches (sizes + both
+    # self-join sides) — truncate so the gram explode + distinct
+    # shuffle runs once, not per branch (the graph edge-list rule)
+    grams = truncate_lineage(
+        _gram_hashes(spark, sf_dir, "source"), eager=True
+    )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
     a = grams.select(
         F.col("source").alias("source_a"), F.col("gh").alias("gh_a")

@@ -862,7 +862,13 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels every row through one partition; threshold-join keeps the
     bucketing embarrassingly parallel.
     """
-    ppl = text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll_e4")
+    # the full LM-scoring pipeline feeds both the tercile aggregate
+    # and the bucket projection — truncate so the bigram scoring runs
+    # once, not twice (the graph edge-list rule)
+    ppl = truncate_lineage(
+        text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll_e4"),
+        eager=True,
+    )
     th = ppl.agg(
         F.percentile("avg_nll_e4", 1.0 / 3).alias("t1"),
         F.percentile("avg_nll_e4", 2.0 / 3).alias("t2"),

@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..functions import int_e
 from . import register
 
@@ -1103,13 +1104,20 @@ def q86_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (or double-product then division) of exact integers
     (counts bounded far below 2^53), so values are bit-identical
     across engines and partitionings."""
-    b = (
+    # the distinct (basket, item) set feeds FOUR branches (basket
+    # count, item supports, both pair sides) — truncate so the
+    # distinct shuffle runs once, not per branch (the graph edge-list
+    # rule); the item-count table likewise feeds both join-backs
+    b = truncate_lineage(
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .distinct(),
+        eager=True,
     )
     n_baskets = b.agg(F.count_distinct("ok").alias("n_baskets"))
-    ic = b.groupBy("part").agg(F.count("*").alias("n_item"))
+    ic = truncate_lineage(
+        b.groupBy("part").agg(F.count("*").alias("n_item")), eager=True
+    )
     pa = b.select(F.col("ok"), F.col("part").alias("part_a"))
     pb = b.select(F.col("ok"), F.col("part").alias("part_b"))
     pc = (

@@ -716,3 +716,27 @@ def test_triangles_and_link_scores_read_materialized_edges(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("Scan parquet") == 0, (name,)
         assert "ExistingRDD" in plan, (name,)
+
+
+def test_multibranch_pipelines_truncate_shared_frames(spark, sf_dir):
+    """Entries whose expensive shared frame (distinct basket set, LM
+    scores, gram-hash vocabulary, shingle frames) feeds ≥3 plan
+    branches truncate it — the final plan reads materialized blocks,
+    never re-derives the frame per branch (the scan-audit class the
+    graph census fix established; counts before truncation: q86=5,
+    ppl_buckets=8, source_overlap=4, ppjoin=8, jaccard=4, md5
+    minhash=4 corpus scans)."""
+    for name in (
+        "q86_association_rules",
+        "text_ppl_buckets",
+        "corpus_source_overlap",
+        "dedup_ppjoin_pairs",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("Scan parquet") == 0, (
+            name,
+            plan.count("Scan parquet"),
+        )
+        assert "ExistingRDD" in plan, (name,)
