@@ -389,10 +389,14 @@ def test_zipf_fit_ranks_topk_not_global_sort(spark, sf_dir):
 def test_gram_profiling_shuffles_hashes_not_gram_strings(spark, sf_dir):
     # same rule as text_dup_spans: the 8-word gram is md5'd inside the
     # scan-side codegen stage; every exchange carries the 32-byte hash
-    # (or the tiny source/doc keys), never the gram string
+    # (or the tiny source/doc keys), never the gram string. A plan
+    # whose gram frame is TRUNCATED shows the hashing inside the
+    # materialization subplan, not the final plan — there the witness
+    # is the ExistingRDD read (the exchanges can only carry the
+    # already-hashed materialized rows).
     for name in ("corpus_source_overlap", "text_novelty_score"):
         plan = plan_of(spark, sf_dir, name)
-        assert "md5" in plan, name
+        assert "md5" in plan or "ExistingRDD" in plan, name
         for ln in plan.splitlines():
             if "Exchange hashpartitioning" in ln:
                 assert "toks" not in ln and "slice" not in ln, (name, ln)
