@@ -520,10 +520,20 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda w: w != F.lit(""))
         ).alias("token"),
     )
-    cnt = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    # the token-count table feeds the totals AND the distribution, and
+    # the distribution feeds both self-join sides — truncate both so
+    # the corpus explode+shuffle runs once, not 4× (the graph
+    # edge-list rule)
+    cnt = truncate_lineage(
+        tok.groupBy("source", "token").agg(F.count("*").alias("c")),
+        eager=True,
+    )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
-    p = cnt.join(tot, "source").select(
-        "source", "token", (F.col("c") * 1.0 / F.col("n")).alias("p")
+    p = truncate_lineage(
+        cnt.join(tot, "source").select(
+            "source", "token", (F.col("c") * 1.0 / F.col("n")).alias("p")
+        ),
+        eager=True,
     )
     a = p.select(
         F.col("source").alias("source_a"), "token", F.col("p").alias("pa")

@@ -22,6 +22,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..functions import int_e
 from ..queries import register
 
@@ -1684,6 +1685,10 @@ def semantic_dedup(
             "nrm",
         )
     )
+    # the assignment feeds the pair search AND the final keeper join —
+    # truncate so the broadcast-centroid scoring pass runs once, not
+    # per branch (the graph edge-list rule)
+    assigned = truncate_lineage(assigned, eager=True)
     if vectorized:
         u = assigned.select(
             "vec_id",
