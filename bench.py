@@ -387,6 +387,12 @@ def main() -> None:
             "end_1m": round(os.getloadavg()[0], 2),
         },
         "sf": sf,
+        # scaling probes live HERE (and in bench_detail.json), not on
+        # the final line: BENCH_r06 recorded "parsed": null because
+        # the final line (61 queries + 10 probes, spaced separators)
+        # outgrew the driver's 2000-char tail capture and its HEAD was
+        # cut. The final line must stay self-contained inside the tail.
+        "scaling_probes": probes,
     }
     print(json.dumps({"bench_detail": detail}))
     try:
@@ -401,12 +407,23 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": sf,
     }
-    if probes:
-        out["scaling_probes"] = probes
-    print(json.dumps(out))
+    # compact separators + 2-decimal per-query values: the 61-entry
+    # line measures ~1.7k chars, safely inside the driver's 2000-char
+    # tail capture (full-precision timings are in bench_detail.json)
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # never ship an unparseable headline again
+        out["queries"] = {
+            n: round(t, 2)
+            for n, t in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:40]
+        }
+        out["queries_truncated_see_bench_detail"] = len(timings)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

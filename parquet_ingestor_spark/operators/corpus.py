@@ -296,10 +296,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT a.doc_id,
                CAST(a.n_words AS BIGINT) AS n_words,
-               (10000 * a.n_uniq) // a.n_words AS uniq_frac_e4,
-               (10000 * a.top_c) // a.n_words AS top_word_frac_e4,
-               coalesce((10000 * g.top_gc) // g.n_grams, 0)
-                   AS top_bigram_frac_e4
+               CAST((10000 * a.n_uniq) // a.n_words AS BIGINT)
+                   AS uniq_frac_e4,
+               CAST((10000 * a.top_c) // a.n_words AS BIGINT)
+                   AS top_word_frac_e4,
+               CAST(coalesce((10000 * g.top_gc) // g.n_grams, 0)
+                    AS BIGINT) AS top_bigram_frac_e4
         FROM agg a LEFT JOIN gagg g USING (doc_id)
         ORDER BY a.doc_id
     """,

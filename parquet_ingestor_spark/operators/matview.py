@@ -115,13 +115,15 @@ N_VIEW_BATCHES = 3
     "pricing_summary_incremental",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                   AS sum_base_price_c,
-               SUM(CAST(round(l_extendedprice * (1 - l_discount)
-                       * 10000) AS BIGINT)) AS sum_disc_price_tt,
-               (10000 * SUM(CAST(round(l_discount * 100) AS BIGINT)))
-                       // COUNT(*) AS avg_disc_e6,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_base_price_c,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                       * 10000) AS BIGINT)) AS BIGINT)
+                   AS sum_disc_price_tt,
+               CAST((10000 * SUM(CAST(round(l_discount * 100) AS BIGINT)))
+                       // COUNT(*) AS BIGINT) AS avg_disc_e6,
                CAST(COUNT(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '{CUTOFF} 00:00:00'

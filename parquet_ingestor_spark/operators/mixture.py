@@ -340,8 +340,9 @@ HIST_BUCKET = 50
                CAST(n_chars // {HIST_BUCKET} * {HIST_BUCKET} AS BIGINT)
                    AS bucket_lo,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               (10000 * COUNT(*))
-                   // SUM(COUNT(*)) OVER (PARTITION BY lang) AS share_e4
+               CAST((10000 * COUNT(*))
+                    // SUM(COUNT(*)) OVER (PARTITION BY lang)
+                    AS BIGINT) AS share_e4
         FROM documents
         GROUP BY 1, 2
         ORDER BY lang, bucket_lo
@@ -1382,8 +1383,10 @@ def neyman_allocation(
         ),
         t AS (SELECT SUM(n_docs * sd_milli) AS w_total FROM w)
         SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs, sd_milli,
-               ({NEYMAN_BUDGET} * (n_docs * sd_milli)) // w_total AS n_alloc,
-               (1000000 * (n_docs * sd_milli)) // w_total AS share_ppm
+               CAST(({NEYMAN_BUDGET} * (n_docs * sd_milli)) // w_total
+                    AS BIGINT) AS n_alloc,
+               CAST((1000000 * (n_docs * sd_milli)) // w_total
+                    AS BIGINT) AS share_ppm
         FROM w CROSS JOIN t
         ORDER BY stratum
     """,

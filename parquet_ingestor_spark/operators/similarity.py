@@ -1138,9 +1138,10 @@ def _pq_encode_oracle(m: int = PQ_SUBSPACES, k: int = PQ_CODES) -> str:
             FROM best GROUP BY vec_id
         )
         SELECT vec_id,
-               list_sum(list_transform(generate_series(1, {m}),
+               CAST(list_sum(list_transform(generate_series(1, {m}),
                    i -> CAST(bs[i].c AS BIGINT)
-                        * CAST(power({k}, i - 1) AS BIGINT))) AS code_key,
+                        * CAST(power({k}, i - 1) AS BIGINT)))
+                    AS BIGINT) AS code_key,
                CAST(round(list_sum(list_transform(generate_series(1, {m}),
                         i -> bs[i].d)) / {float(m * d_sub)!r} * 1000000)
                     AS BIGINT) AS recon_mse_e6

@@ -96,9 +96,15 @@ def hll_det_registers(
     would otherwise materialize a phantom (reg=NULL, m_r=NULL) group
     whose row inflates COUNT(*) inside the estimate while adding
     nothing to the register sum — silently biasing library callers
-    (r5 advisor note)."""
+    (r5 advisor note). NULL keys are dropped too, so the helper and
+    its SQL mirror :func:`hll_det_regs_sql` (which filters both) have
+    identical semantics by construction (r6 advisor note) — a NULL
+    key group's registers estimate the cardinality of an accidental
+    bucket, never a real key's."""
     keys = [key] if isinstance(key, str) else list(key)
     df = df.where(F.col(val).isNotNull())
+    for k in keys:
+        df = df.where(F.col(k).isNotNull())
     h = F.md5(F.col(val).cast("string").cast("binary"))
     reg = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
     w = F.conv(F.substring(h, 4, 10), 16, 10).cast("long")
@@ -360,17 +366,21 @@ def hist_quantiles_by(
     test_hist_quantile_ceil_formula pins). The histogram aggregate is
     map-side combinable; the window cumsum runs over ≤ keys ×
     (range/width) summary rows, independent of corpus size."""
-    b = F.floor(F.col(val) / F.lit(width)).cast("long").alias("_b")
+    # collision-resistant internal names (r6 advisor note): an input
+    # frame already carrying a column named n/c/cum would collide with
+    # bare internal names (and the need-count F.expr resolves `n` by
+    # identifier, so a caller's `n` would silently win).
+    b = F.floor(F.col(val) / F.lit(width)).cast("long").alias("__hist_b")
     base = df.where(F.col(val).isNotNull() & F.col(key).isNotNull())
     if shard is None:
-        hist = base.groupBy(key, b).agg(F.count("*").alias("c"))
+        hist = base.groupBy(key, b).agg(F.count("*").alias("__hist_c"))
     else:
         hist = (
-            base.withColumn("_shard", shard)
-            .groupBy(key, "_shard", b)
-            .agg(F.count("*").alias("c"))
-            .groupBy(key, "_b")
-            .agg(F.sum("c").alias("c"))
+            base.withColumn("__hist_shard", shard)
+            .groupBy(key, "__hist_shard", b)
+            .agg(F.count("*").alias("__hist_c"))
+            .groupBy(key, "__hist_b")
+            .agg(F.sum("__hist_c").alias("__hist_c"))
         )
     # Both the cumulative count and the per-key total come from
     # windows over the SAME key partitioning of the tiny histogram —
@@ -378,23 +388,23 @@ def hist_quantiles_by(
     # recomputed the histogram from a second scan (2 scans for the
     # one-shot build, 4 for the entry's one-shot+sharded pair).
     wk = Window.partitionBy(key)
-    wcum = wk.orderBy("_b").rowsBetween(
+    wcum = wk.orderBy("__hist_b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    enriched = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
-        "n", F.sum("c").over(wk)
-    )
+    enriched = hist.withColumn(
+        "__hist_cum", F.sum("__hist_c").over(wcum)
+    ).withColumn("__hist_n", F.sum("__hist_c").over(wk))
     aggs = [
         F.min(
             F.when(
-                F.col("cum")
-                >= F.expr(f"({num} * n + {den - 1}) div {den}"),
-                F.col("_b"),
+                F.col("__hist_cum")
+                >= F.expr(f"({num} * __hist_n + {den - 1}) div {den}"),
+                F.col("__hist_b"),
             )
         ).alias(name)
         for num, den, name in probs
     ]
-    return enriched.groupBy(key).agg(*aggs, F.max("n").alias("n"))
+    return enriched.groupBy(key).agg(*aggs, F.max("__hist_n").alias("n"))
 
 
 def hist_quantiles_sql(

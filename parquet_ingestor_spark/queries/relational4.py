@@ -399,7 +399,7 @@ def q60_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_large_volume_customers",
     oracle="""
         SELECT c_name, c_custkey, o_orderkey,
-               CAST(o_orderdate AS DATE) AS o_date,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
                o_totalprice,
                CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS total_qty_e2
         FROM customer
@@ -411,7 +411,7 @@ def q60_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             HAVING SUM(l_quantity) > 300
         )
         GROUP BY c_name, c_custkey, o_orderkey,
-                 CAST(o_orderdate AS DATE), o_totalprice
+                 strftime(o_orderdate, '%Y-%m-%d'), o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey
     """,
     doc="TPC-H Q18 shape: customers behind orders whose total line "
@@ -424,13 +424,20 @@ def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (l_orderkey, sum) relation — the HAVING filter shrinks it to the
     top ~0.1% of orders BEFORE it touches the join, and AQE then
     broadcasts that tiny semi side instead of re-shuffling lineitem.
+
+    The order date is emitted as an ISO STRING, not a DATE: a Spark
+    DateType column reaches pandas as datetime.date objects while a
+    DuckDB DATE reaches it as datetime64-at-midnight, so the driver's
+    pandas canonicalization sees '1998-12-13' vs '1998-12-13 00:00:00'
+    — the date-typed cousin of the round-7 HUGEINT class. Strings
+    cannot dtype-diverge (registry lint: no DATE-typed oracle output).
     """
     for name in ("customer", "orders", "lineitem"):
         table(spark, sf_dir, name).createOrReplaceTempView(f"_{name}_q61")
     return spark.sql(
         """
         SELECT c_name, c_custkey, o_orderkey,
-               CAST(o_orderdate AS DATE) AS o_date,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
                o_totalprice,
                CAST(round(SUM(l_quantity) * 100) AS BIGINT) AS total_qty_e2
         FROM _customer_q61
@@ -442,7 +449,7 @@ def q61_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             HAVING SUM(l_quantity) > 300
         )
         GROUP BY c_name, c_custkey, o_orderkey,
-                 CAST(o_orderdate AS DATE), o_totalprice
+                 date_format(o_orderdate, 'yyyy-MM-dd'), o_totalprice
         ORDER BY o_totalprice DESC, o_orderkey
         """
     )

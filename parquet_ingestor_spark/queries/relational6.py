@@ -195,13 +195,13 @@ def q71_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q72_promo_revenue",
     oracle="""
-        SELECT (1000000 * SUM(CASE WHEN p_type = 'PROMO'
+        SELECT CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO'
                                    THEN CAST(round(l_extendedprice
                                          * (1 - l_discount) * 100) AS BIGINT)
                                    ELSE 0 END))
                  // SUM(CAST(round(l_extendedprice
                                   * (1 - l_discount) * 100) AS BIGINT))
-               AS promo_share_ppm
+               AS BIGINT) AS promo_share_ppm
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -692,7 +692,8 @@ def q79_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE nxt IS NOT NULL GROUP BY cur, nxt
         )
         SELECT cur, nxt, CAST(c AS BIGINT) AS n_transitions,
-               (10000 * c) // SUM(c) OVER (PARTITION BY cur) AS p_e4
+               CAST((10000 * c) // SUM(c) OVER (PARTITION BY cur)
+                    AS BIGINT) AS p_e4
         FROM cnt
         ORDER BY cur, nxt
     """,
@@ -755,7 +756,7 @@ def q80_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT custkey,
                CAST(recency_days AS BIGINT) AS recency_days,
                CAST(frequency AS BIGINT) AS frequency,
-               monetary_cents,
+               CAST(monetary_cents AS BIGINT) AS monetary_cents,
                CASE WHEN recency_days <= r_med THEN 2 ELSE 1 END * 100
              + CASE WHEN frequency    >  f_med THEN 2 ELSE 1 END * 10
              + CASE WHEN monetary_cents > m_med THEN 2 ELSE 1 END
@@ -877,10 +878,10 @@ def q82_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY n_name
         )
         SELECT COALESCE(s.n_name, d.n_name) AS n_name,
-               COALESCE(out_cents, 0) AS supplied_cents,
-               COALESCE(in_cents, 0) AS purchased_cents,
-               COALESCE(out_cents, 0) - COALESCE(in_cents, 0)
-                   AS balance_cents
+               CAST(COALESCE(out_cents, 0) AS BIGINT) AS supplied_cents,
+               CAST(COALESCE(in_cents, 0) AS BIGINT) AS purchased_cents,
+               CAST(COALESCE(out_cents, 0) - COALESCE(in_cents, 0)
+                    AS BIGINT) AS balance_cents
         FROM supply s FULL JOIN demand d USING (n_name)
         ORDER BY n_name
     """,
@@ -947,7 +948,7 @@ def q83_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS revenue_cents
             FROM orders GROUP BY 1
         )
-        SELECT month, revenue_cents,
+        SELECT month, CAST(revenue_cents AS BIGINT) AS revenue_cents,
                CAST(round((revenue_cents - lag(revenue_cents)
                           OVER (ORDER BY month))
                      * 1.0 / lag(revenue_cents) OVER (ORDER BY month)

@@ -30,6 +30,12 @@ def duck_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
 
 
 def canon_value(v: object) -> str:
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return canon_value(v.tolist())
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -61,9 +67,23 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[str]:
     )
 
 
+def _pdf_rows(pdf) -> tuple[list[str], list[tuple]]:
+    cols = [str(c) for c in pdf.columns]
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
+
+
 def spark_canon(df: DataFrame) -> list[str]:
-    cols = df.columns
-    return canon_rows(cols, [tuple(r) for r in df.collect()])
+    """Canonicalize the Spark result through pandas (``toPandas``),
+    exactly as the driver does — NOT via ``collect()``.
+
+    Driver-faithfulness requires pandas on BOTH sides: a nullable
+    BIGINT column becomes float64 under pandas on the Spark side AND
+    the DuckDB side, so the two stay comparable; a collect()-based
+    Spark side (exact ints) against a pandas oracle side (floats)
+    would false-red every lag/outer-join entry locally."""
+    cols, rows = _pdf_rows(df.toPandas())
+    return canon_rows(cols, rows)
 
 
 def driver_canon_probe(columns: list[str], rows: list[tuple]) -> None:
@@ -95,13 +115,50 @@ def driver_canon_probe(columns: list[str], rows: list[tuple]) -> None:
     for c in cols:
         if pdf[c].dtype == object:
             pd.factorize(pdf[c])  # raises on unhashable cells
-    pdf.head(256)[cols].sort_values(by=cols)
+    # full-row sort (r6 advisor: a 256-row head let late-row sort
+    # pathologies escape; the collect that produced the rows already
+    # bounded the size, so sorting all of them is cheap).
+    pdf[cols].sort_values(by=cols)
 
 
 def duck_canon(con: "duckdb.DuckDBPyConnection", sql: str) -> list[str]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return canon_rows(cols, cur.fetchall())
+    """Fetch the oracle result the way the DRIVER does — via pandas
+    (``.df()``), NOT ``fetchall()``.
+
+    The round-6 red rows were all one class: DuckDB types
+    ``SUM(BIGINT)`` / integer-``//`` / ``list_sum(BIGINT)`` outputs as
+    HUGEINT, and DuckDB's pandas conversion turns HUGEINT into
+    **float64** (precision-lossy for values ≥ 2^53), while
+    ``fetchall()`` yields exact Python ints. A fetchall-based local
+    gate therefore reported green on oracles the pandas-canonicalizing
+    driver hashed red. Fetching through pandas reproduces the driver's
+    data path, so any dtype-coercion class reds HERE first.
+    """
+    cols, rows = _pdf_rows(con.execute(sql).df())
+    return canon_rows(cols, rows)
+
+
+def oracle_hugeint_cols(
+    con: "duckdb.DuckDBPyConnection", sql: str
+) -> list[tuple[str, str]]:
+    """Registry lint: DESCRIBE the oracle and return every output
+    column DuckDB types HUGEINT/UHUGEINT. Such a column silently
+    round-trips through float64 in the driver's pandas fetch (round-6
+    root cause), so the gate requires this list to be empty — wrap the
+    offending expression in ``CAST(... AS BIGINT)`` in the oracle.
+
+    DATE-typed outputs are flagged too (same class, different dtype):
+    a DuckDB DATE reaches pandas as datetime64-at-midnight while a
+    Spark DateType column reaches it as datetime.date objects —
+    '1998-12-13 00:00:00' vs '1998-12-13' under canonicalization
+    (q61, found by the round-7 pandas-faithful gate). Emit dates as
+    ISO strings on both sides (``strftime``/``date_format``)."""
+    desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return [
+        (c, t)
+        for c, t, *_ in desc
+        if "HUGEINT" in str(t).upper() or str(t).upper() == "DATE"
+    ]
 
 
 def diff_summary(a: list[str], b: list[str], limit: int = 5) -> str:

@@ -23,57 +23,73 @@ def test_registry_leads_with_window_order():
     assert tuple(names[: len(_WINDOW_FIRST)]) == _WINDOW_FIRST
 
 
-def test_round6_priorities_inside_the_50_window():
+def test_round7_priorities_inside_the_50_window():
     window = set(list(REGISTRY)[:50])
-    # round-5 verdict #1: the red row, re-registered exact-integer
-    assert "corpus_neyman_allocation" in window
-    # round-5 verdict #2: the whole never-checked backlog
+    # round-6 verdict #1: all 10 HUGEINT-oracle fixes take priority
+    # slots (the 7 red rows + the 3 latent reds)
     assert {
-        "q76_anomalous_hours",
+        "q80_event_transitions",
         "q81_rfm_segments",
-        "q86_association_rules",
-        "events_sessionize",
-        "q91_resample_interpolate",
-        "q96_top_event_paths",
-    } <= window
-    # r5 greens whose outputs the round-6 integer purge changed
-    assert {
-        "emb_whiten",
-        "sim_bruteforce_topk_vectorized",
-        "dedup_ppjoin_pairs",
-        "events_hll_users",
-        "events_user_overlap_sketch",
+        "q83_nation_trade_balance",
+        "q84_monthly_revenue_growth",
+        "corpus_neyman_allocation",
         "pricing_summary_incremental",
+        "emb_pq_encode",
+        "text_repetition",
+        "corpus_length_histogram",
+        "q72_promo_revenue",
     } <= window
-    # flagships, re-registered with _e2/_e4 integer outputs
+    # round-6 verdict #3: the 5 late rows-only→oracle promotions
     assert {
-        "q15_pricing_summary",
-        "q10_revenue_per_nation",
-        "q14_broadcast_join",
+        "q34_approx_distinct",
+        "q37_approx_percentiles",
+        "events_kll_value_quantiles",
+        "sim_recall_eval",
+        "dedup_recall_eval",
     } <= window
+    # the judge-flagged stale trio from the purge cohort
+    assert {"q19_running_sum", "q20_lag_delta", "q23_scalar_funcs"} <= window
 
 
-def test_window_clears_the_never_checked_backlog():
-    """The round-6 policy: every entry that has never had a driver
-    CORRECTNESS row (computed from CORRECTNESS_r0{1..5}) must sit
-    inside the 50-entry window — this round zeroes the backlog.
-    Entries whose outputs changed this round but did not fit get a
-    named ROUND-7 queue (no silently forgotten entries)."""
+def test_window_covers_all_stale_rows_except_documented_deferral():
+    """Round-7 policy: every entry whose latest driver row predates
+    its current output shape sits inside the 50-entry window, except
+    the five-name q61..q65 block documented in the ROUND-8 BUDGET
+    NOTE (queries/__init__.py). No silently forgotten entries."""
+    names = list(REGISTRY)
+    window = set(names[:50])
+    deferred = {
+        "q61_large_volume_customers",
+        "q62_dormant_high_balance",
+        "q63_small_qty_revenue",
+        "q64_top_supplier",
+        "q65_important_parts",
+    }
+    assert deferred.isdisjoint(window)
+    assert deferred <= set(names)
+    # the window is exactly the driver's budget — no padding slack
+    assert len(_WINDOW_FIRST) == 50
+
+
+def test_every_entry_ever_driver_checked():
+    """Round-6 cleared the never-checked backlog; keep it cleared —
+    any NEW registry entry must take a window slot in the round it
+    lands (computed from CORRECTNESS_r0{1..6})."""
     import json
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[1]
     checked: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         f = repo / f"CORRECTNESS_r0{r}.json"
         if f.exists():
             checked |= set(json.loads(f.read_text()))
+    if not checked:
+        return  # artifacts absent (fresh clone)
     names = list(REGISTRY)
     never = [n for n in names if n not in checked]
     outside = [n for n in never if n not in set(names[:50])]
     assert not outside, outside
-    # the window is exactly the driver's budget — no padding slack
-    assert len(_WINDOW_FIRST) == 50
 
 
 def test_every_entry_has_fn_and_consistent_oracle_contract():
@@ -133,4 +149,30 @@ def test_no_oracle_emits_round_of_double():
         for name, q in REGISTRY.items()
         if q.oracle is not None and _uncast_round_sites(q.oracle)
     }
+    assert not bad, bad
+
+
+def test_no_oracle_emits_hugeint_columns():
+    """The round-6 incident rule, class-wide: no oracle may have an
+    output column DuckDB types HUGEINT/UHUGEINT. DuckDB's pandas
+    conversion (the driver's fetch path) turns HUGEINT into float64
+    with precision loss above 2^53, so the driver hashes oracle
+    floats against Spark's exact longs — rows and schema match, hash
+    doesn't. SUM(BIGINT), integer ``//``, and list_sum(BIGINT) all
+    type HUGEINT; wrap each such output in CAST(... AS BIGINT).
+    DESCRIBE only plans (no execution), so linting all oracles is
+    cheap."""
+    from parquet_ingestor_spark.testing import (
+        duck_connect,
+        oracle_hugeint_cols,
+    )
+
+    con = duck_connect("/root/testdata/sf0.01")
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        huge = oracle_hugeint_cols(con, q.oracle)
+        if huge:
+            bad[name] = huge
     assert not bad, bad

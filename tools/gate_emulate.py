@@ -18,11 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from parquet_ingestor_spark.queries import REGISTRY, _ensure_loaded
 from parquet_ingestor_spark.session import get_spark
 from parquet_ingestor_spark.testing import (
+    _pdf_rows,
     canon_rows,
     driver_canon_probe,
     duck_canon,
     duck_connect,
     env_fingerprint,
+    oracle_hugeint_cols,
     rounding_battery,
 )
 
@@ -61,8 +63,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = q.fn(spark, sf_dir)
-            cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            # pandas on the Spark side too — the driver's data path
+            # (r6: fetchall-based local canon was blind to the
+            # HUGEINT→float64 oracle class).
+            cols, rows = _pdf_rows(df.toPandas())
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {exc!r}")
             bad += 1
@@ -85,6 +89,13 @@ def main() -> None:
         dt = time.perf_counter() - t0
         if q.oracle is None:
             print(f"rows  {name}: {len(got)} rows ({dt:.1f}s, rows-only)")
+            continue
+        huge = oracle_hugeint_cols(con, q.oracle)
+        if huge:
+            print(f"FAIL  {name}: oracle HUGEINT columns {huge} — "
+                  f"pandas coerces to float64 at the driver; wrap in "
+                  f"CAST(... AS BIGINT)")
+            bad += 1
             continue
         try:
             want = duck_canon(con, q.oracle)
