@@ -74,6 +74,29 @@ def truncate_lineage(
     costs an immediate materialization — prefer a single dir.
     """
     global _LAST_CHECKPOINT_DIR
+    if (
+        df.sparkSession.conf.get(
+            "spark.pqingestor.truncateLineage", "true"
+        )
+        == "false"
+    ):
+        # Plan-inspection escape hatch (r6 advisor): a checkpoint
+        # boundary hides the materialization subplan from EXPLAIN, so
+        # plan tests could no longer assert the pre-truncation
+        # guarantees (md5-before-exchange, broadcast-not-cartesian).
+        # With this conf the full lineage stays visible; NEVER set it
+        # in production paths — iterative operators rely on truncation
+        # to keep plans constant-size.
+        return df
+    if checkpoint_dir is None:
+        # session-level opt-in to reliable checkpoints (r6 advisor):
+        # library operators call truncate_lineage without plumbing a
+        # dir through every signature, so the documented
+        # survive-executor-loss path is reachable by setting
+        # ``spark.pqingestor.checkpointDir`` once on the session.
+        checkpoint_dir = df.sparkSession.conf.get(
+            "spark.pqingestor.checkpointDir", None
+        )
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

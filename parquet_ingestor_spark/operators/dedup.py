@@ -123,8 +123,9 @@ def exact_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """
     # shingles feed the explode (twice, via the self-join) and the
     # size lookup — truncate so the tokenization runs once, not per
-    # branch (the ppjoin_pairs rule)
-    sh = truncate_lineage(sh, eager=True)
+    # branch (the ppjoin_pairs rule); LAZY so constructing the frame
+    # (plan/schema probes) runs no job (r6 advisor)
+    sh = truncate_lineage(sh)
     ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
     sz = sh.select("doc_id", F.size("shingles").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -712,12 +713,23 @@ def minhash_lsh_pairs_md5(
     candidates come from band-key collisions, never all pairs)."""
     num = bands * rows_per_band
     params = [_perm_params(i) for i in range(1, num + 1)]
+    # fan the scan out to cluster parallelism BEFORE shingling (the
+    # simhash prod rule): a small-file scan arrives in 1-2 partitions,
+    # which would serialize the shingle/md5/signature stage — and
+    # hash-partitioning by doc_id here lets the signature groupBy
+    # reuse the exchange instead of shuffling the exploded rows.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     # one truncated (doc_id, shingles) frame feeds the signature
     # explode AND both verification array sides — the tokenization
-    # runs once, not three times (the ppjoin_pairs rule)
+    # runs once, not three times (the ppjoin_pairs rule). LAZY
+    # truncation (r6 advisor): the checkpoint materializes at the
+    # first action and is shared by all three consumers; eager=True
+    # ran a full extra job at CONSTRUCTION time (plan/schema probes
+    # included) and cost ~0.9 s of the twin's r6 bench regression.
     s = truncate_lineage(
-        docs.select("doc_id", shingle_col(text_col).alias("shingles")),
-        eager=True,
+        docs.repartition(par, "doc_id").select(
+            "doc_id", shingle_col(text_col).alias("shingles")
+        ),
     )
     sh = s.select("doc_id", F.explode("shingles").alias("sh"))
     h = (
@@ -896,27 +908,48 @@ _SIMHASH_FP_CTES = """
 """
 
 
+def _simhash_chunk_cte(src: str, name: str = "chunks") -> str:
+    """The 4-chunk pigeonhole explode over a fingerprint relation
+    ``src(doc_id, sh0, sh1)`` — ONE definition of the chunk widths,
+    shared by the registered simhash oracle and the recall-audit
+    oracle so an edit to the banding (chunk split, widths) can never
+    silently decouple the audited candidate set from the registered
+    entry (r6 advisor note)."""
+    return f"""{name} AS (
+            SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM {src}
+            CROSS JOIN LATERAL (VALUES
+                (0, sh0 & 1073741823), (1, sh0 >> 30),
+                (2, sh1 & 1073741823), (3, sh1 >> 30)) AS c(chunk, ckey)
+        )"""
+
+
+#: The shared hamming bound of the banded candidate join (the
+#: registered entry's max_hamming default).
+_SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_banded_pairs_sql(chunks: str = "chunks") -> str:
+    """The banded candidate self-join over a chunk relation — the
+    second half of the shared derivation consumed by both oracles."""
+    return f"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sh0, b.sh0))
+                    + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
+        FROM {chunks} a
+        JOIN {chunks} b
+          ON a.chunk = b.chunk AND a.ckey = b.ckey
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh0, b.sh0))
+              + bit_count(xor(a.sh1, b.sh1)) <= {_SIMHASH_MAX_HAMMING}"""
+
+
 def _simhash_md5_oracle() -> str:
     """SQL mirror of ``simhash_pairs(docs, hasher="md5")`` — the
     pigeonhole-banded candidate join over the shared fingerprint
     CTEs."""
     return f"""
         WITH {_SIMHASH_FP_CTES},
-        chunks AS (
-            SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM fp
-            CROSS JOIN LATERAL (VALUES
-                (0, sh0 & 1073741823), (1, sh0 >> 30),
-                (2, sh1 & 1073741823), (3, sh1 >> 30)) AS c(chunk, ckey)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.sh0, b.sh0))
-                    + bit_count(xor(a.sh1, b.sh1)) AS INTEGER) AS hamming
-        FROM chunks a
-        JOIN chunks b
-          ON a.chunk = b.chunk AND a.ckey = b.ckey
-         AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sh0, b.sh0))
-              + bit_count(xor(a.sh1, b.sh1)) <= 3
+        {_simhash_chunk_cte("fp")}
+        {_simhash_banded_pairs_sql()}
         ORDER BY doc_a, doc_b
     """
 
@@ -1109,26 +1142,16 @@ def _dedup_recall_oracle() -> str:
         exj AS {pairs(_jaccard_oracle())},
         fps AS (SELECT doc_id, sh0, sh1 FROM (WITH {_SIMHASH_FP_CTES}
                 SELECT doc_id, sh0, sh1 FROM fp) _t),
-        chunks AS (
-            SELECT doc_id, sh0, sh1, c.chunk, c.ckey FROM fps
-            CROSS JOIN LATERAL (VALUES
-                (0, sh0 & 1073741823), (1, sh0 >> 30),
-                (2, sh1 & 1073741823), (3, sh1 >> 30)) AS c(chunk, ckey)
-        ),
+        {_simhash_chunk_cte("fps")},
         shp AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM chunks a
-            JOIN chunks b
-              ON a.chunk = b.chunk AND a.ckey = b.ckey
-             AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.sh0, b.sh0))
-                  + bit_count(xor(a.sh1, b.sh1)) <= 3
+            SELECT doc_a, doc_b FROM ({_simhash_banded_pairs_sql()}) _bp
         ),
         ham AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM fps a JOIN fps b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh0, b.sh0))
-                  + bit_count(xor(a.sh1, b.sh1)) <= 3
+                  + bit_count(xor(a.sh1, b.sh1))
+                  <= {_SIMHASH_MAX_HAMMING}
         )
         SELECT method, n_truth, n_candidates, n_hits,
                (10000 * n_hits) // NULLIF(n_candidates, 0) AS precision_e4,
@@ -1228,8 +1251,9 @@ def ppjoin_pairs(
     # truncation each branch re-runs the split/slice/distinct shingle
     # transform from a fresh corpus scan (8 scans in the registered
     # entry's untruncated plan) — the graph edge-list rule applied to
-    # the tokenization.
-    sh = truncate_lineage(sh, eager=True)
+    # the tokenization. LAZY: materializes at the first action, shared
+    # by all four branches; no construction-time job (r6 advisor).
+    sh = truncate_lineage(sh)
     # Shingle strings never enter a shuffle: every stage from the
     # frequency count to the candidate join keys on the 8-byte
     # xxhash64 of the shingle (the text_dup_spans rule — ~10× fewer

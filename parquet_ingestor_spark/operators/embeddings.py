@@ -1113,16 +1113,167 @@ def emb_pca1_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _pcam_power_vectors(
+    emb: DataFrame, m: int = PCA_M, dim: int = 64
+) -> tuple:
+    """Top-m principal components by FIXED-iteration power method with
+    Hotelling deflation — the m-component extension of
+    :func:`_pca1_power_vector`, every operation in the same bit-matched
+    sequential-fold order the SQL oracle replays: per component,
+    ``PCA1_POWER_ITERS`` matvec+normalize rounds from the 0.125 start
+    vector, first-largest-|coordinate| sign fix, Rayleigh lam (the
+    _power_iterate fold, invariant under the sign flip since (-a)(-b)
+    = ab exactly), then C <- C - lam*v*v' with (lam*v_i)*v_j
+    left-associated products. Fixed iterations make this a
+    deterministic ALGORITHM, not a convergence promise: both engines
+    compute the same doubles whether or not component c has converged
+    to the true eigenvector (the eigh differential test separately
+    checks it has, to tolerance, on real data).
+
+    Returns (mu[dim], comps[m][dim]).
+    """
+    mom = {
+        r.dim: float(r.mu)
+        for r in _dim_moments(emb).select("dim", "mu").collect()
+    }
+    mu = [mom[i + 1] for i in range(dim)]
+    c = [[0.0] * dim for _ in range(dim)]
+    for r in covariance_upper(emb, dim).collect():
+        c[r.i - 1][r.j - 1] = r.cov
+        c[r.j - 1][r.i - 1] = r.cov
+    comps = []
+    for _ in range(m):
+        v, lam = _power_iterate(c, PCA1_POWER_ITERS, dim)
+        mx = max(abs(z) for z in v)
+        k = next(i for i, z in enumerate(v) if abs(z) == mx)
+        if v[k] < 0:
+            v = [-z for z in v]
+        comps.append(v)
+        c = [
+            [c[i][j] - lam * v[i] * v[j] for j in range(dim)]
+            for i in range(dim)
+        ]
+    return mu, comps
+
+
+def _pcam_oracle(m: int, iters: int) -> str:
+    """SQL mirror of :func:`_pcam_power_vectors` + the projection: ONE
+    recursive CTE whose composite counter walks (component, iteration)
+    with two bookkeeping steps per component — k = iters computes the
+    sign-fixed vector and its Rayleigh lam ONCE into state columns, k
+    = iters+1 deflates with those scalars (recomputing the lam fold
+    inside the 64x64 deflation lambda would cost ~17M ops per
+    component). Matrix rows, folds and products replay the Python
+    driver loop's exact order, so the m component vectors are
+    bit-identical across engines; the projection is the same
+    (x - mu) . v sequential fold as the pca1 oracle, e4-quantized."""
+    v0 = "[0.125" + ", 0.125" * 63 + "]"
+    matvec = (
+        "list_transform(generate_series(1, 64), i -> "
+        "list_sum(list_transform(generate_series(1, 64), j -> "
+        "m[i][j] * v[j])))"
+    )
+    step_v = f"""list_transform(list_value({matvec}),
+               y -> CASE WHEN list_sum(list_transform(y,
+                             w -> w * w)) = 0.0 THEN v
+                    ELSE list_transform(y, z -> z / sqrt(
+                         list_sum(list_transform(y,
+                             w -> w * w)))) END)[1]"""
+    vf_expr = """CASE WHEN v[list_position(
+                    list_transform(v, z -> abs(z)),
+                    list_max(list_transform(v, z -> abs(z))))] < 0
+                THEN list_transform(v, z -> -z) ELSE v END"""
+    # Rayleigh lam over the sign-fixed vector (bit-equal to
+    # _power_iterate's pre-fix fold: every product negates twice)
+    lam_expr = """list_sum(list_transform(generate_series(1, 64), i ->
+                vf2[i] * list_sum(list_transform(
+                    generate_series(1, 64), j -> m[i][j] * vf2[j]))))"""
+    lam_expr = lam_expr.replace("vf2", f"({vf_expr})")
+    proj_cols = ",\n               ".join(
+        f"""CAST(round(list_sum(list_transform(generate_series(1, 64),
+                    j -> (CAST(e.embedding[j] AS DOUBLE) - muv.mu[j])
+                         * fin.comps[{c}][j])) * 10000) AS BIGINT)
+                   AS pc{c}_e4"""
+        for c in range(1, m + 1)
+    )
+    return (
+        _DIM_MOMENTS_SQL.replace("WITH sums", "WITH RECURSIVE sums")
+        + f""",
+        csums AS (
+            SELECT i, j,
+                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[j] AS DOUBLE)
+                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
+            CROSS JOIN unnest(generate_series(1, 64)) AS tj(j)
+            GROUP BY i, j
+        ),
+        cmat AS (
+            SELECT s.i AS i,
+                   list(s.sxy / s.n - mi.mu * mj.mu ORDER BY s.j) AS row
+            FROM csums s
+            JOIN moments mi ON mi.dim = s.i
+            JOIN moments mj ON mj.dim = s.j
+            GROUP BY s.i
+        ),
+        muv AS (SELECT list(mu ORDER BY dim) AS mu FROM moments),
+        cmm AS (SELECT list(row ORDER BY i) AS m FROM cmat),
+        it AS (
+            SELECT 0 AS c_done, 0 AS k, CAST({v0} AS DOUBLE[]) AS v,
+                   (SELECT m FROM cmm) AS m,
+                   CAST(NULL AS DOUBLE[]) AS vf,
+                   CAST(NULL AS DOUBLE) AS lam,
+                   CAST([] AS DOUBLE[][]) AS comps
+            UNION ALL
+            SELECT
+                CASE WHEN k <= {iters} THEN c_done
+                     ELSE c_done + 1 END,
+                CASE WHEN k <= {iters} THEN k + 1 ELSE 0 END,
+                CASE WHEN k < {iters} THEN {step_v}
+                     WHEN k = {iters} THEN v
+                     ELSE CAST({v0} AS DOUBLE[]) END,
+                CASE WHEN k <= {iters} THEN m
+                     ELSE list_transform(generate_series(1, 64), i ->
+                          list_transform(generate_series(1, 64), j ->
+                              m[i][j] - lam * vf[i] * vf[j])) END,
+                CASE WHEN k < {iters} THEN CAST(NULL AS DOUBLE[])
+                     WHEN k = {iters} THEN {vf_expr}
+                     ELSE CAST(NULL AS DOUBLE[]) END,
+                CASE WHEN k < {iters} THEN CAST(NULL AS DOUBLE)
+                     WHEN k = {iters} THEN {lam_expr}
+                     ELSE CAST(NULL AS DOUBLE) END,
+                CASE WHEN k <= {iters} THEN comps
+                     ELSE list_append(comps, vf) END
+            FROM it WHERE c_done < {m}
+        ),
+        fin AS (SELECT comps FROM it WHERE c_done = {m} AND k = 0)
+        SELECT e.vec_id,
+               {proj_cols}
+        FROM embeddings e CROSS JOIN muv CROSS JOIN fin
+        ORDER BY e.vec_id
+    """
+    )
+
+
 @register(
     "emb_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; pinned
-    # by a numpy differential (projection ≡ sklearn-style PCA up to
-    # the documented sign canonicalization) in test_operators_quality.
-    doc=f"Top-{PCA_M} PCA projection: one distributed Gram pass, "
-    "driver eigh of the 64×64 covariance, map-only codegen apply.",
-    tags=("embedding", "approx"),
+    oracle=_pcam_oracle(PCA_M, PCA1_POWER_ITERS),
+    doc=f"Top-{PCA_M} PCA projection, hash-verifiable end to end "
+    "(promoted from rows-only, r6 verdict #6): exact-decimal "
+    "covariance, deflated fixed-iteration power method in bit-matched "
+    "sequential-fold arithmetic, sign-canonicalized components, "
+    "per-vector projections as e4 integers. The eigh path (pca_fit) "
+    "stays the production fit, pinned by a subspace-agreement "
+    "differential test.",
+    tags=("embedding", "iterative"),
 )
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit driver-side (O(m·dim²) model state), then ONE map-only
+    codegen projection scan with mu and the component matrix inlined
+    as literals — no shuffle, no UDF at serving time; the corpus cost
+    is the covariance pass plus one projection scan."""
     emb = table(spark, sf_dir, "embeddings")
-    mean, comps, _ = pca_fit(emb)
+    mean, comps = _pcam_power_vectors(emb)
     return pca_project(emb, mean, comps)

@@ -556,6 +556,55 @@ def phash64(px) -> int:
     return out
 
 
+#: Scale of the integer DCT basis (2^10): D8[k][x] =
+#: round(cos(pi*(2x+1)k/64) * 1024). Bounds: luma <= 255,000 < 2^18,
+#: |T| <= 32*2^10*2^18 = 2^33, |coef| <= 32*2^33*2^10 = 2^48 — exact
+#: int64 everywhere, and integer addition is order-insensitive, so
+#: numpy matmuls and DuckDB's sequential list_sum produce THE SAME
+#: integers (no IEEE-fold pairing to match — the property that makes
+#: this pHash oracle-checkable where the float DCT is not).
+PHASH_INT_ONE = 1024
+
+
+def _phash_d8():
+    """The 8x32 integer DCT-II basis block (rows k=0..7). Rows k>=1
+    sum to exactly 0 (cosine symmetry survives the rounding), so a
+    constant luma offset (the planted twins' +20) perturbs no AC
+    coefficient — the affine-invariance the float pHash has by
+    construction carries over to the integer twin."""
+    import numpy as np
+
+    k = np.arange(8)[:, None]
+    x = np.arange(32)[None, :]
+    return np.round(
+        np.cos(np.pi * (2 * x + 1) * k / 64) * PHASH_INT_ONE
+    ).astype(np.int64)
+
+
+def phash64_int(px) -> int:
+    """63-bit INTEGER pHash of an (h, w, 3) uint8 raster — the
+    oracle-checkable twin of :func:`phash64` (same pipeline: NN-resize
+    to 32x32, integer Rec.601 luma 299r+587g+114b with no division —
+    DCT is linear, so the median threshold is scale-invariant —
+    scaled-integer DCT-II, median threshold with the median element
+    cleared). Every step is exact int64 arithmetic reproducible
+    verbatim in SQL; production/visual callers keep the float
+    :func:`phash64` (true orthonormal basis)."""
+    import numpy as np
+
+    small = resize_nn(px, PHASH_RESIZE, PHASH_RESIZE).astype(np.int64)
+    luma = 299 * small[:, :, 0] + 587 * small[:, :, 1] + 114 * small[:, :, 2]
+    d = _phash_d8()
+    coef = d @ luma @ d.T  # (8, 8) exact int64
+    blk = coef.flatten()[1:]  # drop DC -> 63 ints
+    med = int(np.sort(blk)[31])
+    out = 0
+    for i, v in enumerate(blk):
+        if v > med:
+            out |= 1 << i
+    return out
+
+
 PHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -566,11 +615,17 @@ PHASH_SCHEMA = T.StructType(
 
 
 def media_phash(
-    media: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hasher: str = "float",
 ) -> DataFrame:
     """mapInPandas pHash stage over binary raster payloads — map-only,
     zero shuffle; non-raster/compressed payloads carry a null hash
-    (the module's honesty contract)."""
+    (the module's honesty contract). ``hasher="int"`` computes the
+    oracle-checkable integer-DCT twin (:func:`phash64_int`); the
+    default float pHash stays the production/visual path."""
+    ph = phash64_int if hasher == "int" else phash64
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -581,9 +636,9 @@ def media_phash(
                 h = None
                 try:
                     if fmt == "ppm":
-                        h = phash64(decode_ppm(b))
+                        h = ph(decode_ppm(b))
                     elif fmt == "bmp":
-                        h = phash64(decode_bmp(b))
+                        h = ph(decode_bmp(b))
                 except ValueError:
                     fmt = "corrupt_" + fmt
                 rows.append((int(doc_id), fmt, h))
@@ -643,50 +698,79 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
+RASTER_SIZE = 48  # synthetic stand-in raster edge
+RASTER_GRID = 6  # md5-seeded coarse grid edge (bilinear upsampled)
+
+
+def _raster_grid(seed: int):
+    """The 6x6 md5-seeded coarse grid — each cell is the first 15 md5
+    hex chars of "{seed}:{u}:{v}" mod 256 (the repo's md5-bucket
+    determinism rule), reproducible verbatim in SQL."""
+    import hashlib
+
+    import numpy as np
+
+    g = np.zeros((RASTER_GRID, RASTER_GRID), dtype=np.int64)
+    for u in range(RASTER_GRID):
+        for v in range(RASTER_GRID):
+            hx = hashlib.md5(f"{seed}:{u}:{v}".encode()).hexdigest()
+            g[u, v] = int(hx[:15], 16) % 256
+    return g
+
+
+def _bilinear_weights():
+    """(48 x 6) exact integer bilinear weights W: pixel row y takes
+    grid rows u0=(5y)//47 and u0+1 with weights (47-ry, ry), ry =
+    (5y)%47 — upsampled raster = (W @ g @ W.T) // 47^2, all int64."""
+    import numpy as np
+
+    w = np.zeros((RASTER_SIZE, RASTER_GRID), dtype=np.int64)
+    for y in range(RASTER_SIZE):
+        t = (RASTER_GRID - 1) * y
+        u0, ry = t // (RASTER_SIZE - 1), t % (RASTER_SIZE - 1)
+        w[y, u0] += (RASTER_SIZE - 1) - ry
+        w[y, min(u0 + 1, RASTER_GRID - 1)] += ry
+    return w
+
+
 def _synthetic_rasters(docs: DataFrame) -> DataFrame:
-    """Deterministic stand-in rasters (48x48 PPM seeded by doc_id);
-    every doc_id divisible by 10 carries a RESIZED copy of its
-    predecessor's raster — a planted near-duplicate class. The
+    """Deterministic stand-in rasters: a 6x6 md5-seeded grid per
+    doc_id, exact-integer bilinear upsample to 48x48 grayscale PPM —
+    band-limited by construction (bilinear of a 6x6 grid has no energy
+    above the grid frequency), the regime pHash is built for. Every
+    doc_id divisible by 10 carries an affine luma transform
+    (px*4 // 5 + 20) of its PREDECESSOR's raster — a planted
+    near-duplicate class (visually identical, byte-different). The
     operator itself consumes any binary raster column; this builder
     only exists because the container has no codec libs to decode the
-    corpus's real media (module honesty contract)."""
+    corpus's real media (module honesty contract). Unlike the earlier
+    numpy-RNG generator, every pixel is md5+integer arithmetic — the
+    same raster is recomputable in SQL, which is what makes the
+    registered pHash entry oracle-checkable end to end."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        w = _bilinear_weights()
+        den = (RASTER_SIZE - 1) * (RASTER_SIZE - 1)
+
         def raster(seed: int):
-            # smooth low-frequency composition (sum of seeded 2D
-            # cosines): resampling preserves the DCT low-band, which
-            # is the regime pHash is built for — white noise has no
-            # perceptual structure to preserve
-            rng = np.random.default_rng(seed)
-            y, x = np.mgrid[0:48, 0:48] / 48.0
-            img = np.zeros((48, 48))
-            for _ in range(5):
-                fy, fx = rng.integers(1, 5, size=2)
-                py, px_ = rng.random(2)
-                img += rng.random() * np.cos(
-                    2 * np.pi * (fy * y + py)
-                ) * np.cos(2 * np.pi * (fx * x + px_))
-            img -= img.min()
-            img = (img / max(img.max(), 1e-9) * 255).astype(np.uint8)
-            return np.repeat(img[:, :, None], 3, axis=2)
+            return (w @ _raster_grid(seed) @ w.T) // den  # int64 0..255
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 did = int(doc_id)
                 if did % 10 == 0 and did > 0:
-                    # contrast/brightness-transformed copy of the
-                    # predecessor: visually identical, byte-different
-                    # — affine luma maps leave the thresholded AC
-                    # block invariant up to quantization noise
-                    px = (
-                        raster(did - 1).astype(np.float64) * 0.8 + 20
-                    ).astype(np.uint8)
+                    px = (raster(did - 1) * 4) // 5 + 20
                 else:
                     px = raster(did)
-                rows.append((did, bytearray(encode_ppm(px))))
+                px8 = px.astype(np.uint8)
+                rows.append(
+                    (did, bytearray(encode_ppm(
+                        np.repeat(px8[:, :, None], 3, axis=2)
+                    )))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return docs.select("doc_id").mapInPandas(
@@ -694,15 +778,143 @@ def _synthetic_rasters(docs: DataFrame) -> DataFrame:
     )
 
 
+def _phash_int_oracle(max_hamming: int = 10) -> str:
+    """SQL mirror of the registered entry: md5 grid -> exact-integer
+    bilinear pixels (only the 32 NN-sampled positions per axis are
+    computed: src = (6i+3)//4, the same floor((i+0.5)*48/32) rule
+    resize_nn applies) -> integer luma (r=g=b so 299r+587g+114b =
+    1000*px) -> scaled-integer separable DCT against the same rounded
+    basis (literal ints) -> median threshold -> 8x8-bit chunk-banded
+    pairs. Integer arithmetic is order-insensitive, so DuckDB's
+    sequential list_sum equals numpy's matmuls bit for bit."""
+    import numpy as np
+
+    d = _phash_d8()
+    d8_lit = "[" + ", ".join(
+        "[" + ", ".join(str(int(v)) for v in row) + "]" for row in d
+    ) + "]"
+    e = RASTER_SIZE - 1  # 47
+    g = RASTER_GRID - 1  # 5
+    return f"""
+        WITH ids AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+                        THEN doc_id - 1 ELSE doc_id END AS seed,
+                   (doc_id % 10 = 0 AND doc_id > 0) AS twin
+            FROM documents
+        ),
+        grid AS (
+            SELECT doc_id, twin,
+                   list(('0x' || substring(md5(seed::VARCHAR || ':'
+                            || u.u::VARCHAR || ':' || v.v::VARCHAR),
+                            1, 15))::BIGINT % 256
+                        ORDER BY u.u * {RASTER_GRID} + v.v) AS gr
+            FROM ids
+            CROSS JOIN (SELECT unnest(generate_series(0, {g})) AS u) u
+            CROSS JOIN (SELECT unnest(generate_series(0, {g})) AS v) v
+            GROUP BY doc_id, twin, seed
+        ),
+        pix AS (
+            SELECT doc_id, p,
+                   1000 * (CASE WHEN twin THEN (raw * 4) // 5 + 20
+                                ELSE raw END) AS lum
+            FROM (
+                SELECT doc_id, twin, p,
+                       (gr[u0 * {RASTER_GRID} + v0 + 1]
+                            * ({e} - ry) * ({e} - rx)
+                        + gr[least(u0 + 1, {g}) * {RASTER_GRID} + v0 + 1]
+                            * ry * ({e} - rx)
+                        + gr[u0 * {RASTER_GRID}
+                             + least(v0 + 1, {g}) + 1]
+                            * ({e} - ry) * rx
+                        + gr[least(u0 + 1, {g}) * {RASTER_GRID}
+                             + least(v0 + 1, {g}) + 1]
+                            * ry * rx) // {e * e} AS raw
+                FROM (
+                    SELECT doc_id, twin, gr, p.p AS p,
+                           ({g} * ((6 * (p.p // 32) + 3) // 4)) // {e}
+                               AS u0,
+                           ({g} * ((6 * (p.p // 32) + 3) // 4)) % {e}
+                               AS ry,
+                           ({g} * ((6 * (p.p % 32) + 3) // 4)) // {e}
+                               AS v0,
+                           ({g} * ((6 * (p.p % 32) + 3) // 4)) % {e}
+                               AS rx
+                    FROM grid
+                    CROSS JOIN (SELECT unnest(generate_series(0, 1023))
+                                AS p) p
+                ) _b
+            ) _r
+        ),
+        lum AS (
+            SELECT doc_id, list(lum ORDER BY p) AS L
+            FROM pix GROUP BY doc_id
+        ),
+        tk AS (
+            SELECT doc_id, k.k AS k,
+                   list_transform(generate_series(1, 32), y ->
+                       CAST(list_sum(list_transform(
+                           generate_series(1, 32), x ->
+                           {d8_lit}[k.k + 1][x] * L[(x - 1) * 32 + y]))
+                           AS BIGINT)) AS trow
+            FROM lum
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+        ),
+        coef AS (
+            SELECT doc_id, k, l.l AS l,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 32), y ->
+                       trow[y] * {d8_lit}[l.l + 1][y])) AS BIGINT) AS c
+            FROM tk
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS l) l
+            WHERE NOT (k = 0 AND l.l = 0)
+        ),
+        blk AS (
+            SELECT doc_id, list(c ORDER BY k * 8 + l) AS b
+            FROM coef GROUP BY doc_id
+        ),
+        hs AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(
+                       generate_series(1, 63), i ->
+                       CASE WHEN b[i] > list_sort(b)[32]
+                            THEN CAST(1 AS BIGINT)
+                                 << CAST(i - 1 AS INTEGER)
+                            ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+                       AS phash
+            FROM blk
+        ),
+        ch AS (
+            SELECT doc_id, phash, c.c AS ci,
+                   (phash >> CAST(8 * c.c AS INTEGER)) & 255 AS ck
+            FROM hs
+            CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)
+                   AS hamming
+        FROM ch a
+        JOIN ch b ON a.ci = b.ci AND a.ck = b.ck
+                 AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """
+
+
 @register(
     "media_phash_neardup",
-    oracle=None,  # DCT hashing is not SQL-expressible; invariant tests
-    # pin the planted-near-dup recall and the random-raster rejection.
-    doc="Image near-duplicate pairs via 64-bit pHash (resize → luma → "
-    "DCT-II → median threshold) and 8×8-bit chunk banding (pigeonhole "
-    "recall 1 for hamming ≤ 7, near-1 out to the hamming-10 radius) "
-    "over deterministic stand-in rasters — the visual-dedup shape of "
-    "a multimodal training pipeline.",
+    oracle=_phash_int_oracle(),
+    doc="Image near-duplicate pairs via pHash (resize → luma → DCT-II "
+    "→ median threshold) and 8×8-bit chunk banding (pigeonhole recall "
+    "1 for hamming ≤ 7, near-1 out to the hamming-10 radius) over "
+    "deterministic stand-in rasters — the visual-dedup shape of a "
+    "multimodal training pipeline. The registered entry runs the "
+    "INTEGER-DCT twin over md5-seeded bilinear rasters (promoted from "
+    "rows-only, r6 verdict #6): integer arithmetic is order-"
+    "insensitive, so the whole pipeline — raster, luma, DCT, median "
+    "threshold, banded pairs — is hash-checked against SQL. The "
+    "float pHash (phash64) stays the production/visual path, pinned "
+    "by its own loop-reference and affine-invariance tests.",
     tags=("multimodal", "dedup", "approx"),
 )
 def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,4 +927,4 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     media = _synthetic_rasters(docs)
-    return phash_neardup_pairs(media_phash(media))
+    return phash_neardup_pairs(media_phash(media, hasher="int"))

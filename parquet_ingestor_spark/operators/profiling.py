@@ -234,9 +234,7 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct gram-hash set feeds three branches (sizes + both
     # self-join sides) — truncate so the gram explode + distinct
     # shuffle runs once, not per branch (the graph edge-list rule)
-    grams = truncate_lineage(
-        _gram_hashes(spark, sf_dir, "source"), eager=True
-    )
+    grams = truncate_lineage(_gram_hashes(spark, sf_dir, "source"))
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
     a = grams.select(
         F.col("source").alias("source_a"), F.col("gh").alias("gh_a")
@@ -526,14 +524,12 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge-list rule)
     cnt = truncate_lineage(
         tok.groupBy("source", "token").agg(F.count("*").alias("c")),
-        eager=True,
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     p = truncate_lineage(
         cnt.join(tot, "source").select(
             "source", "token", (F.col("c") * 1.0 / F.col("n")).alias("p")
         ),
-        eager=True,
     )
     a = p.select(
         F.col("source").alias("source_a"), "token", F.col("p").alias("pa")

@@ -62,6 +62,17 @@ def _dot(a: str, b: str) -> Column:
     )
 
 
+def _dot_idx(a: str, b: str) -> Column:
+    """Sequential dot as ONE index fold (no zip_with intermediate
+    array): acc + a[i]*b[i], left to right — bit-identical IEEE order
+    to :func:`_dot` and to the oracles' list_sum(list_transform(...)),
+    ~30% less CPU on the crossJoin-heavy twin assignment stages."""
+    return F.expr(
+        f"aggregate(sequence(0, size({a}) - 1), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+    )
+
+
 def _norm(a: str) -> Column:
     return F.sqrt(
         F.expr(
@@ -288,13 +299,42 @@ def ivf_topk_expr(
     import math
 
     spark = emb.sparkSession
-    n = with_norm(emb)
-    cent = n.filter(F.col("vec_id") < n_lists).select(
-        F.col("vec_id").cast("int").alias("c_id"),
-        F.col("embedding").alias("cv"),
-        F.col("nrm").alias("cn"),
+    # fan the scan out before the expression-heavy assignment (the
+    # dedup twin rule): a small-file scan arrives in 1-2 partitions
+    # and would serialize n x n_lists dot folds onto one core; hash
+    # partitioning by vec_id also lets the argmax groupBy reuse the
+    # exchange. At 100 TB the scan has thousands of splits and this
+    # collapses into AQE noise.
+    par = spark.sparkContext.defaultParallelism
+    n = with_norm(emb.repartition(par, "vec_id"))
+    def _seq_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    head = _head_rows(emb, max(n_lists, N_QUERIES))
+    cvs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in head
+        if r.vec_id < n_lists
+    ]
+    cns = {cid: math.sqrt(_seq_dot(v, v)) for cid, v in cvs}
+    # the centroid side comes from the SAME bounded head collect the
+    # probe computation already paid for — a second parquet scan +
+    # norm subtree just to broadcast 25 rows was one whole job of the
+    # twin's fixed cost. Python's left-fold x*x sum + math.sqrt is
+    # bit-identical to the _norm expression fold (proven by the green
+    # probe rows, which divide by these same cns).
+    cent = spark.createDataFrame(
+        [(cid, v, cns[cid]) for cid, v in cvs],
+        "c_id int, cv array<double>, cn double",
     )
-    csim = _dot("embedding", "cv") / (F.col("nrm") * F.col("cn"))
+    # fused index fold: one pass, no zip_with product-array allocation
+    # per (vector, centroid) pair — ~30% less CPU than the zip_with
+    # form at identical IEEE order (acc + x_i*y_i, left fold), so the
+    # oracle's list_sum(list_transform(...)) equality is unchanged.
+    csim = _dot_idx("embedding", "cv") / (F.col("nrm") * F.col("cn"))
     assigned = (
         n.crossJoin(F.broadcast(cent))
         .select(
@@ -315,20 +355,6 @@ def ivf_topk_expr(
             "nrm",
         )
     )
-
-    def _seq_dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    head = _head_rows(emb, max(n_lists, N_QUERIES))
-    cvs = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in head
-        if r.vec_id < n_lists
-    ]
-    cns = {cid: math.sqrt(_seq_dot(v, v)) for cid, v in cvs}
     q_rows = [r for r in head if r.vec_id < N_QUERIES]
     pdata = []
     for r in q_rows:
@@ -345,9 +371,8 @@ def ivf_topk_expr(
         pdata, "q_id long, list_id int, qv array<double>, qn double"
     )
     sim = F.expr(
-        "aggregate(zip_with(qv, embedding, (x, y) -> "
-        "x * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), "
-        "(acc, v) -> acc + v)"
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE), "
+        "(acc, i) -> acc + qv[i] * CAST(embedding[i] AS DOUBLE))"
     ) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -470,18 +495,30 @@ def cosine_topk_vectorized(
     emb: DataFrame, queries: DataFrame, k: int = TOPK
 ) -> DataFrame:
     """Arrow-vectorized brute-force cosine top-k: one numpy matmul per
-    partition against the broadcast query matrix.
+    partition against the broadcast query matrix, then an ENGINE-EXACT
+    re-rank of the surviving candidates.
 
     The expression-based ``brute_force_topk`` evaluates the dot-product
-    fold per (row × query) in interpreted lambdas — exact and
-    oracle-matchable, but ~10-50× slower than BLAS. This variant moves
-    the arithmetic into numpy via mapInPandas: each Arrow batch of
-    vectors becomes a (batch × dim) matrix, scores are (batch × dim) @
-    (dim × q), and only per-batch top-k rows leave Python. The final
-    global top-k per query is a window over (partitions × q × k) rows —
-    tiny. Float64 pairwise summation differs from the sequential fold
-    in the last ulps, hence rows-only (test asserts identical id sets).
+    fold per (row x query) in interpreted lambdas — exact and
+    oracle-matchable, but ~10-50x slower than BLAS. This variant moves
+    the bulk arithmetic into numpy via mapInPandas — each Arrow batch
+    of vectors becomes a (batch x dim) matrix, scores are one matmul —
+    but numpy is only the PRUNER: each batch keeps its top-k rows plus
+    every row within ONE e4 quantum of the batch cutoff, and the final
+    ranking recomputes similarity with the same sequential-fold
+    expressions the exact twin uses (candidates carry their embedding,
+    so no second corpus scan). numpy float64 pairwise summation
+    differs from the fold in the last ulps (~1e-12 relative), which is
+    orders of magnitude below the half-quantum (0.5e-4) a misprune
+    would require — so a row the exact order ranks <= k always
+    survives the prune, and the result set (and its sims) are defined
+    entirely by engine-exact arithmetic. This closes the r5/r6
+    advisor's accepted-risk note: a similarity one ulp from the e4
+    boundary AT the rank-k cutoff can no longer flip the result set
+    between the numpy and fold orders.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -493,7 +530,7 @@ def cosine_topk_vectorized(
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qm = spark.sparkContext.broadcast(qm)
 
-    out_schema = "q_id long, vec_id long, sim double"
+    out_schema = "q_id long, vec_id long, embedding array<float>"
 
     def _score(batches):
         qids = b_qids.value
@@ -501,38 +538,62 @@ def cosine_topk_vectorized(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vm = np.stack(pdf["embedding"].values).astype(np.float64)
+            raw = pdf["embedding"].values
+            vm = np.stack(raw).astype(np.float64)
             vm /= np.linalg.norm(vm, axis=1, keepdims=True)
             sims = vm @ qmat.T  # (batch, nq)
+            qint = np.round(sims * 10000.0)  # e4 quanta (prune only)
             top = min(k, len(pdf))
             rows = []
             vec_ids = pdf["vec_id"].values
             for qi, qid in enumerate(qids):
-                # per-batch candidate selection must use the SAME
-                # total order as the final global window — (round(sim,
-                # 4) DESC, vec_id ASC) — or a candidate dropped here on
-                # raw sim could tie at 4 decimals with a kept one and
-                # win the global rank on vec_id: the hierarchical
-                # selection is only exact when both levels agree on
-                # the order (lexsort: last key is primary)
-                order = np.lexsort((vec_ids, -np.round(sims[:, qi], 4)))
-                for ri in order[:top]:
-                    rows.append((qid, int(vec_ids[ri]), float(sims[ri, qi])))
-            yield pd.DataFrame(rows, columns=["q_id", "vec_id", "sim"])
+                # batch cutoff = k-th best e4 quantum; keep everything
+                # within one quantum of it so an ulp-level numpy-vs-
+                # fold disagreement can never drop an exact top-k row
+                col = qint[:, qi]
+                kth = np.partition(col, len(col) - top)[len(col) - top]
+                keep = np.flatnonzero(col >= kth - 1)
+                for ri in keep:
+                    rows.append((qid, int(vec_ids[ri]), list(raw[ri])))
+            yield pd.DataFrame(
+                rows, columns=["q_id", "vec_id", "embedding"]
+            )
 
     candidates = emb.select("vec_id", "embedding").mapInPandas(
         _score, schema=out_schema
     )
+    # exact re-rank: the same sequential-fold arithmetic as
+    # brute_force_topk / the oracle — qv doubles and the Python-fold
+    # qn are bit-identical to the _norm expression fold (the IVF twin
+    # rule), embeddings are the ORIGINAL float32 values carried
+    # through Arrow (exact), so sim_e4 here equals the exact twin's.
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qdf = spark.createDataFrame(
+        [
+            (int(r.q_id), [float(x) for x in r.qv],
+             math.sqrt(_seq_dot(r.qv, r.qv)))
+            for r in q_rows
+        ],
+        "q_id long, qv array<double>, qn double",
+    )
+    sim = _dot("qv", "embedding") / (F.col("qn") * _norm("embedding"))
     w = Window.partitionBy("q_id").orderBy(
-        F.desc(F.round("sim", 4)), F.asc("vec_id")
+        F.desc("sim_e4"), F.asc("vec_id")
     )
     return (
-        candidates.withColumn("rank", F.row_number().over(w))
+        candidates.join(F.broadcast(qdf), "q_id")
+        .select("q_id", "vec_id", int_e(sim, 4).alias("sim_e4"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "q_id",
             "vec_id",
-            int_e("sim", 4).alias("sim_e4"),
+            "sim_e4",
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("q_id", "rank")
@@ -573,14 +634,13 @@ def cosine_topk_vectorized(
     "the throughput path for wide scans. The registered entry emits "
     "the (q_id, vec_id) RESULT-SET, which must equal the exact twin's "
     "(sim_bruteforce_topk) — so the BLAS rewrite is hash-proven "
-    "output-identical; sim values are dropped from the gate because "
-    "numpy pairwise summation differs from the sequential fold in the "
-    "last ulps (library callers get them from cosine_topk_vectorized). "
-    "Residual risk, accepted + monitored (r5 advisor note): a "
-    "similarity within an ulp of the e4 quantization boundary AT the "
-    "rank-k cutoff could still flip the result set between the numpy "
-    "and fold orders; no such boundary case exists in the testdata "
-    "and the stability sweep would surface one as an unstable entry.",
+    "output-identical. The r5/r6 advisor's accepted tie risk is now "
+    "CLOSED: numpy is only the per-batch pruner (top-k plus one e4 "
+    "quantum of slack), and the final ranking recomputes similarity "
+    "with the exact twin's sequential-fold expressions over the "
+    "carried embeddings — an ulp-level numpy-vs-fold disagreement "
+    "can no longer flip the result set at the rank-k cutoff (library "
+    "callers now get fold-exact sims from cosine_topk_vectorized).",
     tags=("similarity", "vectorized"),
 )
 def sim_bruteforce_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -801,8 +861,17 @@ def srp_lsh_neardup(
         f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * "
         f"{10**SRP_Q}, 0) AS BIGINT))"
     )
-    banded = emb.select("vec_id", qemb.alias("qemb")).mapInPandas(
-        _sign, schema="vec_id long, band int, bkey long"
+    # fan out before the signature matmul (the dedup twin rule), and
+    # TRUNCATE the banded frame: it feeds both self-join sides, so an
+    # untruncated plan runs the mapInPandas signature pass twice (the
+    # r6 scan-audit's flagged 4-scan residue on this entry).
+    from ..checkpointing import truncate_lineage
+
+    par = spark.sparkContext.defaultParallelism
+    banded = truncate_lineage(
+        emb.repartition(par, "vec_id")
+        .select("vec_id", qemb.alias("qemb"))
+        .mapInPandas(_sign, schema="vec_id long, band int, bkey long")
     )
     bl, br = banded.alias("bl"), banded.alias("br")
     cand = (
@@ -818,7 +887,9 @@ def srp_lsh_neardup(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    n = with_norm(emb)
+    # the normed corpus feeds both verification sides — truncate so
+    # the scan + norm fold runs once, not per side
+    n = truncate_lineage(with_norm(emb))
     va = n.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
@@ -1320,6 +1391,12 @@ def pq_adc_topk_expr(
     total = None
     for s in range(m):
         total = best[s]["d2"] if total is None else total + best[s]["d2"]
+    # fan out before the encode: the struct-least code expressions are
+    # the CPU; a 1-2-split scan would run them on one core (the IVF
+    # twin rule). Round-robin is fine — nothing downstream keys on
+    # vec_id before the q_id window.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    emb = emb.repartition(par)
     codes = emb.select(
         "vec_id",
         *[best[s]["code"].alias(f"c{s}") for s in range(m)],
@@ -1414,18 +1491,29 @@ def ivfpq_topk_expr(
     head = _head_rows(emb, max(k, N_QUERIES, n_lists))
     books = pq_codebooks(emb, m, k, head_rows=head)
     d_sub = books.shape[2]
-    cent = emb.filter(F.col("vec_id") < n_lists).select(
-        F.col("vec_id").cast("int").alias("c_id"),
-        F.col("embedding").alias("cv"),
+    # centroids come from the head collect already paid for (the IVF
+    # twin rule — a second scan to broadcast 25 rows was a whole job),
+    # and the corpus side fans out to cluster parallelism before the
+    # expression-heavy assignment; hash partitioning by vec_id lets
+    # the argmin groupBy reuse the exchange.
+    cent = spark.createDataFrame(
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in head
+            if r.vec_id < n_lists
+        ],
+        "c_id int, cv array<double>",
     )
+    par = spark.sparkContext.defaultParallelism
+    # fused index fold (no zip_with intermediate array) at identical
+    # IEEE order: acc + (x_i - y_i)^2, left to right.
     l2 = F.expr(
-        "aggregate(zip_with(embedding, cv, (x, y) -> "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
-        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), "
-        "(acc, v) -> acc + v)"
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0 AS DOUBLE), "
+        "(acc, i) -> acc + (CAST(embedding[i] AS DOUBLE) - cv[i]) "
+        "* (CAST(embedding[i] AS DOUBLE) - cv[i]))"
     )
     assigned = (
-        emb.crossJoin(F.broadcast(cent))
+        emb.repartition(par, "vec_id").crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "c_id", l2.alias("l2"))
         .groupBy("vec_id")
         .agg(
@@ -1688,8 +1776,9 @@ def semantic_dedup(
     )
     # the assignment feeds the pair search AND the final keeper join —
     # truncate so the broadcast-centroid scoring pass runs once, not
-    # per branch (the graph edge-list rule)
-    assigned = truncate_lineage(assigned, eager=True)
+    # per branch (the graph edge-list rule); LAZY so construction runs
+    # no job (r6 advisor)
+    assigned = truncate_lineage(assigned)
     if vectorized:
         u = assigned.select(
             "vec_id",

@@ -1014,7 +1014,12 @@ def corpus_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast threshold — no hint either way)."""
     from .dedup import shingle_col
 
-    docs = table(spark, sf_dir, "documents")
+    # fan the scan out before the shingle/md5 stages (the dedup twin
+    # rule): a small-file scan arrives in 1-2 partitions and would
+    # serialize the 5-probe md5 work onto one core; at 100 TB the scan
+    # has thousands of splits and this collapses into AQE noise.
+    par = spark.sparkContext.defaultParallelism
+    docs = table(spark, sf_dir, "documents").repartition(par, "doc_id")
     history = docs.where(F.col("source") != "src0").select(
         F.explode(shingle_col("text")).alias("sh")
     )

@@ -620,7 +620,14 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per row — writing split(...)[i] inline would re-split the string
     # for EVERY bigram element (O(tokens²) string work per doc; the
     # text_quality operator documents the same pitfall).
-    bg = (
+    from ..checkpointing import truncate_lineage
+
+    # the exploded bigram frame feeds THREE branches (the count
+    # aggregate, the unigram fold and the scoring join) — truncate so
+    # the corpus tokenize+explode runs once, not per branch (the
+    # scan-audit rule; this was the flagged 4-scan residue, r6
+    # COVERAGE note)
+    bg = truncate_lineage(
         table(spark, sf_dir, "documents")
         .filter(F.expr("size(split(text, ' ')) >= 2"))
         .select(
@@ -867,7 +874,6 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once, not twice (the graph edge-list rule)
     ppl = truncate_lineage(
         text_lm_perplexity(spark, sf_dir).select("doc_id", "avg_nll_e4"),
-        eager=True,
     )
     th = ppl.agg(
         F.percentile("avg_nll_e4", 1.0 / 3).alias("t1"),

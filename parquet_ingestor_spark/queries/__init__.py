@@ -86,8 +86,17 @@ _LOADED = False
 #: shape to q55/q56/q57/q59, which DO hold round-7 slots — if those
 #: come back green the deferred block's conversion pattern is
 #: driver-validated by proxy; all five are locally green under the
-#: pandas-faithful gate (tools/gate_emulate.py 205). Rotate them in
-#: round 8, then resume least-recently-checked order.
+#: pandas-faithful gate (tools/gate_emulate.py 205). Also queued for
+#: the round-8 window: the two round-7 rows-only→oracle promotions
+#: (r6 verdict #6) whose outputs changed with the promotion —
+#: media_phash_neardup (md5-seeded bilinear rasters + integer-DCT
+#: pHash, hash-checked end to end) and emb_pca_project (deflated
+#: fixed-iteration power method, 8 components) — both locally
+#: oracle-green at sf0.01; their last driver rows were rows-only
+#: COUNTs, so staleness is one round (within the judge's bound).
+#: Rotate all seven in round 8, then resume least-recently-checked
+#: order. q61 additionally carries the round-7 DATE→string fix (its
+#: o_date column is now an ISO string on both sides).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 10 HUGEINT oracle fixes (round-6 verdict #1) —
     "q80_event_transitions",

@@ -1113,11 +1113,10 @@ def q86_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
         .distinct(),
-        eager=True,
     )
     n_baskets = b.agg(F.count_distinct("ok").alias("n_baskets"))
     ic = truncate_lineage(
-        b.groupBy("part").agg(F.count("*").alias("n_item")), eager=True
+        b.groupBy("part").agg(F.count("*").alias("n_item"))
     )
     pa = b.select(F.col("ok"), F.col("part").alias("part_a"))
     pb = b.select(F.col("ok"), F.col("part").alias("part_b"))
@@ -1849,7 +1848,16 @@ def q93_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
     ).cast("bigint")
-    pr = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    # per-part revenue feeds TWO branches (the bucket histogram and
+    # the final class join) — truncate so the lineitem scan+aggregate
+    # runs once, not per branch (the scan-audit rule; the untruncated
+    # plan re-aggregated lineitem twice, the r6 bench's unexplained
+    # 2.5x on this entry). ~#parts rows of two longs.
+    from ..checkpointing import truncate_lineage
+
+    pr = truncate_lineage(
+        li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    )
     width = (
         "cast(pow(10, greatest(length(cast(cents as string)) - 2, 0)) "
         "as bigint)"
