@@ -544,25 +544,21 @@ def q76_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "join", "cooccurrence"),
 )
 def q77_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pair generation self-joins WITHIN the orderkey — fan-out is
-    C(basket,2), bounded by the ~7-line order cap, never corpus-
-    quadratic — and rides one orderkey shuffle (ReusedExchange serves
-    both sides of the self-join). The support count is distinct-orders
-    per pair: map-side combinable after the pair explode, heavy-pair
-    skew bounded by order count per pair. The same shape computes
-    token/document co-occurrence statistics in a corpus pipeline."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
+    """Pairs come from the shared basket miner (one orderkey shuffle,
+    C(basket,2) expansion inside each basket row — see
+    graph.order_copair_stream's scale contract); the support count is
+    a plain count(*) over the stream, which equals the oracle's
+    COUNT(DISTINCT ok) because collect_set dedups parts within an
+    order. Map-side combinable; heavy-pair skew bounded by order count
+    per pair. The same shape computes token/document co-occurrence
+    statistics in a corpus pipeline."""
+    from ..operators.graph import order_copair_stream
+
     return (
-        a.join(b, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        order_copair_stream(spark, sf_dir)
+        .select(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
         .groupBy("part_a", "part_b")
-        .agg(F.count_distinct("ok").alias("n_orders"))
+        .agg(F.count("*").alias("n_orders"))
         .where(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
@@ -1105,24 +1101,37 @@ def q86_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (or double-product then division) of exact integers
     (counts bounded far below 2^53), so values are bit-identical
     across engines and partitionings."""
-    # the distinct (basket, item) set feeds FOUR branches (basket
-    # count, item supports, both pair sides) — truncate so the
-    # distinct shuffle runs once, not per branch (the graph edge-list
-    # rule); the item-count table likewise feeds both join-backs
-    b = truncate_lineage(
+    # baskets feed FOUR branches (basket count, item supports, the
+    # pair stream) — truncate so the one orderkey shuffle runs once,
+    # not per branch; pairs expand INSIDE each basket row (the
+    # graph.order_copair_stream shape: one lineitem shuffle instead of
+    # a pair self-join that reads the basket set twice; collect_set
+    # dedups items per basket, so stream counts equal the distinct
+    # (ok, part) formulation's)
+    baskets = truncate_lineage(
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part"))
-        .distinct(),
+        .groupBy("ok")
+        .agg(F.collect_set("part").alias("ps")),
     )
-    n_baskets = b.agg(F.count_distinct("ok").alias("n_baskets"))
+    n_baskets = baskets.agg(F.count("*").alias("n_baskets"))
     ic = truncate_lineage(
-        b.groupBy("part").agg(F.count("*").alias("n_item"))
+        baskets.select(F.explode("ps").alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_item"))
     )
-    pa = b.select(F.col("ok"), F.col("part").alias("part_a"))
-    pb = b.select(F.col("ok"), F.col("part").alias("part_b"))
     pc = (
-        pa.join(pb, "ok")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(least(x, y) AS part_a, "
+                    "greatest(x, y) AS part_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_ab"))
         .where(F.col("n_ab") >= 2)
