@@ -771,3 +771,27 @@ def test_multibranch_pipelines_truncate_shared_frames(spark, sf_dir):
             plan.count("Scan parquet"),
         )
         assert "ExistingRDD" in plan, (name,)
+
+
+def test_q93_single_lineitem_derivation(spark, sf_dir):
+    """The per-part revenue aggregate feeds two branches (histogram,
+    class join); the truncation makes both read the materialized
+    blocks — the production plan carries NO parquet scan below the
+    boundary, while the untruncated view shows the duplicate
+    derivation the truncation exists to kill (the r6 bench's
+    unexplained 2.5x on this entry)."""
+    plan = plan_of(spark, sf_dir, "q93_abc_classification")
+    assert "Scan parquet" not in plan
+    full = untruncated_plan_of(spark, sf_dir, "q93_abc_classification")
+    assert full.count("Scan parquet") >= 2
+
+
+def test_copurchase_mining_is_one_basket_scan(spark, sf_dir):
+    """order_copair_stream's contract: ONE lineitem scan (groupBy
+    orderkey + collect_set) with the pair expansion inside each basket
+    row — never the a-join-b self-join that scans/shuffles lineitem
+    twice. q77 consumes the stream directly, so its full plan is the
+    witness."""
+    plan = untruncated_plan_of(spark, sf_dir, "q77_copurchase_pairs")
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+    assert "collect_set" in plan
