@@ -176,3 +176,26 @@ def test_no_oracle_emits_hugeint_columns():
         if huge:
             bad[name] = huge
     assert not bad, bad
+
+
+def test_oracle_outputs_limited_to_pandas_safe_types():
+    """Class-wide extension of the HUGEINT/DATE lint: every oracle
+    output column must be one of the five types whose pandas round-
+    trip is loss-free and engine-symmetric (BIGINT, INTEGER, VARCHAR,
+    DOUBLE, BOOLEAN). Everything else has a known divergence path —
+    HUGEINT→float64, DATE→datetime64-vs-date-objects, TIMESTAMP's
+    ns-vs-us physical types, DECIMAL scale objects, LIST→ndarray —
+    and must be quantized/formatted before the SELECT list."""
+    from parquet_ingestor_spark.testing import duck_connect
+
+    safe = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN"}
+    con = duck_connect("/root/testdata/sf0.01")
+    bad = {}
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        desc = con.execute(f"DESCRIBE ({q.oracle})").fetchall()
+        off = [(c, t) for c, t, *_ in desc if t.upper() not in safe]
+        if off:
+            bad[name] = off
+    assert not bad, bad
