@@ -1076,6 +1076,16 @@ def dsir_logweights(
     hasher DuckDB can mirror) — see :func:`_dsir_doc_buckets`.
     """
     doc_bucket = _dsir_doc_buckets(docs, buckets, bucket_hash)
+    if bucket_hash == "md5":
+        # the bucketed-gram frame feeds the model fold AND the scoring
+        # join; the md5 twin's gram hashing is expensive enough that
+        # re-deriving it per branch costs ~30% of the entry (measured
+        # 2.36 -> 1.83 s at sf0.1). The xxhash64 production path skips
+        # the truncation: its hashing is cheaper than the checkpoint
+        # materialization (measured 1.46 -> 1.69 s truncated).
+        from ..checkpointing import truncate_lineage
+
+        doc_bucket = truncate_lineage(doc_bucket)
     per_bucket = doc_bucket.groupBy("b").agg(
         F.sum("c").alias("cq"),
         F.sum(F.when(F.col("lang") == target_lang, F.col("c")).otherwise(0)).alias(

@@ -574,17 +574,30 @@ def test_q69_exists_is_semi_join_with_date_residual(spark, sf_dir):
 
 def test_dsir_models_fold_from_one_corpus_explode(spark, sf_dir):
     """DSIR's target/pool bucket models must FOLD from the per-doc
-    bucket aggregate, not re-explode the corpus: after AQE finalizes,
-    the (doc_id,lang,bucket) exchange is reused by the bucket-level
-    re-aggregation (one corpus-sized gram explode total), and the
-    1024-row log-ratio table joins back as a broadcast."""
+    bucket aggregate, not re-explode the corpus. The md5 twin now
+    TRUNCATES the bucketed-gram frame (measured 22% faster than
+    relying on AQE exchange reuse), so the production witness is the
+    materialized-blocks read; the untruncated view still proves the
+    original guarantee — after AQE finalizes, the (doc_id,lang,bucket)
+    exchange is reused by the bucket-level re-aggregation (one
+    corpus-sized gram explode total). The 1024-row log-ratio table
+    joins back as a broadcast either way."""
     df = REGISTRY["corpus_dsir_weights"].fn(spark, sf_dir)
     df.collect()  # noop-write would spawn a fresh execution; collect
     # finalizes THIS DataFrame's adaptive plan (output ≤ |documents|)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    assert "ExistingRDD" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    spark.conf.set("spark.pqingestor.truncateLineage", "false")
+    try:
+        full_df = REGISTRY["corpus_dsir_weights"].fn(spark, sf_dir)
+        full_df.collect()
+        full = full_df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.pqingestor.truncateLineage")
+    assert "ReusedExchange" in full or "ReusedQueryStage" in full
+    assert "CartesianProduct" not in full
 
 
 def test_interval_bin_join_stays_keyed_equijoin(spark, sf_dir):
