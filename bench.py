@@ -414,15 +414,22 @@ def main() -> None:
     # line measures ~1.7k chars, safely inside the driver's 2000-char
     # tail capture (full-precision timings are in bench_detail.json)
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # never ship an unparseable headline again
+    # never ship an unparseable headline again: shrink the kept-query
+    # count until the line fits (a fixed top-40 cut could still
+    # overflow with long entry names — round-7 advisory); worst case
+    # the line degrades to total + truncation marker only, which the
+    # driver can always parse.
+    keep = 40
+    while len(line) > 1900 and keep >= 0:
         out["queries"] = {
             n: round(t, 2)
             for n, t in sorted(
                 timings.items(), key=lambda kv: -kv[1]
-            )[:40]
+            )[:keep]
         }
         out["queries_truncated_see_bench_detail"] = len(timings)
         line = json.dumps(out, separators=(",", ":"))
+        keep -= 5
     print(line)
 
 

@@ -625,6 +625,11 @@ def media_phash(
     (the module's honesty contract). ``hasher="int"`` computes the
     oracle-checkable integer-DCT twin (:func:`phash64_int`); the
     default float pHash stays the production/visual path."""
+    if hasher not in ("float", "int"):
+        # a typo'd hasher must fail loudly: a silent float fallback
+        # would quietly decouple the registered entry from its
+        # integer-DCT oracle (round-7 advisory)
+        raise ValueError(f"hasher must be 'float' or 'int', got {hasher!r}")
     ph = phash64_int if hasher == "int" else phash64
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

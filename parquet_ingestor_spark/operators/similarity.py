@@ -548,11 +548,16 @@ def cosine_topk_vectorized(
             vec_ids = pdf["vec_id"].values
             for qi, qid in enumerate(qids):
                 # batch cutoff = k-th best e4 quantum; keep everything
-                # within one quantum of it so an ulp-level numpy-vs-
-                # fold disagreement can never drop an exact top-k row
+                # within TWO quanta of it: one quantum covers an
+                # ulp-level numpy-vs-fold disagreement on the candidate
+                # side, the second covers the same disagreement on the
+                # cutoff rows themselves (a candidate down-rounded one
+                # quantum while the k-th row up-rounds would slip past
+                # a kth-1 prune — the double-boundary residual the r7
+                # advisor flagged). Candidate sets stay tiny either way.
                 col = qint[:, qi]
                 kth = np.partition(col, len(col) - top)[len(col) - top]
-                keep = np.flatnonzero(col >= kth - 1)
+                keep = np.flatnonzero(col >= kth - 2)
                 for ri in keep:
                     rows.append((qid, int(vec_ids[ri]), list(raw[ri])))
             yield pd.DataFrame(

@@ -95,7 +95,7 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
     )
 
     exact = {
-        (r.q_id, r.rank): r.vec_id
+        (r.q_id, r.rank): (r.vec_id, r.sim_e4)
         for r in REGISTRY["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
     }
     fast_set = {
@@ -104,10 +104,15 @@ def test_vectorized_topk_matches_exact(spark, sf_dir):
         .fn(spark, sf_dir)
         .collect()
     }
-    assert fast_set == {(q, v) for (q, _), v in exact.items()}
+    assert fast_set == {(q, v) for (q, _), (v, _) in exact.items()}
     emb = table(spark, sf_dir, "embeddings")
+    # sims asserted too (not just ranks): the vectorized path's final
+    # re-rank recomputes sim_e4 with the exact twin's sequential-fold
+    # expressions, so the full (vec_id, sim_e4) tuple must be
+    # bit-equal — this is the COVERAGE.md "sims bit-equal (asserted)"
+    # claim the round-7 advisor checked for.
     lib = {
-        (r.q_id, r.rank): r.vec_id
+        (r.q_id, r.rank): (r.vec_id, r.sim_e4)
         for r in cosine_topk_vectorized(
             emb, _query_set(emb).select("q_id", "qv")
         ).collect()

@@ -4,6 +4,8 @@ import accident."""
 
 from __future__ import annotations
 
+import pytest
+
 from parquet_ingestor_spark.queries import (
     REGISTRY,
     _WINDOW_FIRST,
@@ -152,6 +154,19 @@ def test_no_oracle_emits_round_of_double():
     assert not bad, bad
 
 
+def _lint_sf_dir() -> str:
+    """The DESCRIBE lints only need the view schemas, so any generated
+    SF works; skip (like test_every_entry_ever_driver_checked) rather
+    than error on a machine without the driver's testdata fixture
+    (round-7 advisory)."""
+    import os
+
+    path = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    if not os.path.isdir(path):
+        pytest.skip(f"testdata fixture absent: {path}")
+    return path
+
+
 def test_no_oracle_emits_hugeint_columns():
     """The round-6 incident rule, class-wide: no oracle may have an
     output column DuckDB types HUGEINT/UHUGEINT. DuckDB's pandas
@@ -167,7 +182,7 @@ def test_no_oracle_emits_hugeint_columns():
         oracle_hugeint_cols,
     )
 
-    con = duck_connect("/root/testdata/sf0.01")
+    con = duck_connect(_lint_sf_dir())
     bad = {}
     for name, q in REGISTRY.items():
         if q.oracle is None:
@@ -189,7 +204,7 @@ def test_oracle_outputs_limited_to_pandas_safe_types():
     from parquet_ingestor_spark.testing import duck_connect
 
     safe = {"BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "BOOLEAN"}
-    con = duck_connect("/root/testdata/sf0.01")
+    con = duck_connect(_lint_sf_dir())
     bad = {}
     for name, q in REGISTRY.items():
         if q.oracle is None:
