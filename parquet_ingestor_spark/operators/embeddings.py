@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..functions import int_e
 from ..queries import register
 from .similarity import _dot, with_norm
@@ -539,21 +540,14 @@ def kmeans_fit(
     return cents, assigned, iters
 
 
-@register(
-    "emb_kmeans_fit",
-    oracle=None,  # iterative fixpoint — not SQL-expressible; pinned by
-    # tests: monotone spherical objective, partition invariants,
-    # run-to-run determinism.
-    doc=f"Full spherical k-means fit (k={KMEANS_K}, ≤{KMEANS_MAX_ITER} "
-    "Lloyd iterations, driver-held O(k·dim) model state): final "
-    "cluster sizes + mean within-cluster cosine.",
-    tags=("embedding", "iterative"),
-)
-def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    emb = table(spark, sf_dir, "embeddings")
-    cents, assigned, _ = kmeans_fit(emb)
+def kmeans_fit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION fit summary (float spherical Lloyd's with tol early
+    stop via :func:`kmeans_fit`): final cluster sizes + mean
+    within-cluster cosine. Library surface only since round 8 — the
+    REGISTERED ``emb_kmeans_fit`` entry runs the quantized
+    fixed-iteration twin below so the driver can hash-check the whole
+    fit (the minhash/bloom md5-twin rule applied to k-means)."""
+    cents, assigned, _ = kmeans_fit(table(spark, sf_dir, "embeddings"))
     cdf = spark.createDataFrame(
         [(int(i), [float(x) for x in cents[i]]) for i in range(KMEANS_K)],
         "c_id int, cv array<double>",
@@ -573,6 +567,286 @@ def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_id")
     )
+
+
+#: Fixed Lloyd rounds for the hash-verifiable k-means twin — iteration
+#: count is part of the cross-engine contract (the pagerank rule).
+KMEANS_TWIN_ITERS = 2
+#: e8 quanta for the twin's unit vectors: |w_i| <= 1e8, so a 64-dim
+#: integer dot is <= 6.4e17 < 2^63 and every product/sum is exact.
+_W_SCALE = 100_000_000
+
+
+def _round_half_away(s: int, n: int) -> int:
+    """round-half-away-from-zero of the EXACT rational s/n, in pure
+    integer arithmetic: (2|s| + n) // (2n) with the sign re-applied.
+    Matches the oracle's identical BIGINT formula — no double division
+    anywhere, so no 0.49999999999999994-class rounding divergence."""
+    q = (2 * abs(s) + n) // (2 * n)
+    return q if s >= 0 else -q
+
+
+def _w_quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, w: array<long>) — e8-quantized unit vectors. The norm
+    is the module's standard sequential fold (bit-identical to the
+    oracles' list_sum(list_transform(...))), the division and round
+    are per-element pure functions of it, so both engines quantize to
+    the SAME integers; everything downstream is exact arithmetic."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / "
+            "sqrt(aggregate(transform(embedding, y -> CAST(y AS DOUBLE) "
+            "* CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v"
+            f")) * {_W_SCALE}) AS BIGINT))"
+        ).alias("w"),
+    )
+
+
+def kmeans_fit_int(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_TWIN_ITERS
+) -> DataFrame:
+    """Hash-verifiable fixed-iteration spherical k-means twin.
+
+    The integer-twin playbook applied to Lloyd's (reference algorithm
+    shape: the same assign/update loop as :func:`kmeans_fit`):
+
+    - vectors become e8-quantized unit integer vectors ``w`` (exact
+      from both engines' identical per-row folds);
+    - centroids are integer vectors ``q`` (init = first ``k`` docs'
+      ``w``), so assignment dots Σ w_i·q_i are EXACT BIGINTs and the
+      cosine score dot/√norm2(q) is a pure double function of exact
+      integers — bit-identical across engines, ties to smallest c_id;
+    - the update rounds the exact rational mean Σw/n half-away-from-
+      zero in pure integer arithmetic (:func:`_round_half_away`); an
+      empty cluster keeps its previous centroid;
+    - the driver holds only the O(k·dim) integer model between rounds
+      (the MLlib shape — each round is one broadcast-join aggregate
+      whose shuffle carries one scalar row per vector, then a k×dim
+      partial-agg collect), so plans never grow with rounds.
+
+    Output per cluster: size, mean member cosine vs the assigning
+    centroid (e4), and the UPDATED centroid's first two coordinates
+    (e8) — all integers, all reproducible verbatim in the unrolled
+    DuckDB CTE chain of :func:`_kmeans_fit_oracle`.
+    """
+    spark = emb.sparkSession
+    w = truncate_lineage(_w_quantized(emb))  # reused iters+1 times
+    init = {
+        int(r.vec_id): list(r.w)
+        for r in w.where(F.col("vec_id") < k).collect()
+    }
+    cents = [init[i] for i in range(k)]
+    assigned = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [
+                (i, cents[i], sum(x * x for x in cents[i]))
+                for i in range(k)
+            ],
+            "c_id long, q array<long>, norm2 long",
+        )
+        dot = F.expr(
+            "aggregate(sequence(0, size(w) - 1), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + w[i] * q[i])"
+        )
+        score = dot.cast("double") / F.sqrt(F.col("norm2").cast("double"))
+        assigned = (
+            w.crossJoin(F.broadcast(cdf))
+            .select(
+                "vec_id",
+                "w",
+                "c_id",
+                dot.alias("dot"),
+                score.alias("score"),
+                "norm2",
+            )
+            .groupBy("vec_id")
+            .agg(
+                # lexicographic struct max ≡ the oracle's row_number
+                # ORDER BY score DESC, c_id (equal scores are
+                # bit-equal, so ties resolve identically); dot/norm2
+                # ride along for the final cosine stage
+                F.max(
+                    F.struct(
+                        F.col("score"),
+                        (-F.col("c_id")).alias("nci"),
+                        F.col("dot"),
+                        F.col("norm2"),
+                    )
+                ).alias("best"),
+                F.first("w").alias("w"),
+            )
+            .select(
+                "vec_id",
+                (-F.col("best.nci")).alias("c_id"),
+                F.col("best.dot").alias("dot"),
+                F.col("best.norm2").alias("cnorm2"),
+                "w",
+            )
+        )
+        sums = (
+            assigned.select("c_id", F.posexplode("w").alias("pos", "wi"))
+            .groupBy("c_id", "pos")
+            .agg(F.sum("wi").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )  # k × dim rows — bounded, corpus-size-independent
+        new = [list(c) for c in cents]  # empty cluster keeps previous
+        for r in sums:
+            new[int(r.c_id)][int(r.pos)] = _round_half_away(
+                int(r.s), int(r.n)
+            )
+        cents = new
+    final = spark.createDataFrame(
+        [(i, cents[i][0], cents[i][1]) for i in range(k)],
+        "c_id long, centroid_d1_e8 long, centroid_d2_e8 long",
+    )
+    norm2w = F.expr(
+        "aggregate(transform(w, x -> x * x), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    cos_e8 = F.round(
+        F.col("dot").cast("double")
+        / (
+            F.sqrt(norm2w.cast("double"))
+            * F.sqrt(F.col("cnorm2").cast("double"))
+        )
+        * F.lit(100000000.0)
+    ).cast("long")
+    return (
+        assigned.select("c_id", cos_e8.alias("cos_e8"))
+        .groupBy("c_id")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.round(
+                F.sum("cos_e8").cast("double")
+                / F.count("*")
+                / F.lit(10000.0)
+            )
+            .cast("long")
+            .alias("mean_cos_e4"),
+        )
+        .join(F.broadcast(final), "c_id")
+        .select(
+            "c_id",
+            "cluster_size",
+            "mean_cos_e4",
+            "centroid_d1_e8",
+            "centroid_d2_e8",
+        )
+        .orderBy("c_id")
+    )
+
+
+def _kmeans_fit_oracle(
+    k: int = KMEANS_K, iters: int = KMEANS_TWIN_ITERS
+) -> str:
+    """Unrolled fixed-iteration CTE chain mirroring
+    :func:`kmeans_fit_int` — the pagerank-oracle pattern. Every stage
+    is exact integer arithmetic (or a pure double function of exact
+    integers), so the hash comparison is legitimate."""
+    assign = """a{t} AS (
+            SELECT vec_id, c_id, dot, norm2 FROM (
+                SELECT vec_id, c_id, dot, norm2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY
+                           CAST(dot AS DOUBLE)
+                           / sqrt(CAST(norm2 AS DOUBLE)) DESC, c_id
+                       ) AS rn
+                FROM (
+                    SELECT u.vec_id, c.c_id, c.norm2,
+                           CAST(list_sum(list_transform(
+                               generate_series(1, 64),
+                               i -> u.w[i] * c.q[i])) AS BIGINT) AS dot
+                    FROM u CROSS JOIN {cents} c
+                )
+            ) WHERE rn = 1
+        )"""
+    update = """s{t} AS (
+            SELECT a.c_id, t.i AS pos,
+                   CAST(SUM(u.w[t.i]) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a{t} a JOIN u USING (vec_id)
+            CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
+            GROUP BY a.c_id, t.i
+        ), q{t} AS (
+            SELECT c_id, pos,
+                   CAST(CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                        ELSE -((2 * (-s) + n) // (2 * n))
+                        END AS BIGINT) AS qi
+            FROM s{t}
+        ), cn{t} AS (
+            SELECT c_id, list(qi ORDER BY pos) AS q,
+                   CAST(list_sum(list_transform(
+                       list(qi ORDER BY pos), x -> x * x))
+                   AS BIGINT) AS norm2
+            FROM q{t} GROUP BY c_id
+        ), c{t} AS (
+            SELECT p.c_id, COALESCE(n.q, p.q) AS q,
+                   COALESCE(n.norm2, p.norm2) AS norm2
+            FROM {prev} p LEFT JOIN cn{t} n USING (c_id)
+        )"""
+    ctes = [
+        f"""u AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CAST(round(CAST(x AS DOUBLE)
+                           / sqrt(list_sum(list_transform(embedding,
+                                 y -> CAST(y AS DOUBLE)
+                                      * CAST(y AS DOUBLE))))
+                           * {_W_SCALE}) AS BIGINT)) AS w
+            FROM embeddings
+        )""",
+        f"""c0 AS (
+            SELECT vec_id AS c_id, w AS q,
+                   CAST(list_sum(list_transform(w, x -> x * x))
+                   AS BIGINT) AS norm2
+            FROM u WHERE vec_id < {k}
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(assign.format(t=t, cents=f"c{t - 1}"))
+        ctes.append(update.format(t=t, prev=f"c{t - 1}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a.c_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(round(CAST(SUM(cos_e8) AS DOUBLE) / COUNT(*)
+                    / 10000) AS BIGINT) AS mean_cos_e4,
+               CAST(ANY_VALUE(cf.q[1]) AS BIGINT) AS centroid_d1_e8,
+               CAST(ANY_VALUE(cf.q[2]) AS BIGINT) AS centroid_d2_e8
+        FROM (
+            SELECT a{iters}.vec_id, a{iters}.c_id,
+                   CAST(round(CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(wn.norm2w AS DOUBLE))
+                          * sqrt(CAST(a{iters}.norm2 AS DOUBLE)))
+                       * {_W_SCALE}) AS BIGINT) AS cos_e8
+            FROM a{iters}
+            JOIN (SELECT vec_id,
+                         CAST(list_sum(list_transform(w, x -> x * x))
+                         AS BIGINT) AS norm2w
+                  FROM u) wn USING (vec_id)
+        ) a
+        JOIN c{iters} cf ON cf.c_id = a.c_id
+        GROUP BY a.c_id
+        ORDER BY a.c_id"""
+    )
+
+
+@register(
+    "emb_kmeans_fit",
+    oracle=_kmeans_fit_oracle(),
+    doc=f"Full k-means fit, hash-verifiable twin (k={KMEANS_K}, "
+    f"{KMEANS_TWIN_ITERS} fixed Lloyd rounds over e8-quantized unit "
+    "vectors, exact integer dots/updates — bit-identical across "
+    "engines; production float fit stays kmeans_fit/"
+    "kmeans_fit_summary): cluster sizes, mean assignment cosine, "
+    "updated centroid head coordinates.",
+    tags=("embedding", "iterative"),
+)
+def emb_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_fit_int(table(spark, sf_dir, "embeddings"))
 
 
 def _dim_moments(emb: DataFrame) -> DataFrame:
