@@ -60,97 +60,83 @@ _LOADED = False
 #: after all modules self-register, REGISTRY is reordered so these
 #: names come first (everything else keeps import order at the tail).
 #:
-#: Round-7 budget (per the round-6 verdict). 50 slots:
-#:   - the 10 HUGEINT-oracle fixes FIRST (verdict #1 — the 7 round-6
-#:     red rows q80/q81/q83/q84/corpus_neyman_allocation/
-#:     pricing_summary_incremental/emb_pq_encode plus the 3 latent
-#:     reds text_repetition/corpus_length_histogram/q72_promo_revenue;
-#:     every offending output column is now CAST(... AS BIGINT) and
-#:     the DESCRIBE-no-HUGEINT lint in tests/test_registry_window.py
-#:     pins the class shut);
-#:   - the 5 late round-6 rows-only→oracle promotions whose old
-#:     driver rows were COUNT-only: q34_approx_distinct,
-#:     q37_approx_percentiles, events_kll_value_quantiles,
-#:     sim_recall_eval, dedup_recall_eval (verdict #3);
-#:   - 35 of the 40 remaining round-6 purge-converted entries whose
-#:     latest driver row predates their integer-quantized outputs
-#:     (locally oracle-green under the now driver-faithful pandas
-#:     gate — testing.py duck_canon/spark_canon both fetch via
-#:     pandas since this round).
-#: ROUND-8 BUDGET NOTE — five purge-converted entries did not fit the
-#: 50-slot window and are deferred ONE round, chosen as the single
-#: homogeneous block with the lowest marginal risk: the
-#: q61..q65 relational-aggregate cohort (q61_large_volume_customers,
-#: q62_dormant_high_balance, q63_small_qty_revenue, q64_top_supplier,
-#: q65_important_parts). Their int_e conversions are identical in
-#: shape to q55/q56/q57/q59, which DO hold round-7 slots — if those
-#: come back green the deferred block's conversion pattern is
-#: driver-validated by proxy; all five are locally green under the
-#: pandas-faithful gate (tools/gate_emulate.py 205). Also queued for
-#: the round-8 window: the two round-7 rows-only→oracle promotions
-#: (r6 verdict #6) whose outputs changed with the promotion —
-#: media_phash_neardup (md5-seeded bilinear rasters + integer-DCT
-#: pHash, hash-checked end to end) and emb_pca_project (deflated
-#: fixed-iteration power method, 8 components) — both locally
-#: oracle-green at sf0.01; their last driver rows were rows-only
-#: COUNTs, so staleness is one round (within the judge's bound).
-#: Rotate all seven in round 8, then resume least-recently-checked
-#: order. q61 additionally carries the round-7 DATE→string fix (its
-#: o_date column is now an ISO string on both sides).
+#: Round-8 budget (per the round-7 verdict, item #1). 50 slots:
+#:   - the 7 deferred entries FIRST — the only ones whose latest
+#:     driver row predates their current output shape: the q61..q65
+#:     purge-converted relational cohort (deferred one round from the
+#:     round-7 window; their int_e conversion pattern came back green
+#:     by proxy via q55/q56/q57/q59 in CORRECTNESS_r07, and q61 also
+#:     carries its DATE→string fix) plus the two round-7 rows-only→
+#:     oracle promotions media_phash_neardup (md5-seeded bilinear
+#:     rasters + integer-DCT pHash) and emb_pca_project (deflated
+#:     fixed-iteration power method). All locally oracle-green.
+#:   - then strict least-recently-checked order: the full round-2
+#:     cohort (23 entries — includes emb_kmeans_fit, which ALSO
+#:     changed shape this round with its fixed-2-round integer-twin
+#:     oracle promotion, r7 verdict #5) and 20 of the 22 round-3
+#:     entries.
+#: ROUND-9 BUDGET NOTE — two round-3 entries did not fit and are
+#: deferred ONE round, chosen again as the lowest-risk homogeneous
+#: block: the set-operation pair q22_except / q22_intersect, whose
+#: pattern is driver-validated by proxy through q50_setops_all (same
+#: family, superset semantics) holding a round-8 slot. Both are
+#: locally green and shape-unchanged since round 3. Rotate them first
+#: in round 9, then resume least-recently-checked order (the round-4
+#: cohort).
 _WINDOW_FIRST: tuple[str, ...] = (
-    # — the 10 HUGEINT oracle fixes (round-6 verdict #1) —
-    "q80_event_transitions",
-    "q81_rfm_segments",
-    "q83_nation_trade_balance",
-    "q84_monthly_revenue_growth",
-    "corpus_neyman_allocation",
-    "pricing_summary_incremental",
-    "emb_pq_encode",
-    "text_repetition",
-    "corpus_length_histogram",
-    "q72_promo_revenue",
-    # — the 5 late round-6 promotions (verdict #3) —
-    "q34_approx_distinct",
-    "q37_approx_percentiles",
-    "events_kll_value_quantiles",
-    "sim_recall_eval",
-    "dedup_recall_eval",
-    # — purge-converted entries, least-recently-checked first —
-    "q19_running_sum",
-    "q20_lag_delta",
-    "q23_scalar_funcs",
-    "q30_json_funcs",
-    "q32_shipping_priority",
-    "q33_cube",
-    "q35_stats_aggs",
-    "q36_percentiles",
-    "q38_grouping_sets",
-    "q41_scalar_subquery",
-    "q45_unpivot",
-    "q55_volume_shipping",
-    "q56_market_share",
-    "q57_profit_by_nation_year",
-    "q59_disjunctive_bands",
-    "text_quality",
-    "text_lm_perplexity",
-    "text_ppl_buckets",
-    "text_gopher_rules",
-    "text_unigram_entropy",
-    "text_length_gini",
-    "text_zipf_fit",
-    "corpus_js_divergence",
-    "corpus_dup_rate_by_source",
-    "corpus_source_overlap",
-    "corpus_filter_pipeline",
-    "text_bm25_topk",
-    "corpus_mixture_weights",
-    "corpus_temperature_weights",
-    "dedup_jaccard_pairs",
-    "sim_bruteforce_topk",
-    "sim_neardup_pairs",
-    "range_join_bands",
-    "skew_salted_agg",
-    "emb_kmeans_step",
+    # — the 7 shape-stale entries (round-7 verdict #1) —
+    "q61_large_volume_customers",
+    "q62_dormant_high_balance",
+    "q63_small_qty_revenue",
+    "q64_top_supplier",
+    "q65_important_parts",
+    "media_phash_neardup",
+    "emb_pca_project",
+    # — the round-2 cohort, least-recently-checked —
+    "corpus_weighted_sample",
+    "dedup_exact",
+    "emb_kmeans_fit",
+    "multimodal_frame_sample",
+    "multimodal_meta",
+    "q01_project_events",
+    "q02_filter_drop",
+    "q03_dedup_users",
+    "q04_flatmap_tokens",
+    "q05_time_partition_counts",
+    "q06_conservation",
+    "q07_roundtrip_conservation",
+    "q08_attr_extract",
+    "q09_join_groupcount",
+    "q11_left_join_counts",
+    "q12_semi_join",
+    "q13_anti_join",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pack_bins",
+    "text_pii_scrub",
+    "text_token_counts",
+    "text_topk_ngrams",
+    # — the round-3 cohort (minus the two deferred set-ops) —
+    "benchmark_contamination",
+    "q16_distinct_agg",
+    "q17_rollup",
+    "q18_topk_per_group",
+    "q21_global_topk",
+    "q24_tumbling_window",
+    "q25_session_window",
+    "q26_sliding_window",
+    "q27_string_funcs",
+    "q28_date_funcs",
+    "q29_array_funcs",
+    "q31_full_outer",
+    "q39_pivot",
+    "q42_in_subquery",
+    "q43_correlated_subquery",
+    "q44_string_agg",
+    "q46_regex_breadth",
+    "q49_map_funcs",
+    "q50_setops_all",
+    "text_inverted_postings",
 )
 
 
