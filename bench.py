@@ -93,6 +93,16 @@ HEADLINE = (
 # corpus_dsir_weights (md5 feature hashing) is the oracle twin the
 # driver gate checks; _fast (xxhash64) is what production runs — both
 # stay under bench watch so the twins can't silently diverge in cost.
+# HEADLINE ENTRIES TIME THE PRODUCTION PATHS (round-7 verdict #2):
+# for the four entries whose registered md5/expression twins carry an
+# oracle-verifiability tax that exceeded 1.5x of the production probe
+# on the driver bench (minhash 4.0x, ivf/adc/ivfpq 2.2-2.6x in
+# BENCH_r07), the headline keys below now time the PRODUCTION
+# serving paths via _PROD_OVERRIDES — "the oracle doesn't need to be
+# the thing we time". The registered twins stay under bench watch as
+# `*_twin` scaling probes so the tax remains on record and can't
+# silently grow; the driver's sf0.01 CORRECTNESS gate still
+# hash-checks the twins every time they rotate through the window.
 # sim_recall_eval is deliberately NOT a headline entry: it is an
 # offline index audit whose cost is three exact-baseline corpus scans
 # plus driver-side codebook fits — benching it would measure the
@@ -135,6 +145,7 @@ def _extra_probes():
         _KCORE_ROUNDS,
         _PAGERANK_ITERS,
         kcore_parts,
+        order_copair_stream,
         pagerank_parts,
     )
 
@@ -243,22 +254,43 @@ def _extra_probes():
         sim_ivfpq_topk as _ivfpq_serving,
     )
 
-    return {
-        "corpus_bloom_seen_prod": _bloom_seen_prod,
-        # same oracle-tax visibility rule as corpus_bloom_seen_prod:
-        # the registered dedup_minhash_lsh now runs the md5 twin; this
-        # probe keeps the xxhash64 production path's cost on record
-        "dedup_minhash_lsh_prod": _minhash_prod,
-        "sim_ivf_topk_prod": lambda s, d: ivf_search(
+    prod_overrides = {
+        # the four headline keys the round-7 verdict moved to their
+        # production paths (see the HEADLINE comment above)
+        "dedup_minhash_lsh": _minhash_prod,
+        "sim_ivf_topk": lambda s, d: ivf_search(
             table(s, d, "embeddings"), n_lists=IVF_K
         ),
-        "pq_adc_topk_prod": lambda s, d: _pq_adc_serving(
+        "pq_adc_topk": lambda s, d: _pq_adc_serving(
             table(s, d, "embeddings")
         ),
-        "sim_ivfpq_topk_prod": lambda s, d: _ivfpq_serving(s, d),
+        "sim_ivfpq_topk": lambda s, d: _ivfpq_serving(s, d),
+    }
+
+    probes = {
+        "corpus_bloom_seen_prod": _bloom_seen_prod,
+        # oracle-tax visibility (inverse of corpus_bloom_seen_prod,
+        # whose registered entry met the 1.5x bar and stays headline):
+        # these probes time the REGISTERED md5/expression twins whose
+        # headline slots now run the production paths
+        "dedup_minhash_lsh_twin": REGISTRY["dedup_minhash_lsh"].fn,
+        "sim_ivf_topk_twin": REGISTRY["sim_ivf_topk"].fn,
+        "pq_adc_topk_twin": REGISTRY["pq_adc_topk"].fn,
+        "sim_ivfpq_topk_twin": REGISTRY["sim_ivfpq_topk"].fn,
         "graph_pagerank_x2rounds": lambda s, d: pagerank_parts(
             s, d, 2 * _PAGERANK_ITERS
         ),
+        # per-stage breakdown (round-7 verdict #4): the mining stage
+        # alone (basket pair expansion + canonical-dedup shuffle, no
+        # checkpoint). With x1/x2rounds this decomposes the entry:
+        # rounds-marginal = x2 - x1; mining = this probe; the
+        # remainder is checkpoint materialization + final sort. Lets
+        # round 9 tell a mining regression from round-cost drift.
+        "graph_pagerank_mine_stage": lambda s, d: order_copair_stream(
+            s, d
+        )
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .dropDuplicates(["src", "dst"]),
         "graph_kcore_parts_x2rounds": lambda s, d: kcore_parts(
             s, d, 2 * _KCORE_ROUNDS
         ),
@@ -272,6 +304,7 @@ def _extra_probes():
             _emb_x2(s, d)
         ),
     }
+    return prod_overrides, probes
 
 
 def main() -> None:
@@ -306,7 +339,7 @@ def main() -> None:
     # and end for the same reason. SPARK_GRAFT_ONLY=a,b,c filters the
     # headline set for local iteration.
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    extra = _extra_probes()
+    overrides, extra = _extra_probes()
     names = tuple(HEADLINE) + tuple(extra)
     if only:
         names = tuple(q for q in names if q in set(only.split(",")))
@@ -314,7 +347,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in names:
-        fn = extra[name] if name in extra else REGISTRY[name].fn
+        if name in overrides:
+            fn = overrides[name]  # headline times the production path
+        else:
+            fn = extra[name] if name in extra else REGISTRY[name].fn
         try:
             w0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
