@@ -577,7 +577,7 @@ KMEANS_TWIN_ITERS = 2
 _W_SCALE = 100_000_000
 
 
-def _round_half_away(s: int, n: int) -> int:
+def _ratio_half_away(s: int, n: int) -> int:
     """round-half-away-from-zero of the EXACT rational s/n, in pure
     integer arithmetic: (2|s| + n) // (2n) with the sign re-applied.
     Matches the oracle's identical BIGINT formula — no double division
@@ -618,7 +618,7 @@ def kmeans_fit_int(
       cosine score dot/√norm2(q) is a pure double function of exact
       integers — bit-identical across engines, ties to smallest c_id;
     - the update rounds the exact rational mean Σw/n half-away-from-
-      zero in pure integer arithmetic (:func:`_round_half_away`); an
+      zero in pure integer arithmetic (:func:`_ratio_half_away`); an
       empty cluster keeps its previous centroid;
     - the driver holds only the O(k·dim) integer model between rounds
       (the MLlib shape — each round is one broadcast-join aggregate
@@ -693,7 +693,7 @@ def kmeans_fit_int(
         )  # k × dim rows — bounded, corpus-size-independent
         new = [list(c) for c in cents]  # empty cluster keeps previous
         for r in sums:
-            new[int(r.c_id)][int(r.pos)] = _round_half_away(
+            new[int(r.c_id)][int(r.pos)] = _ratio_half_away(
                 int(r.s), int(r.n)
             )
         cents = new
