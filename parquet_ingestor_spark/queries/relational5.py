@@ -131,37 +131,59 @@ def q64_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q65_important_parts",
     oracle="""
-        SELECT l_partkey AS ps_partkey,
-               CAST(round(SUM(l_extendedprice) * 100) AS BIGINT)
-                   AS part_value_e2
-        FROM lineitem
-        GROUP BY l_partkey
-        HAVING SUM(l_extendedprice) > (
-            SELECT 0.002 * SUM(l_extendedprice) FROM lineitem
+        WITH pp AS (
+            SELECT l_partkey AS ps_partkey,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS part_value_e2
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(SUM(part_value_e2) AS BIGINT) AS total_c,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pp
         )
+        SELECT ps_partkey, part_value_e2
+        FROM pp, tot
+        WHERE part_value_e2 * 2 * n > 3 * total_c
         ORDER BY part_value_e2 DESC, ps_partkey
     """,
-    doc="TPC-H Q11 shape: parts whose traded value exceeds a fraction "
-    "of the global total — HAVING against a one-row global scalar.",
+    doc="TPC-H Q11 shape: parts whose traded value exceeds 1.5x the "
+    "average part value — HAVING against a one-row global scalar. "
+    "The threshold is scale-free (TPC-H's own Q11 fraction scales "
+    "with 1/SF; a fixed fraction returned an empty — vacuously "
+    "hash-green — result at the gate SFs, round-8 fix), and the "
+    "comparison runs in exact integer cents (value*2n > 3*total, "
+    "1.5 = 3/2), so no engine can disagree on a boundary part.",
     tags=("relational", "subquery", "tpch-shape"),
 )
 def q65_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The global total folds from the per-part partials (a second
     aggregation over SF×200 part rows, not a second lineitem scan) and
     joins back as a one-row broadcast cross join — lineitem is scanned
-    once and shuffled once, on the partkey agg.
+    once and shuffled once, on the partkey agg. Per-row cents
+    quantization (the q71 integer-cents rule) makes every sum exact,
+    so the 1.5×-average cut is an exact rational comparison. Integer
+    range: value_c·2n stays far inside int64 at any benchmark SF
+    (≤ ~1e14 at sf0.1); a 100 TB deployment would move the comparison
+    to the equivalent double form on the same exact integers.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
-    per_part = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
-        F.sum("l_extendedprice").alias("raw_value")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
     )
-    total = per_part.agg((0.002 * F.sum("raw_value")).alias("cut"))
+    per_part = li.groupBy(F.col("l_partkey").alias("ps_partkey")).agg(
+        F.sum("c").alias("part_value_e2")
+    )
+    total = per_part.agg(
+        F.sum("part_value_e2").alias("total_c"),
+        F.count("*").alias("n"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .where(F.col("raw_value") > F.col("cut"))
-        .select(
-            "ps_partkey", int_e(F.col("raw_value"), 2).alias("part_value_e2")
+        .where(
+            F.col("part_value_e2") * 2 * F.col("n")
+            > 3 * F.col("total_c")
         )
+        .select("ps_partkey", "part_value_e2")
         .orderBy(F.col("part_value_e2").desc(), F.col("ps_partkey"))
     )
 
