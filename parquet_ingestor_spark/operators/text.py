@@ -478,6 +478,20 @@ def bpe_train_merges(
     (``checkpointing.truncate_lineage``).
 
     Returns (rank, left, right, pair_count) — the ordered merge table.
+
+    Merge application uses DOUBLE-SPACE-delimited symbol strings with
+    a plain (non-regex) ``replace`` (round 8, oracle promotion): the
+    double separator gives every token its own boundary character on
+    each side, so a left-to-right non-overlapping substring replace of
+    ``" l  r "`` with ``" lr "`` is exactly token-level leftmost
+    non-overlapping greedy — the BPE convention the previous Java
+    lookbehind regex implemented. (A SINGLE-space regex in RE2 cannot
+    express this: no lookbehind, and consuming the shared boundary
+    space blocks the token-adjacent next match — e.g. 5×"a" merges to
+    [aa, a, aa] instead of [aa, aa, a].) Both engines' ``replace``
+    scan identically, so the whole trainer is reproducible verbatim in
+    the unrolled DuckDB CTE chain of :func:`_bpe_train_oracle`; the
+    pure-Python token-level differential test pins the semantics.
     """
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -486,11 +500,13 @@ def bpe_train_merges(
         .agg(F.count("*").alias("freq"))
     )
     # initial symbol sequence: characters + end-of-word marker,
-    # space-joined ("h e l l o </w>")
+    # double-space-joined with single-space pads (" h  e  y  </w> ")
     vocab = truncate_lineage(
         words.select(
             F.concat(
-                F.concat_ws(" ", F.split(F.col("w"), "")), F.lit(" </w>")
+                F.lit(" "),
+                F.concat_ws("  ", F.split(F.col("w"), "")),
+                F.lit("  </w> "),
             ).alias("syms"),
             "freq",
         ),
@@ -505,7 +521,7 @@ def bpe_train_merges(
             "freq",
             F.explode(
                 F.expr(
-                    "transform(array(split(syms, ' ')), ss -> "
+                    "transform(array(split(trim(syms), '  ')), ss -> "
                     "transform(sequence(0, size(ss) - 2), "
                     "i -> struct(ss[i] AS l, ss[i + 1] AS r)))[0]"
                 )
@@ -522,14 +538,13 @@ def bpe_train_merges(
             break
         left, right, cnt = top[0].l, top[0].r, top[0].cnt
         merges.append((rank, left, right, int(cnt)))
-        import re as _re
-
-        pat = (
-            f"(?<= |^){_re.escape(left)} {_re.escape(right)}(?= |$)"
-        )
         vocab = truncate_lineage(
             vocab.select(
-                F.regexp_replace("syms", pat, left + right).alias("syms"),
+                F.replace(
+                    F.col("syms"),
+                    F.lit(f" {left}  {right} "),
+                    F.lit(f" {left}{right} "),
+                ).alias("syms"),
                 "freq",
             ),
             checkpoint_dir,
@@ -540,13 +555,116 @@ def bpe_train_merges(
     )
 
 
+def _bpe_train_ctes(n_merges: int = BPE_MERGES) -> list[str]:
+    """Shared CTE chain of the BPE-training oracle — reused verbatim
+    by the encode oracle so train→encode round-trips inside ONE SQL
+    statement exactly as the Spark pipeline does."""
+    ctes = [
+        """v0 AS (
+            SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+                   || '  </w> ' AS syms, freq
+            FROM (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents)
+                WHERE w <> '' GROUP BY w
+            )
+        )"""
+    ]
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{t} AS (
+            SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+                SELECT freq,
+                       unnest(ss[1:len(ss) - 1]) AS l,
+                       unnest(ss[2:len(ss)]) AS r
+                FROM (SELECT string_split(trim(syms), '  ') AS ss, freq
+                      FROM v{t - 1})
+            ) GROUP BY l, r
+        ), w{t} AS (
+            SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
+        ), v{t} AS (
+            SELECT replace(v.syms, ' ' || w.l || '  ' || w.r || ' ',
+                           ' ' || w.l || w.r || ' ') AS syms, v.freq
+            FROM v{t - 1} v CROSS JOIN w{t} w
+        )"""
+        )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled fixed-round CTE chain mirroring
+    :func:`bpe_train_merges` — the pagerank-oracle pattern applied to
+    tokenizer training. Every stage is exact: integer pair counts,
+    binary-collation (cnt DESC, l, r) winner selection, and the SAME
+    double-space plain-``replace`` merge application the Spark loop
+    runs (see the trainer docstring for why that form is token-level
+    exact in both engines)."""
+    sel = "\n            UNION ALL ".join(
+        f'SELECT {t - 1} AS rank, l AS "left", r AS "right", '
+        f"cnt AS pair_count FROM w{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_train_ctes(n_merges))
+        + f"""
+        SELECT * FROM ({sel}) ORDER BY rank"""
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Train + encode in ONE statement: the training CTEs above learn
+    the merge table, then every document's words are re-tokenized by
+    the same double-space ``replace`` chain with each round's winner
+    pulled in as scalar subqueries — mirroring
+    :func:`text_bpe_encode`'s collect-then-fold exactly (the merge
+    table is 8 rows; its values, not its transport, are the
+    contract). Empty documents keep (0, 0) via the LEFT JOIN."""
+    expr = "' ' || array_to_string(string_split(w, ''), '  ') || '  </w> '"
+    for t in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, ' ' || (SELECT l FROM w{t}) || '  ' || "
+            f"(SELECT r FROM w{t}) || ' ', ' ' || (SELECT l FROM w{t}) "
+            f"|| (SELECT r FROM w{t}) || ' ')"
+        )
+    return (
+        "WITH "
+        + ",\n".join(_bpe_train_ctes(n_merges))
+        + f""",
+        tw AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id,
+                   len(string_split(trim({expr}), '  ')) AS n_sym
+            FROM tw
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(n_sym) AS n_bpe_tokens
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_words, 0) AS INTEGER) AS n_words,
+               CAST(COALESCE(a.n_bpe_tokens, 0) AS INTEGER)
+                   AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+    )
+
+
 @register(
     "bpe_train_merges",
-    oracle=None,  # iterative fixpoint over the vocab table; pinned by a
-    # bit-exact pure-Python BPE differential test instead.
+    oracle=_bpe_train_oracle(),
     doc=f"BPE tokenizer training: learn the top {BPE_MERGES} merges "
     "(char-level + </w>, Sennrich-style) from corpus word "
-    "frequencies.",
+    "frequencies. Hash-checked against an unrolled per-round CTE "
+    "chain (promoted from rows-only in round 8; the pure-Python "
+    "token-level differential test still pins the semantics).",
     tags=("text", "tokenizer", "iterative"),
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,30 +865,37 @@ def bpe_encode_len(word: Column, merges: list[tuple[str, str]]) -> Column:
     list (Sennrich et al. 2016 inference rule: each merge rewrites all
     leftmost non-overlapping occurrences, in training order).
 
-    Pure codegen: the word becomes its space-joined character sequence
-    plus ``</w>`` (the exact representation ``bpe_train_merges``
-    trains on), then one boundary-guarded ``regexp_replace`` per merge
-    — the same leftmost-non-overlapping semantics as the trainer's
-    vocab rewrite, so train→encode round-trips bit-exactly.
+    Pure codegen: the word becomes its double-space-joined character
+    sequence plus ``</w>`` (the exact representation
+    ``bpe_train_merges`` trains on), then one plain non-regex
+    ``replace`` per merge — the trainer's double-space boundary form
+    (see its docstring), so train→encode round-trips bit-exactly and
+    the whole chain is reproducible in the encode oracle's RE2-free
+    SQL (round-8 promotion; previously a Java lookbehind regex with
+    identical token-level semantics).
     """
-    import re as _re
-
-    x = F.concat(F.concat_ws(" ", F.split(word, "")), F.lit(" </w>"))
+    x = F.concat(
+        F.lit(" "),
+        F.concat_ws("  ", F.split(word, "")),
+        F.lit("  </w> "),
+    )
     for left, right in merges:
-        pat = f"(?<= |^){_re.escape(left)} {_re.escape(right)}(?= |$)"
-        rep = (left + right).replace("\\", "\\\\").replace("$", "\\$")
-        x = F.regexp_replace(x, pat, rep)
-    return F.size(F.split(x, " "))
+        x = F.replace(
+            x, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+        )
+    return F.size(F.split(F.trim(x), "  "))
 
 
 @register(
     "text_bpe_encode",
-    oracle=None,  # merges are learned from the corpus at runtime (an
-    # iterative fixpoint), so no static SQL can reproduce them; pinned
-    # by a bit-exact pure-Python train+encode differential instead.
+    oracle=_bpe_encode_oracle(),
     doc=f"Apply the {BPE_MERGES} learned BPE merges to every document "
     "and count the resulting subword tokens (tokenizer inference "
-    "over the corpus).",
+    "over the corpus). Hash-checked end to end: the oracle re-learns "
+    "the merges in its own unrolled CTE chain and re-encodes with "
+    "scalar-subquery winners (promoted from rows-only in round 8; "
+    "the pure-Python train+encode differential still pins the "
+    "semantics).",
     tags=("text", "tokenizer"),
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +922,9 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents")
         .select(
             "doc_id",
+            # INT deliberately (size()'s native type): the entry's
+            # last driver row recorded this schema — the round-8
+            # oracle promotion must not also change the output shape
             F.size(toks).alias("n_words"),
             F.aggregate(
                 toks,

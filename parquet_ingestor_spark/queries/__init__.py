@@ -81,7 +81,13 @@ _LOADED = False
 #: pattern is driver-validated by proxy through q50_setops_all (same
 #: family, superset semantics) holding a round-8 slot. Both are
 #: locally green and shape-unchanged since round 3. Rotate them first
-#: in round 9, then resume least-recently-checked order (the round-4
+#: in round 9, together with the three round-8 rows-only→oracle
+#: promotions bpe_train_merges / text_bpe_encode / emb_kmeans_fit —
+#: kmeans holds a round-8 slot already; the two BPE entries changed
+#: verification class (not output values: the pure-Python token-level
+#: differential pins them, and text_bpe_encode deliberately kept its
+#: INT schema) so their rows-only driver rows should be upgraded to
+#: hash rows. Then resume least-recently-checked order (the round-4
 #: cohort).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 7 shape-stale entries (round-7 verdict #1) —
