@@ -436,7 +436,14 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_MOD = 97  # doc_id % 97 == 0 → stand-in benchmark membership
-CONTAM_N = 8  # 8-gram overlap, the common contamination window
+#: 4-gram overlap window. Real decontamination pipelines use 8-13
+#: (GPT-3 used 13-gram, PaLM 8-gram); the synthetic corpus's random
+#: word draws share no 8-grams at ANY SF, which made the registered
+#: entry's gate rows vacuously empty (round-8 audit) — 4 is the
+#: largest window with cross-document collisions in this testdata
+#: (8/8/727 contaminated docs at the three SFs), so the join, the
+#: dedup of gram hits and the per-doc aggregation all get exercised.
+CONTAM_N = 4
 
 
 @register(

@@ -75,20 +75,27 @@ _LOADED = False
 #:     changed shape this round with its fixed-2-round integer-twin
 #:     oracle promotion, r7 verdict #5) and 20 of the 22 round-3
 #:     entries.
-#: ROUND-9 BUDGET NOTE — two round-3 entries did not fit and are
-#: deferred ONE round, chosen again as the lowest-risk homogeneous
-#: block: the set-operation pair q22_except / q22_intersect, whose
-#: pattern is driver-validated by proxy through q50_setops_all (same
-#: family, superset semantics) holding a round-8 slot. Both are
-#: locally green and shape-unchanged since round 3. Rotate them first
-#: in round 9, together with the three round-8 rows-only→oracle
-#: promotions bpe_train_merges / text_bpe_encode / emb_kmeans_fit —
-#: kmeans holds a round-8 slot already; the two BPE entries changed
-#: verification class (not output values: the pure-Python token-level
-#: differential pins them, and text_bpe_encode deliberately kept its
-#: INT schema) so their rows-only driver rows should be upgraded to
-#: hash rows. Then resume least-recently-checked order (the round-4
-#: cohort).
+#: LATE ROUND-8 SWAP — a vacuous-green audit found four entries whose
+#: gate rows were hash-green on EMPTY results (q22_except structurally
+#: empty, q57/q68's part-name digit patterns matching nothing,
+#: benchmark_contamination's 8-gram window colliding nowhere in the
+#: synthetic corpus). All four were fixed to be non-vacuous at every
+#: SF — an output-shape change, so all four need round-8 slots.
+#: benchmark_contamination already held one; q22_except /
+#: q57_profit_by_nation_year / q68_bulk_part_suppliers take the slots
+#: of q27_string_funcs / q28_date_funcs / q29_array_funcs (deferred —
+#: lowest-risk homogeneous scalar-function family, shape-unchanged
+#: since round 3, driver-validated by proxy via q23_scalar_funcs and
+#: q30_json_funcs, both round-7 green).
+#: ROUND-9 BUDGET NOTE — rotate first: the four deferred round-3
+#: entries (q27_string_funcs, q28_date_funcs, q29_array_funcs,
+#: q22_intersect — all locally green, shape-unchanged) plus the two
+#: round-8 rows-only→oracle BPE promotions bpe_train_merges /
+#: text_bpe_encode (verification class changed, not output values:
+#: the pure-Python token-level differential pins them, and
+#: text_bpe_encode deliberately kept its INT schema) so their
+#: rows-only driver rows upgrade to hash rows. Then resume
+#: least-recently-checked order (the round-4 cohort).
 _WINDOW_FIRST: tuple[str, ...] = (
     # — the 7 shape-stale entries (round-7 verdict #1) —
     "q61_large_volume_customers",
@@ -122,7 +129,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "text_pii_scrub",
     "text_token_counts",
     "text_topk_ngrams",
-    # — the round-3 cohort (minus the two deferred set-ops) —
+    # — the round-3 cohort (minus deferred, see the budget note) —
     "benchmark_contamination",
     "q16_distinct_agg",
     "q17_rollup",
@@ -131,9 +138,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q24_tumbling_window",
     "q25_session_window",
     "q26_sliding_window",
-    "q27_string_funcs",
-    "q28_date_funcs",
-    "q29_array_funcs",
     "q31_full_outer",
     "q39_pivot",
     "q42_in_subquery",
@@ -143,6 +147,11 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q49_map_funcs",
     "q50_setops_all",
     "text_inverted_postings",
+    # — the round-8 vacuous-green fixes (shape changed this round, so
+    #   they MUST hold slots): see each entry's doc for the audit —
+    "q22_except",
+    "q57_profit_by_nation_year",
+    "q68_bulk_part_suppliers",
 )
 
 

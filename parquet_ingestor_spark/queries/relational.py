@@ -488,23 +488,28 @@ def q22_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
+        SELECT o_custkey AS custkey FROM orders
         EXCEPT
-        SELECT s_nationkey AS nationkey FROM supplier
-        ORDER BY nationkey
+        SELECT o_custkey AS custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        ORDER BY custkey
     """,
-    doc="Set op: nations with customers but no suppliers.",
+    doc="Set op: customers who ordered but never with URGENT priority. "
+    "(Previously nations-with-customers-minus-nations-with-suppliers, "
+    "which is structurally empty — every TPC-H nation has both — so "
+    "the entry's green rows were vacuous; round-8 fix keeps the "
+    "EXCEPT-DISTINCT obligation with a non-empty result at every SF.)",
     tags=("relational", "setop"),
 )
 def q22_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    ordered = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderpriority"
     )
-    supp = table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
+    urgent = ordered.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("custkey")
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity).
-    return cust.subtract(supp).orderBy("nationkey")
+    return ordered.select("custkey").subtract(urgent).orderBy("custkey")
 
 
 @register(

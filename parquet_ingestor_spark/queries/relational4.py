@@ -180,7 +180,7 @@ def q56_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation   ON s_nationkey = n_nationkey
-        WHERE p_name LIKE '%_3%'
+        WHERE p_name LIKE '%gear%'
         GROUP BY n_name, CAST(year(l_shipdate) AS INTEGER)
         ORDER BY nation, l_year DESC
     """,
@@ -205,7 +205,7 @@ def q57_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = (
         table(spark, sf_dir, "part")
-        .where(F.col("p_name").like("%_3%"))
+        .where(F.col("p_name").like("%gear%"))
         .select("p_partkey", "p_retailprice")
     )
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")

@@ -325,21 +325,31 @@ def q67_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q68_bulk_part_suppliers",
     oracle="""
-        SELECT s_name, n_name
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE s_suppkey IN (
-            SELECT l_suppkey FROM lineitem
+        WITH g AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+            FROM lineitem
             WHERE l_partkey IN (
-                SELECT p_partkey FROM part WHERE p_name LIKE '%_1%'
+                SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'
             )
             GROUP BY l_suppkey
-            HAVING SUM(l_quantity) > 400
+        ), t AS (
+            SELECT CAST(SUM(s) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g
         )
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM g, t WHERE s * n > total)
         ORDER BY s_name
     """,
-    doc="TPC-H Q20 shape: suppliers who moved bulk volume of a "
-    "name-filtered part family — an IN over an aggregate over an "
-    "inner IN, both levels decorrelating to semi joins.",
+    doc="TPC-H Q20 shape: suppliers who moved above-average bulk "
+    "volume of a name-filtered part family — an IN over an aggregate "
+    "over an inner IN, both levels decorrelating to semi joins. The "
+    "volume cut is scale-free (above the mean per-supplier volume, "
+    "compared in exact integer units: s*n > total) — the previous "
+    "fixed cut plus a digit pattern no part name contains made the "
+    "entry vacuously empty at every SF (round-8 fix).",
     tags=("relational", "subquery", "tpch-shape"),
 )
 def q68_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,16 +363,22 @@ def q68_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, name).createOrReplaceTempView(f"_{name}_q68")
     return spark.sql(
         """
-        SELECT s_name, n_name
-        FROM _supplier_q68 JOIN _nation_q68 ON s_nationkey = n_nationkey
-        WHERE s_suppkey IN (
-            SELECT l_suppkey FROM _lineitem_q68
+        WITH g AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+            FROM _lineitem_q68
             WHERE l_partkey IN (
-                SELECT p_partkey FROM _part_q68 WHERE p_name LIKE '%_1%'
+                SELECT p_partkey FROM _part_q68 WHERE p_name LIKE '%gear%'
             )
             GROUP BY l_suppkey
-            HAVING SUM(l_quantity) > 400
+        ), t AS (
+            SELECT CAST(SUM(s) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM g
         )
+        SELECT s_name, n_name
+        FROM _supplier_q68 JOIN _nation_q68 ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM g, t WHERE s * n > total)
         ORDER BY s_name
         """
     )

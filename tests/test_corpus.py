@@ -124,10 +124,11 @@ def test_contamination_finds_planted_overlap(spark, tmp_path):
     rows = [
         # doc_id 0 → benchmark side (0 % 97 == 0)
         (0, bench_text, "en", "bench", len(bench_text)),
-        # copies an 8-gram run from the benchmark doc
+        # copies an 8-token run from the benchmark doc → 5 shared
+        # 4-grams (CONTAM_N = 4 since round 8)
         (1, "intro words " + " ".join(bench_text.split()[:8]), "en", "s", 1),
-        # shares only 5 consecutive tokens — below the 8-gram window
-        (2, "other " + " ".join(bench_text.split()[:5]) + " tail", "en", "s", 1),
+        # shares only 3 consecutive tokens — below the 4-gram window
+        (2, "other " + " ".join(bench_text.split()[:3]) + " tail", "en", "s", 1),
         (3, "completely unrelated text with enough tokens to shingle ok", "en", "s", 1),
     ]
     spark.createDataFrame(
@@ -142,7 +143,7 @@ def test_contamination_finds_planted_overlap(spark, tmp_path):
         .fn(spark, str(tmp_path))
         .collect()
     }
-    assert got == {1: (1, 1)}  # doc 1 contaminated, docs 2/3 clean
+    assert got == {1: (5, 1)}  # doc 1 contaminated, docs 2/3 clean
 
 
 def test_kmeans_fit_objective_monotone_and_deterministic(spark, sf_dir):

@@ -43,18 +43,31 @@ def test_round8_priorities_inside_the_50_window():
     # changed emb_kmeans_fit's output shape this round — it must
     # rotate through the same window
     assert "emb_kmeans_fit" in window
+    # the late round-8 vacuous-green fixes changed output shapes too
+    assert {
+        "q22_except",
+        "q57_profit_by_nation_year",
+        "q68_bulk_part_suppliers",
+        "benchmark_contamination",
+    } <= window
 
 
 def test_window_covers_all_stale_rows_except_documented_deferral():
     """Round-8 policy: the shape-stale set is EMPTY — all 7 entries
     whose latest driver row predated their output shape hold window
     slots, as does emb_kmeans_fit (shape changed by this round's
-    oracle promotion). The only deferral is the shape-UNCHANGED
-    q22_except/q22_intersect pair documented in the ROUND-9 BUDGET
-    NOTE (queries/__init__.py). No silently forgotten entries."""
+    oracle promotion) and the four vacuous-green fixes (LATE ROUND-8
+    SWAP note). The only deferrals are shape-UNCHANGED round-3
+    entries documented in the ROUND-9 BUDGET NOTE
+    (queries/__init__.py). No silently forgotten entries."""
     names = list(REGISTRY)
     window = set(names[:50])
-    deferred = {"q22_except", "q22_intersect"}
+    deferred = {
+        "q22_intersect",
+        "q27_string_funcs",
+        "q28_date_funcs",
+        "q29_array_funcs",
+    }
     assert deferred.isdisjoint(window)
     assert deferred <= set(names)
     # the window is exactly the driver's budget — no padding slack
