@@ -678,3 +678,38 @@ def test_unigram_lm_train_stable_across_partitionings(spark, sf_dir):
     assert base == rep
     # a valid probability model: mass sums to 1 over the piece table
     assert abs(sum(r[2] for r in base) - 1.0) < 1e-9
+
+
+def test_bpe_merge_application_on_identical_token_runs(spark, tmp_path):
+    """Pin the double-space replace form (round 8) on the exact
+    adversarial shape where a single-space non-lookbehind replace
+    diverges from the BPE convention: a run of identical symbols.
+    Token-level leftmost non-overlapping greedy must merge a 5-run
+    into [xx, xx, x] — a boundary-consuming scan yields [xx, x, xx]
+    and changes every later round's pair counts."""
+    from parquet_ingestor_spark.operators.text import bpe_train_merges
+
+    rows = [
+        # 'xxxxx' -> chars x x x x x </w>; 'xx' appears often enough
+        # that (x, x) is the first merge, then (xx, xx) is only
+        # learnable if the 5-runs merged [xx, xx, x]
+        (i, "xxxxx xxxxx xxxx", "en", "s", 16) for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=3).collect()
+    ]
+    # word freqs: xxxxx ×40, xxxx ×20
+    # round 0: (x, x) count = 4*40 + 3*20 = 220
+    # after: xxxxx -> [xx, xx, x, </w>]; xxxx -> [xx, xx, </w>]
+    #   (the boundary-consuming scan would give xxxxx -> [xx, x, xx])
+    # round 1 pairs: (xx, xx) 40+20=60 | (xx, x) 40 | (x, </w>) 40 |
+    #   (xx, </w>) 20 -> winner (xx, xx) = 60, ONLY under the
+    #   token-level convention
+    assert got[0] == (0, "x", "x", 220)
+    assert got[1] == (1, "xx", "xx", 60)
