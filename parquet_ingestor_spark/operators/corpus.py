@@ -436,14 +436,69 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENCH_MOD = 97  # doc_id % 97 == 0 → stand-in benchmark membership
-#: 4-gram overlap window. Real decontamination pipelines use 8-13
-#: (GPT-3 used 13-gram, PaLM 8-gram); the synthetic corpus's random
-#: word draws share no 8-grams at ANY SF, which made the registered
-#: entry's gate rows vacuously empty (round-8 audit) — 4 is the
-#: largest window with cross-document collisions in this testdata
-#: (8/8/727 contaminated docs at the three SFs), so the join, the
-#: dedup of gram hits and the per-doc aggregation all get exercised.
+#: Overlap window for the REGISTERED GATE ENTRY ONLY — a documented
+#: testdata artifact, not a recommended default. Real decontamination
+#: pipelines use 8-13 (GPT-3 used 13-gram, PaLM 8-gram) and
+#: :func:`contamination_overlap`'s library default is 8 accordingly;
+#: but the synthetic corpus's random word draws share no 8-grams at
+#: ANY SF, which made the registered entry's gate rows vacuously
+#: empty (round-8 audit) — 4 is the largest window with
+#: cross-document collisions in this testdata (8/8/727 contaminated
+#: docs at the three SFs), so the join, the dedup of gram hits and
+#: the per-doc aggregation all get exercised. Do NOT lift this
+#: constant into a real pipeline (round-8 verdict #5).
 CONTAM_N = 4
+
+
+def contamination_overlap(
+    docs: DataFrame, n: int = 8, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """N-gram-overlap decontamination audit (the GPT-3/PaLM-style
+    n-gram collision check — public methodology; GPT-3 appendix C
+    used 13-grams, PaLM 8-grams — hence the n=8 library default).
+
+    A *real* benchmark side is tiny by nature (eval suites vs a
+    100 TB corpus) and would deserve a broadcast hint so the
+    corpus-side scan streams through a broadcast-hash join with no
+    shuffle of training shingles. The stand-in benchmark
+    (doc_id % bench_mod) is corpus-derived — ~1 % of the corpus's
+    distinct n-grams, which *grows with corpus size* — so the hint is
+    deliberately omitted: AQE broadcasts at runtime while the side is
+    actually small and falls back to a shuffle join when it isn't,
+    instead of OOMing a forced broadcast at scale. Shingles are
+    exploded *distinct* n-grams per doc; counts aggregate map-side.
+    A real deployment hashes n-grams (xxhash64) instead of carrying
+    strings through the join — kept as strings here so the oracle is
+    engine-portable.
+
+    Returns (doc_id, n_shared_ngrams, n_bench_docs) for every
+    training doc sharing at least one n-gram with the benchmark side.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    grams = toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> concat_ws(' ', slice(toks, i + 1, {n})))"
+                )
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_doc_id"), "g"
+    )
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_shared_ngrams"),
+            F.count_distinct("bench_doc_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -480,49 +535,12 @@ CONTAM_N = 4
     tags=("text", "audit", "corpus"),
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N-gram-overlap decontamination audit (the GPT-3/PaLM-style
-    n-gram collision check — public methodology).
-
-    A *real* benchmark side is tiny by nature (eval suites vs a
-    100 TB corpus) and would deserve a broadcast hint so the
-    corpus-side scan streams through a broadcast-hash join with no
-    shuffle of training shingles. This entry's stand-in benchmark
-    (doc_id % BENCH_MOD) is corpus-derived — ~1 % of the corpus's
-    distinct n-grams, which *grows with corpus size* — so the hint is
-    deliberately omitted: AQE broadcasts at runtime while the side is
-    actually small and falls back to a shuffle join when it isn't,
-    instead of OOMing a forced broadcast at scale. Shingles are
-    exploded *distinct* n-grams per doc; counts aggregate map-side.
-    A real deployment hashes n-grams (xxhash64) instead of carrying
-    strings through the join — kept as strings here so the oracle is
-    engine-portable.
-    """
-    toks = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
-    grams = toks.filter(F.size("toks") >= CONTAM_N).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {CONTAM_N}), "
-                    f"i -> concat_ws(' ', slice(toks, i + 1, {CONTAM_N})))"
-                )
-            )
-        ).alias("g"),
-    )
-    bench = grams.filter(F.col("doc_id") % BENCH_MOD == 0).select(
-        F.col("doc_id").alias("bench_doc_id"), "g"
-    )
-    train = grams.filter(F.col("doc_id") % BENCH_MOD != 0)
-    return (
-        train.join(bench, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("g").alias("n_shared_ngrams"),
-            F.count_distinct("bench_doc_id").alias("n_bench_docs"),
-        )
-        .orderBy("doc_id")
+    """Registered gate entry: :func:`contamination_overlap` with the
+    window PINNED to n=CONTAM_N=4 — a documented artifact of the
+    synthetic testdata (see the constant's comment), NOT the library
+    default (n=8, the published-practice floor)."""
+    return contamination_overlap(
+        table(spark, sf_dir, "documents"), n=CONTAM_N
     )
 
 

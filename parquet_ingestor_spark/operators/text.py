@@ -516,14 +516,21 @@ def bpe_train_merges(
     merges = []
     for rank in range(n_merges):
         # symbol array binds once per row (split(syms)[i] inline
-        # would re-split per adjacent pair — the tokenize-once rule)
+        # would re-split per adjacent pair — the tokenize-once rule).
+        # Pairs come from zip_with over the two shifted slices rather
+        # than sequence(0, size-2) indexing: for a word fully merged
+        # to ONE token, sequence(0, -1) yields [0, -1] and ss[-1]
+        # would throw under ANSI mode (junk pairs with it off);
+        # slice(ss, 2, 0) is just empty, matching the oracle's
+        # ss[1:0] zero-pairs behavior for single-token words.
         pairs = vocab.select(
             "freq",
             F.explode(
                 F.expr(
                     "transform(array(split(trim(syms), '  ')), ss -> "
-                    "transform(sequence(0, size(ss) - 2), "
-                    "i -> struct(ss[i] AS l, ss[i + 1] AS r)))[0]"
+                    "zip_with(slice(ss, 1, size(ss) - 1), "
+                    "slice(ss, 2, size(ss) - 1), "
+                    "(l, r) -> struct(l AS l, r AS r)))[0]"
                 )
             ).alias("p"),
         )
@@ -584,9 +591,17 @@ def _bpe_train_ctes(n_merges: int = BPE_MERGES) -> list[str]:
         ), w{t} AS (
             SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
         ), v{t} AS (
-            SELECT replace(v.syms, ' ' || w.l || '  ' || w.r || ' ',
-                           ' ' || w.l || w.r || ' ') AS syms, v.freq
-            FROM v{t - 1} v CROSS JOIN w{t} w
+            -- LEFT JOIN + chr(1) sentinel keep the chain total when
+            -- w{t} is EMPTY (fewer than n_merges learnable pairs):
+            -- the round degrades to a no-op replace, mirroring the
+            -- Spark trainer's early break. A CROSS JOIN would empty
+            -- v{t} and every later round (round-8 advice #2).
+            SELECT replace(v.syms,
+                           COALESCE(' ' || w.l || '  ' || w.r || ' ',
+                                    chr(1)),
+                           COALESCE(' ' || w.l || w.r || ' ',
+                                    chr(1))) AS syms, v.freq
+            FROM v{t - 1} v LEFT JOIN w{t} w ON TRUE
         )"""
         )
     return ctes
@@ -623,10 +638,17 @@ def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
     contract). Empty documents keep (0, 0) via the LEFT JOIN."""
     expr = "' ' || array_to_string(string_split(w, ''), '  ') || '  </w> '"
     for t in range(1, n_merges + 1):
+        # COALESCE to a chr(1) sentinel so an EMPTY w{t} (degenerate
+        # corpus: fewer than n_merges learnable pairs) makes this
+        # round's replace a no-op instead of NULL-propagating n_sym
+        # for every document (round-8 advice #2) — the same early-exit
+        # semantics as the Spark encode's collect-then-fold over a
+        # short merge table.
         expr = (
-            f"replace({expr}, ' ' || (SELECT l FROM w{t}) || '  ' || "
-            f"(SELECT r FROM w{t}) || ' ', ' ' || (SELECT l FROM w{t}) "
-            f"|| (SELECT r FROM w{t}) || ' ')"
+            f"replace({expr}, COALESCE(' ' || (SELECT l FROM w{t}) "
+            f"|| '  ' || (SELECT r FROM w{t}) || ' ', chr(1)), "
+            f"COALESCE(' ' || (SELECT l FROM w{t}) "
+            f"|| (SELECT r FROM w{t}) || ' ', chr(1)))"
         )
     return (
         "WITH "

@@ -60,98 +60,77 @@ _LOADED = False
 #: after all modules self-register, REGISTRY is reordered so these
 #: names come first (everything else keeps import order at the tail).
 #:
-#: Round-8 budget (per the round-7 verdict, item #1). 50 slots:
-#:   - the 7 deferred entries FIRST — the only ones whose latest
-#:     driver row predates their current output shape: the q61..q65
-#:     purge-converted relational cohort (deferred one round from the
-#:     round-7 window; their int_e conversion pattern came back green
-#:     by proxy via q55/q56/q57/q59 in CORRECTNESS_r07, and q61 also
-#:     carries its DATE→string fix) plus the two round-7 rows-only→
-#:     oracle promotions media_phash_neardup (md5-seeded bilinear
-#:     rasters + integer-DCT pHash) and emb_pca_project (deflated
-#:     fixed-iteration power method). All locally oracle-green.
-#:   - then strict least-recently-checked order: the full round-2
-#:     cohort (23 entries — includes emb_kmeans_fit, which ALSO
-#:     changed shape this round with its fixed-2-round integer-twin
-#:     oracle promotion, r7 verdict #5) and 20 of the 22 round-3
-#:     entries.
-#: LATE ROUND-8 SWAP — a vacuous-green audit found four entries whose
-#: gate rows were hash-green on EMPTY results (q22_except structurally
-#: empty, q57/q68's part-name digit patterns matching nothing,
-#: benchmark_contamination's 8-gram window colliding nowhere in the
-#: synthetic corpus). All four were fixed to be non-vacuous at every
-#: SF — an output-shape change, so all four need round-8 slots.
-#: benchmark_contamination already held one; q22_except /
-#: q57_profit_by_nation_year / q68_bulk_part_suppliers take the slots
-#: of q27_string_funcs / q28_date_funcs / q29_array_funcs (deferred —
-#: lowest-risk homogeneous scalar-function family, shape-unchanged
-#: since round 3, driver-validated by proxy via q23_scalar_funcs and
-#: q30_json_funcs, both round-7 green).
-#: ROUND-9 BUDGET NOTE — rotate first: the four deferred round-3
-#: entries (q27_string_funcs, q28_date_funcs, q29_array_funcs,
-#: q22_intersect — all locally green, shape-unchanged) plus the two
-#: round-8 rows-only→oracle BPE promotions bpe_train_merges /
-#: text_bpe_encode (verification class changed, not output values:
-#: the pure-Python token-level differential pins them, and
-#: text_bpe_encode deliberately kept its INT schema) so their
-#: rows-only driver rows upgrade to hash rows. Then resume
-#: least-recently-checked order (the round-4 cohort).
+#: Round-9 budget (per the round-8 verdict, item #1). 50 slots:
+#:   - the 2 round-8 rows-only->oracle BPE promotions FIRST
+#:     (bpe_train_merges / text_bpe_encode): their verification
+#:     class changed (new unrolled-CTE oracles), so their rows-only
+#:     r5/r4 driver rows must upgrade to hash rows. Both PASS the
+#:     local driver-faithful gate (round-8 verdict + builder runs).
+#:   - the 4 round-3-deferred entries (q27/q28/q29 scalar-function
+#:     family + q22_intersect), shape-unchanged, locally green.
+#:   - then strict least-recently-checked order: the 26 remaining
+#:     round-4-cohort entries, then 18 of the round-5 cohort.
+#:     The two permanently rows-only entries
+#:     (corpus_dsir_weights_fast, unigram_lm_train) are skipped in
+#:     the round-5 fill: a window slot buys them no hash check, and
+#:     their differential verification lives in tests
+#:     (test_xxhash_minhash_corpus_recall; the exact-rational Python
+#:     differential). Remaining round-5 entries rotate in round 10.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # — the 7 shape-stale entries (round-7 verdict #1) —
-    "q61_large_volume_customers",
-    "q62_dormant_high_balance",
-    "q63_small_qty_revenue",
-    "q64_top_supplier",
-    "q65_important_parts",
-    "media_phash_neardup",
-    "emb_pca_project",
-    # — the round-2 cohort, least-recently-checked —
-    "corpus_weighted_sample",
-    "dedup_exact",
-    "emb_kmeans_fit",
-    "multimodal_frame_sample",
-    "multimodal_meta",
-    "q01_project_events",
-    "q02_filter_drop",
-    "q03_dedup_users",
-    "q04_flatmap_tokens",
-    "q05_time_partition_counts",
-    "q06_conservation",
-    "q07_roundtrip_conservation",
-    "q08_attr_extract",
-    "q09_join_groupcount",
-    "q11_left_join_counts",
-    "q12_semi_join",
-    "q13_anti_join",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_pack_bins",
-    "text_pii_scrub",
-    "text_token_counts",
-    "text_topk_ngrams",
-    # — the round-3 cohort (minus deferred, see the budget note) —
-    "benchmark_contamination",
-    "q16_distinct_agg",
-    "q17_rollup",
-    "q18_topk_per_group",
-    "q21_global_topk",
-    "q24_tumbling_window",
-    "q25_session_window",
-    "q26_sliding_window",
-    "q31_full_outer",
-    "q39_pivot",
-    "q42_in_subquery",
-    "q43_correlated_subquery",
-    "q44_string_agg",
-    "q46_regex_breadth",
-    "q49_map_funcs",
-    "q50_setops_all",
-    "text_inverted_postings",
-    # — the round-8 vacuous-green fixes (shape changed this round, so
-    #   they MUST hold slots): see each entry's doc for the audit —
-    "q22_except",
-    "q57_profit_by_nation_year",
-    "q68_bulk_part_suppliers",
+    # -- the 2 BPE oracle promotions (round-8 verdict #1) --
+    "bpe_train_merges",
+    "text_bpe_encode",
+    # -- the 4 round-3-deferred entries --
+    "q27_string_funcs",
+    "q28_date_funcs",
+    "q29_array_funcs",
+    "q22_intersect",
+    # -- the round-4 cohort remainder, least-recently-checked --
+    "asof_forward_click_purchase",
+    "dedup_clusters",
+    "sem_dedup",
+    "corpus_line_dedup",
+    "text_dup_spans",
+    "corpus_stratified_sample",
+    "corpus_quantile_filter",
+    "text_heavy_hitters",
+    "text_cdc_chunks",
+    "corpus_quality_classifier",
+    "corpus_dsir_weights",
+    "dedup_exact_normalized",
+    "text_novelty_score",
+    "text_tfidf_terms",
+    "corpus_shuffle_shard",
+    "text_unicode_clean",
+    "q51_exists_subquery",
+    "q53_windowed_count_distinct",
+    "q58_customer_distribution",
+    "q60_waiting_suppliers",
+    "q66_priority_by_returnflag",
+    "q67_cheapest_supplier",
+    "q69_priority_lag",
+    "q70_forecast_revenue",
+    "q71_returned_items",
+    "q73_supplier_relationship",
+    # -- the round-5 cohort head (oracle-backed entries only) --
+    "asof_purchase_click",
+    "asof_nearest_view_purchase",
+    "asof_tolerance_purchase_click",
+    "interval_join_binned",
+    "asof_conversion_lag",
+    "dedup_fuzzy_names",
+    "text_blocklist_filter",
+    "dedup_keep_best",
+    "graph_pagerank",
+    "graph_triangles",
+    "graph_hits_parts",
+    "graph_kcore_parts",
+    "graph_link_scores",
+    "dedup_clusters_incremental",
+    "corpus_hash_sample_k",
+    "text_heavy_hitters_incremental",
+    "corpus_train_val_split",
+    "table_profile_orders",
 )
 
 

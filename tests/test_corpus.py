@@ -145,6 +145,20 @@ def test_contamination_finds_planted_overlap(spark, tmp_path):
     }
     assert got == {1: (5, 1)}  # doc 1 contaminated, docs 2/3 clean
 
+    # the LIBRARY default is n=8 (published-practice floor, round-8
+    # verdict #5): the same planted 8-token run is exactly ONE shared
+    # 8-gram, and the 3-token overlap stays clean
+    from parquet_ingestor_spark.operators.corpus import (
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    got8 = {
+        r.doc_id: (r.n_shared_ngrams, r.n_bench_docs)
+        for r in contamination_overlap(docs).collect()
+    }
+    assert got8 == {1: (1, 1)}
+
 
 def test_kmeans_fit_objective_monotone_and_deterministic(spark, sf_dir):
     """Spherical Lloyd's: the summed-cosine objective must be
@@ -713,3 +727,54 @@ def test_bpe_merge_application_on_identical_token_runs(spark, tmp_path):
     #   token-level convention
     assert got[0] == (0, "x", "x", 220)
     assert got[1] == (1, "xx", "xx", 60)
+
+
+def test_bpe_oracles_total_on_degenerate_corpus(spark, tmp_path):
+    """Round-8 advice #2: with fewer than BPE_MERGES learnable pairs
+    the Spark trainer breaks out early. The unrolled-CTE oracles must
+    degrade each unlearnable round to a NO-OP (LEFT JOIN + chr(1)
+    sentinel), not CROSS JOIN an empty winner table — which would
+    empty the vocab for every later round and NULL-propagate every
+    document's token count through the encode oracle's scalar
+    subqueries. Run BOTH engines on a corpus where only 2 of the 8
+    merges are learnable and require exact agreement."""
+    import duckdb
+
+    from parquet_ingestor_spark.operators.text import (
+        _bpe_encode_oracle,
+        _bpe_train_oracle,
+    )
+    from parquet_ingestor_spark.queries import REGISTRY
+
+    # 'ab' -> a b </w> -> (a,b) then (ab,</w>) then fully merged:
+    # rounds 2..7 have NO learnable pair. Plus one empty document.
+    rows = [(i, "ab ab ab", "en", "s", 8) for i in range(6)] + [
+        (6, "", "en", "s", 0)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    got_train = [
+        tuple(r)
+        for r in REGISTRY["bpe_train_merges"].fn(spark, str(tmp_path)).collect()
+    ]
+    want_train = [tuple(r) for r in con.execute(_bpe_train_oracle()).fetchall()]
+    assert got_train == want_train
+    assert [t[:3] for t in got_train] == [(0, "a", "b"), (1, "ab", "</w>")]
+
+    got_enc = [
+        tuple(r)
+        for r in REGISTRY["text_bpe_encode"].fn(spark, str(tmp_path)).collect()
+    ]
+    want_enc = [tuple(r) for r in con.execute(_bpe_encode_oracle()).fetchall()]
+    assert got_enc == want_enc
+    # every 'ab' word fully merges to ONE subword; empty doc is (0, 0)
+    assert got_enc == [(i, 3, 3) for i in range(6)] + [(6, 0, 0)]
+    assert all(v is not None for t in got_enc for v in t)
