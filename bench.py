@@ -340,12 +340,31 @@ def main() -> None:
     # headline set for local iteration.
     only = os.environ.get("SPARK_GRAFT_ONLY")
     overrides, extra = _extra_probes()
-    names = tuple(HEADLINE) + tuple(extra)
+    # INTERLEAVE the scaling/twin probes right after their headline
+    # counterparts instead of running them all at the end (round-8
+    # verdict #2): a full run's self-load ramps monotonically, so a
+    # tail-positioned twin probe was measured under peak pressure
+    # while its production counterpart ran near-idle — two rounds of
+    # "it's probably load" that the ordering itself manufactured.
+    # Probe names are prefixed by their headline entry by convention;
+    # unprefixed probes keep their tail position.
+    by_head: dict[str, list[str]] = {}
+    tail_probes: list[str] = []
+    for p in extra:
+        heads = [h for h in HEADLINE if p.startswith(h)]
+        if heads:
+            by_head.setdefault(max(heads, key=len), []).append(p)
+        else:
+            tail_probes.append(p)
+    names: tuple[str, ...] = tuple(
+        n for h in HEADLINE for n in (h, *by_head.get(h, ()))
+    ) + tuple(tail_probes)
     if only:
         names = tuple(q for q in names if q in set(only.split(",")))
     load0 = os.getloadavg()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    loads: dict[str, list[float]] = {}
     for name in names:
         if name in overrides:
             fn = overrides[name]  # headline times the production path
@@ -372,7 +391,14 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist(False)  # drop the warm-up's checkpoints too
         runs[name] = []
+        loads[name] = []
         for _ in range(3):
+            # stamp 1-minute load immediately before EACH timed run
+            # (round-8 verdict #2): start/end-of-suite stamps couldn't
+            # attribute a slow entry to machine pressure vs plan
+            # regression — per-run stamps make that separation
+            # mechanical for any reviewer of bench_detail.json.
+            loads[name].append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
@@ -418,6 +444,10 @@ def main() -> None:
     # the compact headline contract only (total + per-query best).
     detail = {
         "runs": runs,
+        # per-timed-run 1m load, index-aligned with "runs" (round-8
+        # verdict #2: separate machine pressure from plan regressions
+        # per entry, not per suite)
+        "load1m_runs": loads,
         "load_avg": {
             "start_1m": round(load0[0], 2),
             "end_1m": round(os.getloadavg()[0], 2),

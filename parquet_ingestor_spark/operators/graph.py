@@ -75,37 +75,59 @@ def pagerank_tokens(
     — the mining path below dedups the cheaper undirected half).
     """
     e = edges.select("src", "dst")
-    if not edges_canonical:
-        e = e.where(F.col("src") != F.col("dst")).dropDuplicates(
-            ["src", "dst"]
-        )
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    e = e.join(deg, "src")
     if checkpoint_dir is None:
-        # Iteration-reuse shape (r5 verdict #4): hash-partition the
-        # STATIC degree-annotated edge table on the per-round join key
-        # and CACHE it pre-sorted. A cached relation keeps its
-        # outputPartitioning/outputOrdering, so every round's
-        # SortMergeJoin reads the edge side with NO Exchange and NO
-        # Sort — only the node-sized rank table moves per round.
-        # localCheckpoint (the old shape) came back as a Scan
-        # ExistingRDD with UnknownPartitioning, forcing a fresh src
-        # exchange + sort of the whole edge list EVERY round
-        # (PLANS.md pagerank steps (1)-(2)); that cost was linear in
-        # iterations and pure waste at 100 TB edge scale.
+        # Iteration-reuse shape (r5 verdict #4) built through ONE
+        # exchange (r8 verdict #6): hash-partition the RAW pair
+        # stream on the per-round join key FIRST — the self-loop/
+        # duplicate scrub, the degree count, and the degree join all
+        # ride that partitioning (src is a subset of each operation's
+        # keys, and the deg branch reuses the same shuffle stage), so
+        # the mining job runs once with no eager checkpoint and no
+        # double-read. The degree-annotated table is then CACHED
+        # pre-sorted: a cached relation keeps its outputPartitioning/
+        # outputOrdering, so every round's SortMergeJoin reads the
+        # edge side with NO Exchange and NO Sort — only the
+        # node-sized rank table moves per round. localCheckpoint (the
+        # old shape) came back as a Scan ExistingRDD with
+        # UnknownPartitioning, forcing a fresh src exchange + sort of
+        # the whole edge list EVERY round (PLANS.md pagerank steps
+        # (1)-(2)); that cost was linear in iterations and pure waste
+        # at 100 TB edge scale.
         par = int(
             edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-        e = e.repartition(par, "src").sortWithinPartitions("src").persist()
+        if not edges_canonical:
+            e = e.where(F.col("src") != F.col("dst"))
+        e = e.repartition(par, "src")
+        if not edges_canonical:
+            e = e.dropDuplicates(["src", "dst"])
+        deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        e = e.join(deg, "src").sortWithinPartitions("src").persist()
         e.count()  # materialize once; rounds reuse the cached blocks
+        # rank init reads the CACHED edge table (src is distinct per
+        # partition already) — deriving it from the pre-cache deg
+        # lineage would re-run the mining job for one throwaway scan
+        ranks = (
+            e.select("src")
+            .dropDuplicates(["src"])
+            .select(
+                F.col("src").alias("node"),
+                F.lit(SCALE).cast("bigint").alias("tokens"),
+            )
+        )
     else:
         # Reliable-checkpoint mode trades the partition reuse for
         # fault tolerance across driver restarts (restart tests).
-        e = truncate_lineage(e, checkpoint_dir, eager=True)
-    ranks = deg.select(
-        F.col("src").alias("node"),
-        F.lit(SCALE).cast("bigint").alias("tokens"),
-    )
+        if not edges_canonical:
+            e = e.where(F.col("src") != F.col("dst")).dropDuplicates(
+                ["src", "dst"]
+            )
+        deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        e = truncate_lineage(e.join(deg, "src"), checkpoint_dir, eager=True)
+        ranks = deg.select(
+            F.col("src").alias("node"),
+            F.lit(SCALE).cast("bigint").alias("tokens"),
+        )
     for i in range(1, iterations + 1):
         # SHUFFLE_MERGE pins the scale-correct join: the cached edge
         # side satisfies the SMJ's partitioning+ordering requirement
@@ -250,24 +272,30 @@ def pagerank_parts(
     cost grows LINEARLY in rounds (the lineage-truncation contract:
     per-round plans stay constant-size, so wall time per extra round
     is flat)."""
-    # dedup the undirected half (u < v: half the rows through the
-    # distinct shuffle), truncate so the mirror union reads
-    # materialized blocks instead of re-mining the basket expansion
-    # per branch, then mirror — the union is exactly the canonical
-    # symmetric edge set, so the library skips its scrub
-    half = truncate_lineage(
+    # mirror each mined pair occurrence INSIDE the mining row (a
+    # 2-element explode) instead of union-ing two branches over an
+    # eagerly checkpointed deduped half (r8 verdict #6): the mining
+    # job runs once with no checkpoint materialization, and the raw
+    # directed stream rides pagerank_tokens' single src exchange,
+    # where the duplicate scrub and degree count fold into the same
+    # partitioning (u < v guarantees src <> dst; cross-order
+    # duplicates survive to that scrub by design).
+    edges = (
         order_copair_stream(spark, sf_dir)
-        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .dropDuplicates(["src", "dst"]),
-        eager=True,
-    )
-    edges = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(u AS src, v AS dst), "
+                    "struct(v AS src, u AS dst))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
     ranks = pagerank_tokens(
         edges,
         iterations=iterations,
-        edges_canonical=True,
+        edges_canonical=False,
         release_cache=release_cache,
     )
     return ranks.select(

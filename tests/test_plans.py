@@ -614,10 +614,15 @@ def test_interval_bin_join_stays_keyed_equijoin(spark, sf_dir):
 
 
 def test_pagerank_iterations_reuse_truncated_lineage(spark, sf_dir):
-    # the final-round plan must read the cached edge blocks
-    # (InMemoryTableScan) and checkpointed rank blocks (ExistingRDD),
+    # the rounds must read the cached edge blocks (InMemoryTableScan),
     # never re-mine the pair join from parquet — at 100 TB a per-round
     # re-scan would multiply the corpus cost by the iteration count.
+    # Since round 9 the cache is built through ONE src exchange with
+    # no eager checkpoint, so the cache's OWN build plan (printed
+    # inline by InMemoryRelation) legitimately contains exactly one
+    # parquet scan — and exactly one: the degree branch must hit
+    # ReusedExchange on the src repartition instead of re-scanning
+    # (a second executed FileScan = the build mining lineitem twice).
     # release_cache=False keeps the round plan inspectable (the
     # registered entry eagerly truncates to release the edge cache).
     from parquet_ingestor_spark.operators.graph import (
@@ -625,15 +630,15 @@ def test_pagerank_iterations_reuse_truncated_lineage(spark, sf_dir):
         pagerank_parts,
     )
 
-    plan = (
-        pagerank_parts(spark, sf_dir, _PAGERANK_ITERS, release_cache=False)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    df = pagerank_parts(spark, sf_dir, _PAGERANK_ITERS, release_cache=False)
+    df.collect()  # finalize AQE — Initial Plans print pre-reuse dupes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1, final.count(
+        "FileScan parquet"
     )
-    assert "Scan parquet" not in plan
-    assert "InMemoryTableScan" in plan or "ExistingRDD" in plan
-    assert "partial_sum" in plan  # map-side combine of the sends
+    assert "InMemoryTableScan" in final
+    assert "partial_sum" in final  # map-side combine of the sends
 
 
 def test_triangles_all_joins_keyed(spark, sf_dir):
