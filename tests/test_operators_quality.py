@@ -1635,3 +1635,94 @@ def test_power_iterate_survives_degenerate_covariance(spark, tmp_path):
     }
     assert lab[9].top_eigenvalue_e6 == 0
     assert lab[9].explained_ratio_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-9 constant-column audit: a DuckDB sweep flagged four entries
+# whose gate rows are hash-green but whose computed columns are
+# CONSTANT on the clean synthetic testdata (norms all 1.0, zero dups,
+# zero violations, identical per-key user sets) — green rows that
+# could not catch a broken operator. dq_orders_constraints already
+# had its planted-violation test; these three close the rest.
+# ---------------------------------------------------------------------------
+
+
+def test_emb_normalize_on_non_unit_vectors(spark, tmp_path):
+    """The testdata embeddings are pre-unit-norm (norm_e4 == 10000 on
+    every gate row), so the registered entry never exercises an
+    actual rescale. Plant float-exact non-unit vectors: the norm
+    column must report them and the normalized norm must land on
+    exactly 1.0."""
+    rows = [
+        (0, [2.0, 0.0, 0.0, 0.0], 0),   # norm 2.0 (dyadic-exact)
+        (1, [3.0, 4.0, 0.0, 0.0], 0),   # norm 5.0 (3-4-5 exact)
+        (2, [0.5, 0.0, 0.0, 0.0], 1),   # norm 0.5
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.vec_id: (r.norm_e4, r.unit_norm_e4)
+        for r in REGISTRY["emb_normalize"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (20000, 10000), 1: (50000, 10000), 2: (5000, 10000)}
+
+
+def test_dup_rate_by_source_counts_planted_duplicates(spark, tmp_path):
+    """The synthetic corpus has ZERO exact duplicates at every SF, so
+    every gate row of corpus_dup_rate_by_source is (n, n, 0). Plant
+    per-source duplicates and assert the distinct-hash arithmetic."""
+    rows = [
+        (0, "alpha beta", "en", "s1", 10),
+        (1, "alpha beta", "en", "s1", 10),   # dup of 0
+        (2, "gamma", "en", "s1", 5),
+        (3, "delta", "en", "s1", 5),
+        (4, "unique one", "en", "s2", 10),
+        (5, "unique two", "en", "s2", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.source: (r.n_docs, r.n_unique, r.dup_rate_e4)
+        for r in REGISTRY["corpus_dup_rate_by_source"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {"s1": (4, 3, 2500), "s2": (2, 2, 0)}
+
+
+def test_hll_users_distinguishes_per_key_sets(spark, tmp_path):
+    """Every event type sees the SAME 150 users in the testdata, so
+    all gate rows carry identical estimates — a miskeyed aggregate
+    (e.g. a global register set copied onto every key) would be
+    invisible. Plant disjoint per-type user sets of different sizes:
+    exact counts must differ per type, each deterministic-HLL
+    estimate must track its own exact count (±5% at these
+    cardinalities), and the sharded-merge estimate must equal the
+    one-shot (register max is a monoid regardless of keying)."""
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, i % 10, "a", 1.0, "{}") for i in range(200)] + [
+        (1000 + i, ts, 100 + i % 100, "b", 1.0, "{}") for i in range(300)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r.event_type: r
+        for r in REGISTRY["events_hll_users"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["a"].exact_users == 10
+    assert got["b"].exact_users == 100
+    for t in ("a", "b"):
+        r = got[t]
+        assert r.est_users_e4 == r.est_merged_e4
+        assert abs(r.est_users_e4 - r.exact_users * 10000) <= r.exact_users * 500
+    assert got["a"].est_users_e4 != got["b"].est_users_e4
