@@ -593,9 +593,9 @@ def _bpe_train_ctes(n_merges: int = BPE_MERGES) -> list[str]:
         ), v{t} AS (
             -- LEFT JOIN + chr(1) sentinel keep the chain total when
             -- w{t} is EMPTY (fewer than n_merges learnable pairs):
-            -- the round degrades to a no-op replace, mirroring the
-            -- Spark trainer's early break. A CROSS JOIN would empty
-            -- v{t} and every later round (round-8 advice #2).
+            -- this merge step degrades to a no-op replace, mirroring
+            -- the Spark trainer's early break. A CROSS JOIN would
+            -- empty v{t} and every later step -- r8 advice #2.
             SELECT replace(v.syms,
                            COALESCE(' ' || w.l || '  ' || w.r || ' ',
                                     chr(1)),

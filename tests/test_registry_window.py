@@ -25,51 +25,62 @@ def test_registry_leads_with_window_order():
     assert tuple(names[: len(_WINDOW_FIRST)]) == _WINDOW_FIRST
 
 
-def test_round8_priorities_inside_the_50_window():
+def test_round9_priorities_inside_the_50_window():
     window = set(list(REGISTRY)[:50])
-    # round-7 verdict #1: the 7 entries whose latest driver row
-    # predates their current output shape take the FIRST slots — the
-    # q61..q65 deferred cohort plus the two round-7 oracle promotions
+    # round-8 verdict #1: the two BPE oracle promotions FIRST (their
+    # rows-only r5/r4 driver rows must upgrade to hash rows under the
+    # new unrolled-CTE oracles), then the four round-3-deferred
+    # entries
+    assert tuple(list(REGISTRY)[:2]) == (
+        "bpe_train_merges",
+        "text_bpe_encode",
+    )
     assert {
-        "q61_large_volume_customers",
-        "q62_dormant_high_balance",
-        "q63_small_qty_revenue",
-        "q64_top_supplier",
-        "q65_important_parts",
-        "media_phash_neardup",
-        "emb_pca_project",
-    } <= set(list(REGISTRY)[:7])
-    # round-7 verdict #5: the kmeans fixed-iteration twin promotion
-    # changed emb_kmeans_fit's output shape this round — it must
-    # rotate through the same window
-    assert "emb_kmeans_fit" in window
-    # the late round-8 vacuous-green fixes changed output shapes too
+        "q27_string_funcs",
+        "q28_date_funcs",
+        "q29_array_funcs",
+        "q22_intersect",
+    } <= set(list(REGISTRY)[:6])
+    # the least-recently-checked fill: every remaining round-4-cohort
+    # entry holds a slot (spot anchors from that cohort)
     assert {
-        "q22_except",
-        "q57_profit_by_nation_year",
-        "q68_bulk_part_suppliers",
-        "benchmark_contamination",
+        "asof_forward_click_purchase",
+        "dedup_clusters",
+        "corpus_dsir_weights",
+        "q71_returned_items",
+        "text_unicode_clean",
     } <= window
 
 
 def test_window_covers_all_stale_rows_except_documented_deferral():
-    """Round-8 policy: the shape-stale set is EMPTY — all 7 entries
-    whose latest driver row predated their output shape hold window
-    slots, as does emb_kmeans_fit (shape changed by this round's
-    oracle promotion) and the four vacuous-green fixes (LATE ROUND-8
-    SWAP note). The only deferrals are shape-UNCHANGED round-3
-    entries documented in the ROUND-9 BUDGET NOTE
-    (queries/__init__.py). No silently forgotten entries."""
+    """Round-9 policy: NO shape-stale rows exist (round 8 closed
+    them), so the window is pure least-recently-checked rotation.
+    After this round no entry's latest driver row may predate round
+    4: the 2 BPE promotions + 4 round-3-deferred + all 26 remaining
+    round-4-cohort entries hold slots. The only documented skips are
+    the two permanently rows-only entries (corpus_dsir_weights_fast,
+    unigram_lm_train — a window slot buys them no hash check; their
+    differential verification lives in tests, see the ROUND-9 note in
+    queries/__init__.py). No silently forgotten entries."""
+    import json
+    from pathlib import Path
+
     names = list(REGISTRY)
     window = set(names[:50])
-    deferred = {
-        "q22_intersect",
-        "q27_string_funcs",
-        "q28_date_funcs",
-        "q29_array_funcs",
-    }
-    assert deferred.isdisjoint(window)
-    assert deferred <= set(names)
+    repo = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    for r in range(1, 9):
+        f = repo / f"CORRECTNESS_r0{r}.json"
+        if f.exists():
+            for k in json.loads(f.read_text()):
+                latest[k] = max(latest.get(k, 0), r)
+    if latest:
+        stale = [
+            n
+            for n in names
+            if latest.get(n, 0) <= 4 and n not in window
+        ]
+        assert not stale, stale
     # the window is exactly the driver's budget — no padding slack
     assert len(_WINDOW_FIRST) == 50
 
