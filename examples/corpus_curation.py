@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 
 from parquet_ingestor_spark.catalog import table
 from parquet_ingestor_spark.operators.corpus import (
-    benchmark_contamination,
+    contamination_overlap,
     corpus_filter_pipeline,
     dedup_clusters,
     scrub_pii,
@@ -98,8 +98,13 @@ def main() -> None:
     )
 
     # 3. benchmark decontamination — drop docs sharing 8-grams with
-    #    the (stand-in) benchmark set
-    contaminated = benchmark_contamination(spark, sf_dir).select("doc_id")
+    #    the (stand-in) benchmark set. The LIBRARY default n=8 is the
+    #    published-practice window (PaLM 8-gram); the registered gate
+    #    entry pins n=4 as a synthetic-testdata artifact — real
+    #    pipelines (like this example) must not inherit that.
+    contaminated = contamination_overlap(
+        table(spark, sf_dir, "documents")
+    ).select("doc_id")
 
     survivors = (
         canon.join(kept.select("doc_id"), "doc_id")
