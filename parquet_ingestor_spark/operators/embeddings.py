@@ -226,8 +226,7 @@ def _label_pca1_oracle(iters: int) -> str:
     return f"""
         WITH RECURSIVE lsums AS (
             SELECT label, i AS dim,
-                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
-                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS sx,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
@@ -236,9 +235,9 @@ def _label_pca1_oracle(iters: int) -> str:
         lmom AS (SELECT label, dim, sx / n AS mu FROM lsums),
         lcs AS (
             SELECT label, i, j,
-                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE)
                                  * CAST(embedding[j] AS DOUBLE)
-                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                                 AS VARCHAR) AS DECIMAL(28,16))) AS VARCHAR) AS DOUBLE) AS sxy,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
@@ -894,11 +893,9 @@ def _dim_moments(emb: DataFrame) -> DataFrame:
 _DIM_MOMENTS_SQL = """
         WITH sums AS (
             SELECT i AS dim,
-                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
-                        AS DOUBLE) AS sx,
-                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8))
-                            * CAST(embedding[i] AS DECIMAL(18,8)))
-                        AS DOUBLE) AS sx2,
+                   CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))
+                            * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS sx2,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
@@ -1113,9 +1110,9 @@ def covariance_upper(emb: DataFrame, dim: int = 64) -> DataFrame:
     oracle="""
         WITH sums AS (
             SELECT i, j,
-                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE)
                                  * CAST(embedding[j] AS DOUBLE)
-                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                                 AS VARCHAR) AS DECIMAL(28,16))) AS VARCHAR) AS DOUBLE) AS sxy,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
@@ -1125,8 +1122,7 @@ def covariance_upper(emb: DataFrame, dim: int = 64) -> DataFrame:
         ),
         msums AS (
             SELECT i AS dim,
-                   CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
-                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,8))) AS VARCHAR) AS DOUBLE) AS sx,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS t(i)
@@ -1297,9 +1293,9 @@ def _pca1_oracle(iters: int) -> str:
         + f""",
         csums AS (
             SELECT i, j,
-                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE)
                                  * CAST(embedding[j] AS DOUBLE)
-                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                                 AS VARCHAR) AS DECIMAL(28,16))) AS VARCHAR) AS DOUBLE) AS sxy,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)
@@ -1475,9 +1471,9 @@ def _pcam_oracle(m: int, iters: int) -> str:
         + f""",
         csums AS (
             SELECT i, j,
-                   CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                   CAST(CAST(SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE)
                                  * CAST(embedding[j] AS DOUBLE)
-                                 AS DECIMAL(28,16))) AS DOUBLE) AS sxy,
+                                 AS VARCHAR) AS DECIMAL(28,16))) AS VARCHAR) AS DOUBLE) AS sxy,
                    COUNT(*) AS n
             FROM embeddings
             CROSS JOIN unnest(generate_series(1, 64)) AS ti(i)

@@ -359,17 +359,25 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("x").alias("v"), F.struct("deg", "x").alias("rv")
     )
     ann = e.join(du, "u").join(dv, "v")
-    oriented = truncate_lineage(
-        ann.select(
-            F.when(F.col("ru") < F.col("rv"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("src"),
-            F.when(F.col("ru") < F.col("rv"), F.col("v"))
-            .otherwise(F.col("u"))
-            .alias("dst"),
-        ),
-        eager=True,  # same race: both intersection sides read it
+    # `oriented` has TWO consumers (the adjacency build and the
+    # intersection probe side) — but unlike `e`'s five differently-
+    # keyed branches, BOTH key on src, so one explicit src exchange
+    # serves them via runtime ReusedExchange (the round-9 pagerank
+    # build pattern): the adjacency groupBy rides the partitioning
+    # with no further exchange, the a_u join is co-partitioned, and
+    # the orientation annotation above runs ONCE into the shared
+    # shuffle — no eager checkpoint materialization needed here.
+    par = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    oriented = ann.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u"))
+        .otherwise(F.col("v"))
+        .alias("src"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v"))
+        .otherwise(F.col("u"))
+        .alias("dst"),
+    ).repartition(par, "src")
     # Count per-EDGE by out-neighborhood intersection instead of
     # materializing the wedge set: triangles = Σ_{(u,v) oriented}
     # |N⁺(u) ∩ N⁺(v)|. A wedge self-join would shuffle Σ od² rows
