@@ -1002,10 +1002,14 @@ def q84_monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_name,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-               CAST(round(CAST(SUM(CAST(cents AS DECIMAL(38,0))
-                              * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
-                     / (CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
-                        * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+               -- VARCHAR hop: DuckDB's DECIMAL->DOUBLE cast is doubly
+               -- rounded (int128 arithmetic in double); the string
+               -- round-trip is correctly rounded like Spark's
+               -- Decimal.toDouble (see embeddings.py oracle note).
+               CAST(round(CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                              * CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                     / (CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+                        * CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE))
                      * 1000000) AS BIGINT) AS hhi_e6
         FROM per_supp
         GROUP BY n_name
