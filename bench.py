@@ -365,6 +365,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
+    gcs: dict[str, list[int]] = {}
+
+    def _gc_total_ms() -> int:
+        # cumulative stop-the-world time across all JVM collectors;
+        # per-run DELTAS separate "this run paid GC" from "this run's
+        # plan is slow" — the last unattributable axis in the twin
+        # readings (load was made per-run in round 9, but a run at
+        # low machine load can still stall on heap pressure the
+        # suite accumulated).
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        )
     for name in names:
         if name in overrides:
             fn = overrides[name]  # headline times the production path
@@ -399,9 +415,11 @@ def main() -> None:
             # regression — per-run stamps make that separation
             # mechanical for any reviewer of bench_detail.json.
             loads[name].append(round(os.getloadavg()[0], 2))
+            g0 = _gc_total_ms()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
+            gcs.setdefault(name, []).append(_gc_total_ms() - g0)
             # The iterative entries (pagerank, k-core, CC) truncate
             # lineage via localCheckpoint; those blocks are NOT in
             # the catalog cache and otherwise accumulate run over run
@@ -448,6 +466,11 @@ def main() -> None:
         # verdict #2: separate machine pressure from plan regressions
         # per entry, not per suite)
         "load1m_runs": loads,
+        # per-timed-run driver-JVM stop-the-world GC milliseconds,
+        # index-aligned with "runs": a slow run with high gc_ms is
+        # suite heap pressure, not the entry's plan (local[N] runs
+        # executors in the driver JVM, so this covers task GC too)
+        "gc_ms_runs": gcs,
         "load_avg": {
             "start_1m": round(load0[0], 2),
             "end_1m": round(os.getloadavg()[0], 2),
