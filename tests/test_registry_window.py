@@ -226,3 +226,53 @@ def test_oracle_outputs_limited_to_pandas_safe_types():
         if off:
             bad[name] = off
     assert not bad, bad
+
+
+def test_cast_divergence_witnesses_pin_the_varchar_hop(spark):
+    """Pin WHY the embeddings/HHI oracles route decimal casts through
+    DOUBLE on the way in and VARCHAR on the way out (the round-9
+    emb_pca_project divergence, COVERAGE.md round-9 addendum). Two
+    concrete witnesses where DuckDB's direct cast disagrees with
+    Spark while the routed form agrees — if either assertion ever
+    flips (a DuckDB upgrade fixing its cast paths), the hops can be
+    simplified away; until then removing them reintroduces a
+    quantization-boundary hash FAIL that only fires at sf0.1.
+    """
+    import duckdb
+
+    con = duckdb.connect()
+
+    # Cause 1: float32 -> DECIMAL directly multiplies by 10^scale in
+    # FLOAT arithmetic (0.55983758 * 1e8 in float32 = 55983756);
+    # Spark implicitly widens float -> double first.
+    f32 = 0.5598375797271729  # exact float32 value
+    direct = con.execute(
+        "SELECT CAST(CAST(? AS FLOAT) AS DECIMAL(18,8))", [f32]
+    ).fetchone()[0]
+    routed = con.execute(
+        "SELECT CAST(CAST(CAST(? AS FLOAT) AS DOUBLE) AS DECIMAL(18,8))",
+        [f32],
+    ).fetchone()[0]
+    spark_val = spark.sql(
+        f"SELECT CAST(CAST({f32} AS FLOAT) AS DECIMAL(18,8)) AS v"
+    ).collect()[0].v
+    assert str(direct) == "0.55983756"      # the trap exists
+    assert str(routed) == "0.55983758"      # the fix is right
+    assert str(spark_val) == "0.55983758"   # and matches Spark
+
+    # Cause 2: scaled DECIMAL -> DOUBLE divides int128 by 10^scale in
+    # double arithmetic (doubly rounded); the VARCHAR round-trip and
+    # Spark's Decimal.toDouble are both correctly rounded.
+    dec = "38236.3369902702739528"
+    direct2, hop2 = con.execute(
+        "SELECT CAST(CAST(? AS DECIMAL(28,16)) AS DOUBLE), "
+        "CAST(CAST(CAST(? AS DECIMAL(28,16)) AS VARCHAR) AS DOUBLE)",
+        [dec, dec],
+    ).fetchone()
+    spark2 = spark.sql(
+        f"SELECT CAST(CAST('{dec}' AS DECIMAL(28,16)) AS DOUBLE) AS v"
+    ).collect()[0].v
+    correctly_rounded = float(dec)
+    assert direct2.hex() != correctly_rounded.hex()  # the trap exists
+    assert hop2.hex() == correctly_rounded.hex()     # the fix is right
+    assert spark2.hex() == correctly_rounded.hex()   # and matches Spark
