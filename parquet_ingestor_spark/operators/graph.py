@@ -638,60 +638,104 @@ def kcore_peel(
     the surviving (x, deg) — deg measured in the subgraph that
     qualified them (the last filter's input).
 
-    Scale shape: each round is two node-keyed LEFT SEMI joins (edge
-    set against the alive set — no fan-out, semi joins emit at most
-    the edge row) plus one degree aggregate with map-side partials.
-    The threshold rides along as a single-row broadcast. A fixed
-    round count keeps the result deterministic (full-fixpoint peeling
-    is round-count-dependent only in how much of the cascade
-    completes; production picks rounds by SLA and the monotone
-    guarantee — alive sets only shrink — still holds). The shrunken
-    edge set is lineage-truncated every round (the pagerank
-    contract): without it each round's filter re-expands the entire
-    upstream plan and the pair-mining scan multiplies by the round
-    count.
+    Scale shape (the pagerank cached-edge pattern, round 9): the
+    canonical edge set is hash-partitioned on ``u``, deduped riding
+    that same exchange (u ⊆ {u, v} satisfies the aggregate's
+    clustering requirement), sorted within partitions and CACHED
+    once. Each round is then two node-keyed LEFT SEMI joins of that
+    static table against the latest alive set (no fan-out; the
+    u-keyed semi reads the cached partitioning with no edge exchange,
+    the v-keyed semi exchanges only the already-filtered survivors —
+    and at gate SF both collapse to broadcasts of the node-sized
+    alive set) plus one degree aggregate with map-side partials.
+    Correctness of filtering the ORIGINAL edge set with only the
+    newest alive set: alive sets shrink monotonically (membership
+    requires a surviving edge, which requires both endpoints alive
+    the round before), so ``e0 ⋉ alive_r ⋉ alive_r`` equals the
+    iterated rewrite exactly — pinned by the planted-tendril test.
+    Only the NODE-SIZED alive set is lineage-truncated per round
+    (eager — it feeds both semi sides and the next degree fold; the
+    old shape localCheckpointed the whole surviving EDGE set every
+    round, an O(m) materialization per round that this removes). The
+    threshold k is one exact integer computed once on the driver
+    (the old per-round 1-row crossJoin re-ran the full edge count
+    and degree aggregate every round). A fixed round count keeps the
+    result deterministic (full-fixpoint peeling is round-count-
+    dependent only in how much of the cascade completes; production
+    picks rounds by SLA and the monotone guarantee still holds).
 
-    Why k-core KEEPS localCheckpoint while pagerank moved to a
-    partitioned cache (r5 verdict #4): pagerank's edge table is STATIC
-    across rounds, so one cached partitioning amortizes over every
-    iteration; k-core's edge set SHRINKS each round — the round
-    rewrites (semi joins + re-materialization) already touch every
-    surviving edge, so the extra per-round exchange is bounded by the
-    same O(m_round) the rewrite itself costs, and a per-round
-    repartition+persist chain would leak cache entries and regrow the
-    plan the checkpoint exists to bound."""
-    e = truncate_lineage(
+    Reliable-checkpoint mode (``checkpoint_dir``) keeps the round-8
+    edge-rewrite shape: there the materialized blocks must survive
+    executor loss, so the per-round filesystem write IS the point."""
+    if checkpoint_dir is not None:
+        e = truncate_lineage(
+            edges.select("u", "v")
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates(["u", "v"]),
+            checkpoint_dir,
+            eager=True,
+        )
+        deg = _degrees(e)
+        k = (
+            e.agg(F.count("*").alias("m"))
+            .crossJoin(deg.agg(F.count("*").alias("n")))
+            .select(
+                F.expr(f"({k_num} * 2 * m) div ({k_den} * n)").alias("k")
+            )
+        )
+        alive = None
+        for r in range(rounds):
+            alive = (
+                deg.crossJoin(F.broadcast(k))  # 1 row — fixed-size
+                .where(F.col("deg") >= F.col("k"))
+                .select("x", "deg")
+            )
+            if r < rounds - 1:
+                au = alive.select(F.col("x").alias("u"))
+                av = alive.select(F.col("x").alias("v"))
+                e = truncate_lineage(
+                    e.join(au, "u", "left_semi").join(av, "v", "left_semi"),
+                    checkpoint_dir,
+                    eager=True,
+                )
+                deg = _degrees(e)
+        return alive
+    par = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e0 = (
         edges.select("u", "v")
         .where(F.col("u") != F.col("v"))
-        .dropDuplicates(["u", "v"]),
-        checkpoint_dir,
-        eager=True,
+        .repartition(par, "u")
+        .dropDuplicates(["u", "v"])
+        .sortWithinPartitions("u")
+        .persist()
     )
-    deg = _degrees(e)
-    k = (
-        e.agg(F.count("*").alias("m"))
+    e0.count()  # materialize once; every round reads the cached blocks
+    deg = _degrees(e0)
+    # k is a single exact integer over the INITIAL graph — compute it
+    # once (bounded collect: one row) instead of re-running the edge
+    # count + degree aggregate inside every round's 1-row crossJoin
+    m, n = (
+        e0.agg(F.count("*").alias("m"))
         .crossJoin(deg.agg(F.count("*").alias("n")))
-        .select(
-            F.expr(f"({k_num} * 2 * m) div ({k_den} * n)").alias("k")
-        )
+        .collect()[0]
     )
+    kv = (k_num * 2 * m) // (k_den * n)
     alive = None
     for r in range(rounds):
-        alive = (
-            deg.crossJoin(F.broadcast(k))  # 1 row — fixed-size
-            .where(F.col("deg") >= F.col("k"))
-            .select("x", "deg")
-        )
+        alive = deg.where(F.col("deg") >= kv).select("x", "deg")
         if r < rounds - 1:
+            # node-sized truncation: alive feeds both semi sides and
+            # (through deg) the next round — without it the plan
+            # doubles per round
+            alive = truncate_lineage(alive, eager=True)
             au = alive.select(F.col("x").alias("u"))
             av = alive.select(F.col("x").alias("v"))
-            e = truncate_lineage(
-                e.join(au, "u", "left_semi").join(av, "v", "left_semi"),
-                checkpoint_dir,
-                eager=True,
+            deg = _degrees(
+                e0.join(au, "u", "left_semi").join(av, "v", "left_semi")
             )
-            deg = _degrees(e)
-    return alive
+    out = truncate_lineage(alive, eager=True)
+    e0.unpersist(False)
+    return out
 
 
 def _kcore_oracle(rounds: int, k_num: int, k_den: int) -> str:

@@ -41,6 +41,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..queries import register
 
 LINE_WORDS = 10  # words per stand-in "line"
@@ -268,6 +269,14 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "s.pos", "s.gh")
     )
+    # the positioned-gram frame feeds TWO branches (the repeat-test
+    # aggregate and the grams⋈dup probe side); without truncation each
+    # branch re-runs the tokenize+slice+xxhash64 Generate from its own
+    # corpus scan — the per-position 15-word hashing is the entry's
+    # dominant compute, so the second scan nearly doubles the stage
+    # (guide §2.4: share one computation across consumers). LAZY:
+    # materializes at the first action, no construction-time job.
+    grams = truncate_lineage(grams)
     dup = (
         grams.groupBy("gh")
         .agg(F.count("*").alias("c"))

@@ -16,10 +16,11 @@ Scale design:
 - The Zipf fit ranks only a ``TOP_FIT`` head (TakeOrderedAndProject —
   no global sort over the vocabulary, which grows with corpus size
   under Heaps' law); the OLS runs over that driver-bounded head.
-- Source overlap self-joins the *distinct (source, gram-hash)* set,
-  not the corpus: exchanges carry 32-byte md5 keys, never the 8-word
-  gram strings (the same hash-not-strings rule as text_dup_spans),
-  and the pair aggregate is bounded by |sources|² rows.
+- Source overlap folds the corpus into one gh-keyed collect_set
+  aggregate and expands source pairs in-row per gram: exchanges carry
+  32-byte md5 keys, never the 8-word gram strings (the same
+  hash-not-strings rule as text_dup_spans), no gram-set self-join
+  exists, and the pair aggregate is bounded by |sources|² rows.
 """
 
 from __future__ import annotations
@@ -42,13 +43,18 @@ TOP_FIT = 256
 OVERLAP_GRAM = 8
 
 
-def _gram_hashes(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
+def _gram_hashes(
+    spark: SparkSession, sf_dir: str, key: str, distinct: bool = True
+) -> DataFrame:
     """DISTINCT (key, md5-of-8-gram) over documents — grams are hashed
     inside the scan-side codegen stage (bound-lambda tokenize-once;
     slice is 1-based like the oracles' toks[i:i+7]), so no exchange
-    ever carries the 8-word strings."""
+    ever carries the 8-word strings. ``distinct=False`` returns the
+    raw exploded stream for callers that fold their own dedup into a
+    downstream aggregate (collect_set dedups identically, saving the
+    separate distinct exchange)."""
     k = OVERLAP_GRAM
-    return (
+    out = (
         table(spark, sf_dir, "documents")
         .select(
             key,
@@ -60,8 +66,8 @@ def _gram_hashes(spark: SparkSession, sf_dir: str, key: str) -> DataFrame:
                 "ELSE array() END)))"
             ).alias("gh"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def _unigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,32 +229,47 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("corpus", "profiling", "dedup"),
 )
 def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus contributes one gram explode reduced to the DISTINCT
-    (source, md5-of-gram) set — tokenize-once via a bound lambda, and
-    the distinct's exchange carries fixed-width hashes, never the
-    8-word strings. The self-join then runs on that vocabulary-sized
-    relation and rides the hash partitioning the distinct just
-    produced; its output aggregates to ≤ |sources|² rows, so the pair
-    matrix and the size join are both trivially broadcastable.
+    """The corpus contributes one gram explode folded into ONE
+    gh-keyed collect_set aggregate — tokenize-once via a bound
+    lambda, the exchange carries fixed-width hashes (never the 8-word
+    strings), and collect_set dedups (source, gh) exactly like the
+    old separate distinct. Each gram's source pairs expand in-row
+    (C(|sources|, 2)-bounded), so no gram-set self-join and no
+    broadcast of the gram vocabulary exist at any scale; the pair
+    matrix and the size join are ≤ |sources|² rows.
     """
-    # the distinct gram-hash set feeds three branches (sizes + both
-    # self-join sides) — truncate so the gram explode + distinct
-    # shuffle runs once, not per branch (the graph edge-list rule)
-    grams = truncate_lineage(_gram_hashes(spark, sf_dir, "source"))
-    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a = grams.select(
-        F.col("source").alias("source_a"), F.col("gh").alias("gh_a")
+    # ONE gh-keyed aggregate replaces the old distinct + gram-set
+    # self-join (guide §2.4: two operations keyed the same way share
+    # one exchange — here they fuse into one): collect_set(source) by
+    # gram hash dedups (source, gh) exactly like the old distinct,
+    # and each gram's source-pair contributions expand IN-ROW (the
+    # order_copair_stream idiom) — the self-join, its broadcast build
+    # of the whole gram set, and the third pass over the checkpoint
+    # all disappear. Per-gram fan-out is bounded by C(|sources|, 2).
+    # array_sort makes the collect_set order canonical so pairs are
+    # emitted (a < b) deterministically.
+    gsets = truncate_lineage(
+        _gram_hashes(spark, sf_dir, "source", distinct=False)
+        .groupBy("gh")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
     )
-    b = grams.select(
-        F.col("source").alias("source_b"), F.col("gh").alias("gh_b")
+    sizes = (
+        gsets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
     )
     inter = (
-        a.join(
-            b,
-            (F.col("gh_a") == F.col("gh_b"))
-            & (F.col("source_a") < F.col("source_b")),
+        gsets.where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy("source_a", "source_b")
+        .groupBy("p.source_a", "p.source_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("source").alias("sa_key"), F.col("n").alias("grams_a"))
@@ -310,7 +331,11 @@ def text_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-identical IEEE division of two ints), not a round():
     round-at-boundary semantics differ across engines.
     """
-    g = _gram_hashes(spark, sf_dir, "doc_id")
+    # g feeds TWO branches (the DF aggregate and the join probe side);
+    # truncate so the gram explode + distinct runs once, not per
+    # branch (the text_dup_spans rule — the md5-per-position hashing
+    # is the dominant compute and would otherwise run twice)
+    g = truncate_lineage(_gram_hashes(spark, sf_dir, "doc_id"))
     df = g.groupBy("gh").agg(F.count("*").alias("ndocs"))
     shared = F.sum((F.col("ndocs") > 1).cast("long"))
     return (
