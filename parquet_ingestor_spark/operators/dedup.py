@@ -337,11 +337,19 @@ def _minhash_candidate_pairs(
     (doc_id, text) frame. Shared core of both routing paths; returns
     UNSORTED (doc_a, doc_b, jaccard) — callers order or rep-expand.
     """
-    banded = minhash_band_keys(src, bands, rows_per_band, text_col)
     # Candidates from band-key collisions via self-join: no per-bucket
     # collect_list, so no bucket ever has to fit one task's memory.
-    # Both join branches are the same subplan, so the banding shuffle
-    # is written once and read twice (ReusedExchange).
+    # The band frame feeds BOTH sides of the self-join; ReusedExchange
+    # would share the banding shuffle under SMJ, but AQE's broadcast
+    # conversion removes the exchange and with it the reuse, so the
+    # Python signature pass (tokenize + shingle + 64 permutations)
+    # ran once PER SIDE. The frame is (doc_id, band, bkey) — ~20
+    # bytes/row — so truncating lineage here materializes the cheap
+    # keys once and never re-runs the opaque Python stage (guide
+    # §2.4/§4: never pay the Python boundary twice for one pass).
+    banded = truncate_lineage(
+        minhash_band_keys(src, bands, rows_per_band, text_col)
+    )
     bl = banded.alias("bl")
     br = banded.alias("br")
     cand = (
@@ -538,13 +546,21 @@ def _simhash_candidate_pairs(
     The 126-bit fingerprint splits into 4 ~32-bit chunks; hamming ≤ 3
     ⇒ at least one chunk matches exactly, so candidates come from a
     (chunk, ckey) self-join — no per-bucket collect_list, no bucket
-    bounded by one task's memory, and the banding shuffle is written
-    once (both join branches share the subplan via ReusedExchange).
+    bounded by one task's memory. The fingerprint frame feeds BOTH
+    self-join sides; ReusedExchange would share the shuffle under
+    SMJ, but AQE's broadcast conversion removes the exchange and with
+    it the reuse, so the Python fingerprint pass (tokenize + 126-bit
+    vote) ran once PER SIDE. Truncating lineage at the PRE-explode
+    frame — (doc_id, sh0, sh1), 24 bytes/doc — materializes the
+    sketch once; the 4-way chunk explode is pure codegen and cheap to
+    run per side (the srp_lsh_neardup shape, guide §2.4/§4).
     """
     bits = 60 if hasher == "md5" else 63
     lo = 30 if hasher == "md5" else 32  # per-word low-chunk width
     mask = (1 << lo) - 1
-    fp = simhash_fingerprints(src, bits=bits, text_col=text_col, hasher=hasher)
+    fp = truncate_lineage(
+        simhash_fingerprints(src, bits=bits, text_col=text_col, hasher=hasher)
+    )
     chunks = fp.select(
         "doc_id",
         "sh0",
@@ -762,9 +778,18 @@ def minhash_lsh_pairs_md5(
         )
         for bi in range(bands)
     ]
-    bk = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+    # the band-key frame feeds BOTH candidate self-join sides; the
+    # truncated shingle frame above stops the TOKENIZATION running
+    # per side, but without truncating here the 64-min signature
+    # aggregate itself still ran once per side whenever AQE's
+    # broadcast conversion removed the reusable exchange. The frame
+    # is (doc_id, band, bkey) — tiny — so materializing it once is
+    # strictly cheaper than one extra signature pass (guide §2.4).
+    bk = truncate_lineage(
+        sig.select(
+            "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+        ).select("doc_id", "bb.band", "bb.bkey")
+    )
     a = bk.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bk.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     cand = (

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from ..catalog import table
+from ..checkpointing import truncate_lineage
 from ..queries import register
 
 #: Output schema of the decode/feature-extract stage.
@@ -666,7 +667,16 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 10) -> DataFrame:
     production multi-index pHash widens the keys (more chunks of more
     bits, tighter radius per probe) or cascades band levels; the
     banding-then-verify shape is unchanged."""
-    hs = hashes.where(F.col("phash").isNotNull()).select("doc_id", "phash")
+    # the hash frame feeds BOTH sides of the chunk self-join; without
+    # truncation the whole upstream pipeline (payload decode + DCT —
+    # an opaque Python stage Catalyst cannot dedup) runs twice, one
+    # full pass per join side. The frame is (doc_id, phash) — 16
+    # bytes/image — so the materialization is noise next to the
+    # decode it saves (guide §2.4 / §4: never pay an opaque Python
+    # boundary twice for one logical pass).
+    hs = truncate_lineage(
+        hashes.where(F.col("phash").isNotNull()).select("doc_id", "phash")
+    )
     chunks = hs.select(
         "doc_id",
         "phash",

@@ -258,17 +258,29 @@ def test_line_dedup_partial_agg_no_skewed_window(spark, sf_dir):
 
 
 def test_dup_spans_shuffles_hashes_not_gram_strings(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "text_dup_spans")
     # the 15-word gram string must be hashed in the scan-side codegen
     # stage and never reach an exchange: the repeat-test groupBy and
     # the grams⋈dup join key on xxhash64(gram) (8 bytes), not the
-    # string (~15× corpus tokens in shuffle bytes at 100 TB)
-    assert "xxhash64" in plan
-    exchanges = [
-        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    # string (~15× corpus tokens in shuffle bytes at 100 TB). The
+    # positioned-gram frame is lineage-truncated (round 9: one
+    # tokenize+hash pass shared by both branches), so the hashing
+    # subplan is asserted on the UNTRUNCATED view (the r6 advisor
+    # escape hatch) and the truncated production plan must read a
+    # hash-only materialization — longs, no gram strings.
+    full = untruncated_plan_of(spark, sf_dir, "text_dup_spans")
+    assert "xxhash64" in full
+    full_exchanges = [
+        ln for ln in full.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert any("gh#" in ln for ln in exchanges), exchanges
-    for ln in exchanges:  # every exchange keys on gh or doc_id, never gram
+    assert any("gh#" in ln for ln in full_exchanges), full_exchanges
+    plan = plan_of(spark, sf_dir, "text_dup_spans")
+    import re
+
+    rdds = re.findall(r"ExistingRDD\[([^\]]*)\]", plan)
+    assert rdds and all("gram" not in r for r in rdds), rdds
+    for ln in full_exchanges + [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]:  # every exchange keys on gh or doc_id, never the gram string
         assert "gram" not in ln, ln
 
 
