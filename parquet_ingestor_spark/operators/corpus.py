@@ -91,7 +91,17 @@ def connected_components(
     # an expensive pair generator (shingle self-join, LSH) doesn't
     # recompute per iteration.
     both = truncate_lineage(both, checkpoint_dir)
-    labels = nodes.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("lbl"))
+    # Propagation can only ever change the label of a node some edge
+    # touches; every other node keeps label = own id forever. So the
+    # ITERATED label table holds touched nodes only — per-round join +
+    # groupBy shuffles scale with the duplicate-affected subgraph, not
+    # the corpus (near-dup edges touch a sliver of a 100 TB corpus;
+    # the incremental fold at incremental.py already exploited this
+    # from outside — now it is structural). Untouched nodes attach
+    # with one final left join + coalesce (guide §2.3: shuffle the
+    # deciding sliver, not the whole corpus, every round).
+    touched = both.select(F.col("src").alias("id")).dropDuplicates(["id"])
+    labels = touched.select("id", F.col("id").alias("lbl"))
     labels = truncate_lineage(labels, checkpoint_dir)
 
     # Convergence probe: labels are monotonically non-increasing (each
@@ -131,7 +141,16 @@ def connected_components(
         return connected_components_star(
             nodes, edges, checkpoint_dir=checkpoint_dir
         )
-    return labels
+    # truncate the attached result: callers fan it into several
+    # branches (cluster sizes + the final projection) and the old
+    # contract returned a checkpointed frame — without this the
+    # nodes⋈labels join would re-run once per consumer branch.
+    return truncate_lineage(
+        nodes.select(F.col("doc_id").alias("id"))
+        .join(labels.select("id", F.col("lbl").alias("_tlbl")), "id", "left")
+        .select("id", F.coalesce("_tlbl", F.col("id")).alias("lbl")),
+        checkpoint_dir,
+    )
 
 
 def _star_round(e: DataFrame, large: bool) -> DataFrame:

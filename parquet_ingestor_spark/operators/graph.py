@@ -710,16 +710,21 @@ def kcore_peel(
         .persist()
     )
     e0.count()  # materialize once; every round reads the cached blocks
-    deg = _degrees(e0)
-    # k is a single exact integer over the INITIAL graph — compute it
-    # once (bounded collect: one row) instead of re-running the edge
-    # count + degree aggregate inside every round's 1-row crossJoin
-    m, n = (
-        e0.agg(F.count("*").alias("m"))
-        .crossJoin(deg.agg(F.count("*").alias("n")))
-        .collect()[0]
+    # materialize the initial degree table ONCE: it feeds BOTH the
+    # k-statistic collect and round 0's alive filter — lazily each
+    # consumer re-ran the full union+groupBy degree shuffle over e0
+    # (guide §2.4: two consumers, one computation). 2m = Σ deg
+    # exactly, so k needs no separate edge count either.
+    deg = truncate_lineage(_degrees(e0), eager=True)
+    # k is a single exact integer over the INITIAL graph — one
+    # bounded collect (one row) off the materialized degree table
+    n, s2m = (
+        deg.agg(
+            F.count("*").alias("n"),
+            F.sum("deg").cast("bigint").alias("s2m"),
+        ).collect()[0]
     )
-    kv = (k_num * 2 * m) // (k_den * n)
+    kv = (k_num * s2m) // (k_den * n)
     alive = None
     for r in range(rounds):
         alive = deg.where(F.col("deg") >= kv).select("x", "deg")
