@@ -23,7 +23,7 @@ SHOW = {
     "q10_revenue_per_nation": "6-way multi-join: broadcast dims, filtered fact scans",
     "q21_global_topk": "Top-k without global sort (TakeOrderedAndProject)",
     "asof_purchase_click": "Merge-as-of: one shuffle + window, no join operator",
-    "dedup_minhash_lsh": "MinHash-LSH md5 twin: lazy-truncated shingle frame, ONE wide 64-min signature aggregate (no 64-way explode), band self-join",
+    "dedup_minhash_lsh": "MinHash-LSH md5 twin: lazy-truncated shingle frame, ONE wide 64-min signature aggregate (no 64-way explode), band-key frame materialized once across both candidate self-join sides",
     "benchmark_contamination": "Contamination audit: hint-free join (stats/AQE pick broadcast while the benchmark side is small)",
     "corpus_line_dedup": "C4 line dedup: one scan, line-keyed keep-first window, per-doc bounded reassembly",
     "sem_dedup": "SemDeDup: broadcast centroid assignment, cluster-keyed pair join",
@@ -49,7 +49,7 @@ SHOW = {
     "dedup_ppjoin_pairs": "PPJoin: prefix-token candidate join (hot shingles never in prefixes), array-intersect verify",
     "scd2_point_in_time_orders": "Point-in-time enrichment: merge-as-of against SCD2 version starts, no range probe",
     "corpus_bloom_seen": "Bloom screen: map-side-combinable bit_or bitmap build, hint-free word-keyed probe join",
-    "graph_kcore_parts": "k-core peel: per-round truncated edge blocks (ExistingRDD), semi-join filters, 1-row threshold broadcast",
+    "graph_kcore_parts": "k-core peel: one cached u-partitioned edge table (the pagerank shape), per-round node-sized alive semi-joins, degree table materialized once (threshold k = one driver integer from sum(deg))",
     "events_cm_counts": "Count-Min: one keyed agg, depth-way posexplode of key-cardinality rows, grid broadcast probe",
     "orders_merge_apply": "MERGE apply: single keyed full-outer join, cents-exact replacement images",
     "sim_ivfpq_topk": "IVF-PQ twin: broadcast centroid assignment + map-only code projection, probed lists joined via broadcast (q_id, list_id) — the inverted-file prune as a join predicate",
