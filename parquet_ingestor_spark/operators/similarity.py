@@ -423,23 +423,26 @@ def ivf_search(
     spark = emb.sparkSession
     if centroid_mat is not None:
         cm = np.asarray(centroid_mat, dtype=np.float64).copy()
-    else:
-        if n_lists is None:
-            n_lists = scaled_k(emb.count())
-        crows = sorted(
-            emb.filter(F.col("vec_id") < n_lists)
+        qrows = sorted(
+            emb.filter(F.col("vec_id") < N_QUERIES)
             .select("vec_id", "embedding")
             .collect(),
             key=lambda r: r.vec_id,
         )
+    else:
+        if n_lists is None:
+            n_lists = scaled_k(emb.count())
+        # ONE head collect shared by centroids AND queries (the twin
+        # entries' _head_rows rule, guide §1.2): collecting the two
+        # tiny samples separately cost a full sequential Spark job
+        # each. head is ordered by vec_id, so the filtered slices
+        # equal the old filter-collects exactly (at most n ids are
+        # < n, and all of them sit inside the n-smallest head).
+        head = _head_rows(emb, max(n_lists, N_QUERIES))
+        crows = [r for r in head if r.vec_id < n_lists]
         cm = np.array([r.embedding for r in crows], dtype=np.float64)
+        qrows = [r for r in head if r.vec_id < N_QUERIES]
     cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
     q_ids = [r.vec_id for r in qrows]
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
@@ -959,7 +962,7 @@ def pq_codebooks(
 
 
 def pq_encode(
-    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES
+    emb: DataFrame, m: int = PQ_SUBSPACES, k: int = PQ_CODES, books=None
 ) -> DataFrame:
     """Product quantization (Jégou et al. 2011, 'Product Quantization
     for Nearest Neighbor Search' — public method): compress each
@@ -977,7 +980,11 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    books = pq_codebooks(emb, m, k)
+    if books is None:
+        # callers that already hold the codebooks (the ADC/IVF-PQ
+        # serving paths' shared head collect) pass them in — the
+        # default keeps the standalone one-job build
+        books = pq_codebooks(emb, m, k)
     b_books = emb.sparkSession.sparkContext.broadcast(books)
 
     def _enc(batches):
@@ -1272,13 +1279,15 @@ def pq_adc_topk(
     import pandas as pd
 
     spark = emb.sparkSession
-    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
-    q_rows = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
+    # ONE head collect shared by the codebooks and the query set (the
+    # twin entries' _head_rows rule, guide §1.2) — and the prebuilt
+    # books ride into pq_encode below, so the serving query runs ONE
+    # driver sample job instead of three sequential ones. head is
+    # vec_id-ordered, so the filtered slice equals the old
+    # filter+orderBy collect exactly.
+    head = _head_rows(emb, max(k, N_QUERIES))
+    books = pq_codebooks(emb, m, k, head_rows=head)  # (m, k, d_sub)
+    q_rows = [r for r in head if r.vec_id < N_QUERIES]
     q_ids = [r.vec_id for r in q_rows]
     d_sub = books.shape[2]
     # (nq, m, k) squared-distance tables, built once on the driver
@@ -1314,7 +1323,7 @@ def pq_adc_topk(
                     )
             yield pd.DataFrame(rows, columns=["q_id", "vec_id", "dist"])
 
-    candidates = pq_encode(emb).mapInPandas(
+    candidates = pq_encode(emb, m, k, books=books).mapInPandas(
         _adc, schema="q_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -1951,6 +1960,7 @@ def ivfpq_index(
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODES,
     centroid_mat=None,
+    books=None,
 ) -> DataFrame:
     """IVF-PQ index build: (vec_id, list_id, code_key) in ONE
     shuffle-free numpy ``mapInPandas`` pass — coarse L2 assignment to
@@ -1969,18 +1979,21 @@ def ivfpq_index(
     import numpy as np
     import pandas as pd
 
-    books = pq_codebooks(emb, m, k)  # (m, k, d_sub)
     if centroid_mat is not None:
         cm = np.asarray(centroid_mat, dtype=np.float64)
+        if books is None:
+            books = pq_codebooks(emb, m, k)
     else:
         if n_lists is None:
             n_lists = scaled_k(emb.count())
-        crows = sorted(
-            emb.filter(F.col("vec_id") < n_lists)
-            .select("vec_id", "embedding")
-            .collect(),
-            key=lambda r: r.vec_id,
-        )
+        # ONE head collect covers centroids and (when not prebuilt)
+        # the codebooks — the _head_rows sharing rule; head is
+        # vec_id-ordered, so the filtered slice equals the old
+        # filter-collect exactly
+        head = _head_rows(emb, max(n_lists, k))
+        if books is None:
+            books = pq_codebooks(emb, m, k, head_rows=head)
+        crows = [r for r in head if r.vec_id < n_lists]
         cm = np.array([r.embedding for r in crows], dtype=np.float64)
     b = emb.sparkSession.sparkContext.broadcast((cm, books))
 
@@ -2051,21 +2064,19 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb)  # (m, k, d_sub)
+    # ONE head collect feeds codebooks, coarse centroids AND the
+    # query set here, and rides into ivfpq_index below (the twin
+    # entries' _head_rows rule, guide §1.2): the old shape ran FIVE
+    # sequential driver sample jobs (books, centroids, queries, then
+    # books + centroids again inside the index build) before the
+    # corpus scan ever started. head is vec_id-ordered, so each
+    # filtered slice equals the old filter-collect exactly.
+    head = _head_rows(emb, max(IVF_K, N_QUERIES, PQ_CODES))
+    books = pq_codebooks(emb, head_rows=head)  # (m, k, d_sub)
     m, k, d_sub = books.shape
-    crows = sorted(
-        emb.filter(F.col("vec_id") < IVF_K)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    crows = [r for r in head if r.vec_id < IVF_K]
     cm = np.array([r.embedding for r in crows], dtype=np.float64)
-    qrows = sorted(
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    qrows = [r for r in head if r.vec_id < N_QUERIES]
     q_ids = [r.vec_id for r in qrows]
     qm = np.array([r.embedding for r in qrows], dtype=np.float64)
     # probe lists by L2 to coarse centroids; ADC tables per query
@@ -2108,7 +2119,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["q_id", "vec_id", "dist"])
 
-    candidates = ivfpq_index(emb).mapInPandas(
+    candidates = ivfpq_index(emb, centroid_mat=cm, books=books).mapInPandas(
         _serve, schema="q_id long, vec_id long, dist double"
     )
     w = Window.partitionBy("q_id").orderBy(

@@ -1371,22 +1371,33 @@ def unigram_lm_train(
         ).alias("piece"),
         "freq",
     )
-    cands = (
+    # ONE collect for both seed tables (guide §1.2: the trainer is a
+    # chain of sequential driver-blocking jobs, so each merged action
+    # removes a whole scheduling round-trip): the top-vocab multi-char
+    # candidates and the full single-char alphabet are independent
+    # branches over the same truncated word table — union them and
+    # split the collected rows client-side. Both sides stay bounded
+    # exactly as before (the multi-char top-k still runs in Spark as
+    # TakeOrdered; the char side is alphabet-sized).
+    cand_branch = (
         subs.groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(vocab_size)
-        .collect()
+        .select(F.lit(False).alias("is_char"), "piece", "cnt")
     )
-    chars = (
+    char_branch = (
         words.select(
             F.explode(F.split(F.col("w"), "")).alias("piece"), "freq"
         )
         .filter(F.col("piece") != "")
         .groupBy("piece")
         .agg(F.sum("freq").alias("cnt"))
-        .collect()
+        .select(F.lit(True).alias("is_char"), "piece", "cnt")
     )
+    seed_rows = cand_branch.unionByName(char_branch).collect()
+    cands = [r for r in seed_rows if not r["is_char"]]
+    chars = [r for r in seed_rows if r["is_char"]]
     pieces = {r["piece"]: int(r["cnt"]) for r in cands}
     for r in chars:
         pieces[r["piece"]] = pieces.get(r["piece"], 0) + int(r["cnt"])
