@@ -1248,6 +1248,43 @@ def pca_project(
     return emb.select("vec_id", *outs)
 
 
+def _mu_cov_collect(emb: DataFrame, dim: int) -> tuple:
+    """(mu[dim], c[dim][dim]) in ONE driver collect: the per-dim means
+    and the full covariance matrix, from a tagged union of
+    :func:`_dim_moments` and :func:`covariance_upper` rows.
+
+    Collecting them separately cost two sequential driver-blocking
+    jobs, and the second recomputed the moment aggregate a second
+    time inside covariance_upper's mean join (guide §1.2/§2.4). The
+    union changes NO computed expression — the exact-decimal sums and
+    deterministic double math flow through identical subtrees, and
+    the identical moment subplans inside one query share their
+    exchange — so every collected value is bit-identical to the
+    two-job form (the property the bit-matched PCA oracles rely on).
+    """
+    mom_rows = _dim_moments(emb).select(
+        F.lit(0).alias("tag"),
+        F.col("dim").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.col("mu").alias("val"),
+    )
+    cov_rows = covariance_upper(emb, dim).select(
+        F.lit(1).alias("tag"),
+        F.col("i").alias("a"),
+        F.col("j").alias("b"),
+        F.col("cov").alias("val"),
+    )
+    rows = mom_rows.unionByName(cov_rows).collect()
+    mom = {r.a: float(r.val) for r in rows if r.tag == 0}
+    mu = [mom[i + 1] for i in range(dim)]
+    c = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        if r.tag == 1:
+            c[r.a - 1][r.b - 1] = r.val
+            c[r.b - 1][r.a - 1] = r.val
+    return mu, c
+
+
 def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:
     """Dominant covariance eigenvector by a FIXED-iteration power
     method, computed driver-side in plain Python floats whose every
@@ -1263,15 +1300,7 @@ def _pca1_power_vector(emb: DataFrame, dim: int = 64) -> tuple:
     Returns (mu[dim], v[dim]) as Python float lists. Model state is
     O(dim²) driver-side — the k-means-centroid contract.
     """
-    mom = {
-        r.dim: float(r.mu)
-        for r in _dim_moments(emb).select("dim", "mu").collect()
-    }
-    mu = [mom[i + 1] for i in range(dim)]
-    c = [[0.0] * dim for _ in range(dim)]
-    for r in covariance_upper(emb, dim).collect():
-        c[r.i - 1][r.j - 1] = r.cov
-        c[r.j - 1][r.i - 1] = r.cov
+    mu, c = _mu_cov_collect(emb, dim)
     v, _ = _power_iterate(c, PCA1_POWER_ITERS, dim)
     m = max(abs(z) for z in v)
     k = next(i for i, z in enumerate(v) if abs(z) == m)
@@ -1402,15 +1431,7 @@ def _pcam_power_vectors(
 
     Returns (mu[dim], comps[m][dim]).
     """
-    mom = {
-        r.dim: float(r.mu)
-        for r in _dim_moments(emb).select("dim", "mu").collect()
-    }
-    mu = [mom[i + 1] for i in range(dim)]
-    c = [[0.0] * dim for _ in range(dim)]
-    for r in covariance_upper(emb, dim).collect():
-        c[r.i - 1][r.j - 1] = r.cov
-        c[r.j - 1][r.i - 1] = r.cov
+    mu, c = _mu_cov_collect(emb, dim)
     comps = []
     for _ in range(m):
         v, lam = _power_iterate(c, PCA1_POWER_ITERS, dim)
