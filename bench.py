@@ -366,6 +366,38 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     loads: dict[str, list[float]] = {}
     gcs: dict[str, list[int]] = {}
+    dirty: dict[str, list[int]] = {}
+    steals: dict[str, list[int]] = {}
+
+    def _vm_dirty_pages() -> int:
+        # nr_dirty + nr_writeback from /proc/vmstat: the round-9 log's
+        # sporadic 8-15 s single-run stalls showed FLAT load and ZERO
+        # GC delta, leaving kernel page-cache writeback as the prime
+        # suspect — this per-run stamp makes that attribution
+        # mechanical instead of argued (best-effort; 0 if unreadable).
+        try:
+            with open("/proc/vmstat") as f:
+                vals = {
+                    k: int(v)
+                    for k, v in (ln.split() for ln in f)
+                    if k in ("nr_dirty", "nr_writeback")
+                }
+            return vals.get("nr_dirty", 0) + vals.get("nr_writeback", 0)
+        except (OSError, ValueError):
+            return 0
+
+    def _cpu_steal_jiffies() -> int:
+        # cumulative steal jiffies from /proc/stat: on a virtualized
+        # host, CPU a neighbor VM takes does NOT show up in load1m
+        # (this session measured q10 at 3.4x its r8 cost at load 1.6
+        # while a probe showed ~1 steal jiffy per 2 user jiffies under
+        # load) — a per-run steal DELTA is the only mechanical way to
+        # attribute that class of drift (best-effort; 0 if unreadable).
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return 0
 
     def _gc_total_ms() -> int:
         # cumulative stop-the-world time across all JVM collectors;
@@ -415,11 +447,16 @@ def main() -> None:
             # regression — per-run stamps make that separation
             # mechanical for any reviewer of bench_detail.json.
             loads[name].append(round(os.getloadavg()[0], 2))
+            dirty.setdefault(name, []).append(_vm_dirty_pages())
+            s0 = _cpu_steal_jiffies()
             g0 = _gc_total_ms()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.perf_counter() - t0, 3))
             gcs.setdefault(name, []).append(_gc_total_ms() - g0)
+            steals.setdefault(name, []).append(
+                _cpu_steal_jiffies() - s0
+            )
             # The iterative entries (pagerank, k-core, CC) truncate
             # lineage via localCheckpoint; those blocks are NOT in
             # the catalog cache and otherwise accumulate run over run
@@ -471,6 +508,17 @@ def main() -> None:
         # suite heap pressure, not the entry's plan (local[N] runs
         # executors in the driver JVM, so this covers task GC too)
         "gc_ms_runs": gcs,
+        # per-timed-run kernel dirty+writeback PAGE count at run start,
+        # index-aligned with "runs": a slow run at flat load/GC but an
+        # elevated dirty-page stamp is the page-cache/writeback ramp
+        # the round-9 log left as the open attribution question
+        "vm_dirty_runs": dirty,
+        # per-timed-run /proc/stat steal-jiffies DELTA (10ms units),
+        # index-aligned with "runs": a slow run with a high steal
+        # delta is host-neighbor pressure this guest cannot see in
+        # load1m — the attribution axis this round's closing session
+        # needed when every entry drifted at single-digit load
+        "cpu_steal_runs": steals,
         "load_avg": {
             "start_1m": round(load0[0], 2),
             "end_1m": round(os.getloadavg()[0], 2),

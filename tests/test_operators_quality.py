@@ -1726,3 +1726,36 @@ def test_hll_users_distinguishes_per_key_sets(spark, tmp_path):
         assert r.est_users_e4 == r.est_merged_e4
         assert abs(r.est_users_e4 - r.exact_users * 10000) <= r.exact_users * 500
     assert got["a"].est_users_e4 != got["b"].est_users_e4
+
+
+def test_mu_cov_collect_bit_identical_to_two_job_form(spark, sf_dir):
+    """Round-9 optimization pin: the single tagged-union driver collect
+    (:func:`_mu_cov_collect`) must return (mu, c) BIT-identical to the
+    two sequential collects it replaced — the equivalence the
+    bit-matched PCA oracles (emb_pca1_power / emb_pca_project) rely
+    on. Exact-decimal sums make each subtree order-independent, so the
+    union may not perturb a single bit; assert ==, not approx."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.embeddings import (
+        _dim_moments,
+        _mu_cov_collect,
+        covariance_upper,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    dim = 64
+    mu_new, c_new = _mu_cov_collect(emb, dim)
+
+    # the pre-round-9 two-job form, inlined verbatim
+    mom = {
+        r.dim: float(r.mu)
+        for r in _dim_moments(emb).select("dim", "mu").collect()
+    }
+    mu_old = [mom[i + 1] for i in range(dim)]
+    c_old = [[0.0] * dim for _ in range(dim)]
+    for r in covariance_upper(emb, dim).collect():
+        c_old[r.i - 1][r.j - 1] = r.cov
+        c_old[r.j - 1][r.i - 1] = r.cov
+
+    assert mu_new == mu_old
+    assert c_new == c_old
