@@ -61,6 +61,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    attach: bool = True,
 ) -> DataFrame:
     """Hash-min connected components over (doc_a, doc_b) edges.
 
@@ -81,6 +82,17 @@ def connected_components(
     large-star/small-star contraction, which needs no diameter bound.
 
     Returns (id, lbl) with lbl = min doc_id reachable.
+
+    ``attach=False`` returns the EDGE-TOUCHED nodes' labels only (the
+    frame the fixpoint loop already materialized — zero extra jobs)
+    and skips the untouched-node attach join + result checkpoint.
+    Every untouched node is its own singleton component by definition,
+    so callers that can express that analytically (dedup_clusters'
+    size-1 rows, dedup_keep_best's keep-self rows) avoid a
+    corpus-sized join + aggregate per consumer — the round-9 A/B
+    measured the attach fixed cost as the touched-only rework's only
+    local regression (~0.1 s at sf0.1), and at 100 TB the attach join
+    and the downstream per-node aggregates are full corpus shuffles.
     """
     both = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -138,9 +150,18 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-        return connected_components_star(
+        full = connected_components_star(
             nodes, edges, checkpoint_dir=checkpoint_dir
         )
+        if attach:
+            return full
+        # touched-only slice of the star result (pathological path —
+        # the fallback computes over all nodes either way)
+        return full.join(touched, "id", "semi")
+    if not attach:
+        # the loop's final label table: touched nodes only, already
+        # lineage-truncated by the last round
+        return labels
     # truncate the attached result: callers fan it into several
     # branches (cluster sizes + the final projection) and the old
     # contract returned a checkpointed frame — without this the
@@ -272,17 +293,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = exact_jaccard_pairs(
         _doc_shingles(spark, sf_dir), JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
-    comp = connected_components(docs.select("doc_id"), edges)
+    # Touched-only labels (attach=False): every node NO edge touches
+    # is its own singleton cluster, so its output row is
+    # (doc_id, doc_id, 1) by definition — computing that analytically
+    # replaces the attach join, the attached-result checkpoint AND a
+    # corpus-sized size aggregate + join with sliver-sized ones plus
+    # one anti-join against the materialized touched set (guide §2.3:
+    # shuffle the deciding sliver, not the corpus). A touched
+    # component's label is the min id WITHIN the component — always an
+    # edge-touched id — so sliver cluster ids never collide with
+    # untouched singleton ids and sliver sizes are exact.
+    comp = connected_components(docs.select("doc_id"), edges, attach=False)
     sizes = comp.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.join(sizes, "lbl")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("lbl").alias("cluster_id"),
-            "cluster_size",
-        )
-        .orderBy("doc_id")
+    touched_rows = comp.join(sizes, "lbl").select(
+        F.col("id").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        "cluster_size",
     )
+    singleton_rows = (
+        docs.select("doc_id")
+        .join(comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return touched_rows.unionByName(singleton_rows).orderBy("doc_id")
 
 
 @register(
@@ -994,9 +1031,14 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = exact_jaccard_pairs(
         _doc_shingles(spark, sf_dir), JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
-    comp = connected_components(docs.select("doc_id"), edges).select(
-        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
-    )
+    # touched-only labels (attach=False, see dedup_clusters): an
+    # untouched node is a singleton cluster whose keeper is itself, so
+    # its row is (doc_id, doc_id, doc_id, true) by definition — the
+    # n_chars join, the keeper argmax and the keeper join-back all run
+    # on the edge-touched sliver instead of the corpus
+    comp = connected_components(
+        docs.select("doc_id"), edges, attach=False
+    ).select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     best = j.groupBy("cluster_id").agg(
         F.max(
@@ -1007,13 +1049,20 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cluster_id", (-F.col("b.neg_id")).alias("keep_doc")
     )
-    return (
-        j.join(best, "cluster_id")
+    touched_rows = j.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keep_doc",
+        (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
+    )
+    singleton_rows = (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
         .select(
             "doc_id",
-            "cluster_id",
-            "keep_doc",
-            (F.col("doc_id") == F.col("keep_doc")).alias("keep"),
+            F.col("doc_id").alias("cluster_id"),
+            F.col("doc_id").alias("keep_doc"),
+            F.lit(True).alias("keep"),
         )
-        .orderBy("doc_id")
     )
+    return touched_rows.unionByName(singleton_rows).orderBy("doc_id")

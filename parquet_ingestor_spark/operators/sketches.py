@@ -1267,13 +1267,22 @@ def events_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every key. One keyed aggregate over events (map-side partials),
     one ≤ 256-row grid, one broadcast probe join — the corpus is
     scanned once and never re-shuffled."""
+    from ..checkpointing import truncate_lineage
+
     ev = (
         table(spark, sf_dir, "events")
         .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
         .select("user_id", "event_type")
     )
-    counts = ev.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("cnt")
+    # the per-key count table feeds BOTH the grid build and the probe
+    # side; the ≤256-row grid broadcasts (AQE), and broadcast
+    # conversion removes the reusable exchange — so the corpus-sized
+    # events scan + keyed aggregate ran once PER SIDE (the
+    # minhash/simhash AQE-vs-ReusedExchange defect, guide §2.4).
+    # Truncating at the key-cardinality counts frame materializes the
+    # aggregate once; everything downstream is key-sized.
+    counts = truncate_lineage(
+        ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
     )
     key = F.concat_ws("|", F.col("user_id").cast("string"), "event_type")
     cells = cm_build(counts, key)

@@ -756,40 +756,50 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_id, n_bigrams, avg_nll), lower avg_nll = more fluent.
     """
-    # Bind split(text) to a lambda variable so tokenization runs once
-    # per row — writing split(...)[i] inline would re-split the string
-    # for EVERY bigram element (O(tokens²) string work per doc; the
-    # text_quality operator documents the same pitfall).
     from ..checkpointing import truncate_lineage
 
-    # the exploded bigram frame feeds THREE branches (the count
-    # aggregate, the unigram fold and the scoring join) — truncate so
-    # the corpus tokenize+explode runs once, not per branch (the
-    # scan-audit rule; this was the flagged 4-scan residue, r6
-    # COVERAGE note)
-    bg = truncate_lineage(
-        table(spark, sf_dir, "documents")
-        .filter(F.expr("size(split(text, ' ')) >= 2"))
+    # Truncate at the TOKEN-ARRAY frame, not the exploded bigram
+    # frame (round-10 rework of the r6 shape): the r9 plan showed the
+    # old bg-checkpoint still left (a) a SECOND full parquet scan +
+    # tokenize for the vocab-size subquery and (b) the corpus-bigram
+    # aggregate running TWICE — `uni` re-aggregated the exploded
+    # stream from scratch because big's broadcast conversion removed
+    # the reusable exchange (the minhash/simhash AQE defect, §2.4).
+    # Materializing (doc_id, toks) once gives every branch — bigram
+    # stream, count model, vocab — the same single scan + split, and
+    # it is ~half the bytes of the exploded bigram frame. The bigram
+    # re-explode per branch is pure codegen over in-memory arrays.
+    toks = truncate_lineage(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+    )
+    bg = (
+        toks.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(array(split(text, ' ')), toks -> "
                     "transform(sequence(0, size(toks) - 2), "
-                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))[0]"
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
                 )
             ).alias("s"),
         )
         .select("doc_id", "s.w1", "s.w2")
     )
-    big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # the bigram-count model feeds the scoring join AND the unigram
+    # fold; truncate the Zipf-bounded table so `uni` derives from the
+    # materialized counts instead of re-running the corpus aggregate
+    big = truncate_lineage(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    )
     # unigram counts derive from the bigram table (sum over w2): one
     # fewer corpus-wide explode+shuffle, identical counts by definition
     uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vs = (
-        table(spark, sf_dir, "documents")
-        .select(F.explode(F.split("text", " ")).alias("w"))
-        .agg(F.count_distinct("w").alias("vs"))
+    # vocab size from the SAME materialized token arrays (explode is
+    # codegen; the old form re-scanned and re-split the whole corpus)
+    vs = toks.select(F.explode("toks").alias("w")).agg(
+        F.count_distinct("w").alias("vs")
     )
     nll = -F.log2(
         (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))

@@ -57,6 +57,61 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_sliver_equals_attached(spark):
+    """attach=False must return exactly the edge-touched slice of the
+    attached result, and the analytic singleton completion (every
+    node NOT in the sliver is its own size-1 cluster) must rebuild
+    the attached result bit-for-bit — the equivalence dedup_clusters
+    and dedup_keep_best rely on since the round-10 rework."""
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 10)], "doc_id long"
+    )
+    # chain 1-2-3, pair 4-5; 6..9 untouched singletons
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    attached = {
+        r.id: r.lbl
+        for r in connected_components(nodes, edges, attach=True).collect()
+    }
+    sliver = {
+        r.id: r.lbl
+        for r in connected_components(nodes, edges, attach=False).collect()
+    }
+    assert sliver == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    rebuilt = dict(sliver)
+    for i in range(1, 10):
+        rebuilt.setdefault(i, i)
+    assert rebuilt == attached
+    # a touched component's label is always an edge-touched id, so
+    # sliver cluster ids never collide with untouched singleton ids
+    assert set(sliver.values()) <= set(sliver.keys())
+
+
+def test_connected_components_sliver_fallback_path(spark):
+    """attach=False through the star-contraction fallback (diameter
+    past max_iter) still returns the touched-only slice."""
+    import warnings as w
+
+    n = 12
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 2)], "doc_id long"
+    )  # n, n+1 untouched
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        got = {
+            r.id: r.lbl
+            for r in connected_components(
+                nodes, edges, max_iter=2, attach=False
+            ).collect()
+        }
+    assert got == {i: 0 for i in range(n)}
+    assert any("did not converge" in str(c.message) for c in caught)
+
+
 def test_connected_components_nonconvergence_falls_back(spark):
     """A diameter past max_iter must not silently mis-cluster: the
     hash-min loop warns and hands off to star contraction, so labels

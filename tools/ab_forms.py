@@ -228,10 +228,124 @@ def _clusters_forms():
     return old_fn, new_fn
 
 
+def _clusters_sliver_forms():
+    """Old = the round-9 attached form (attach join + checkpoint +
+    corpus-sized size aggregate); new = the round-10 sliver
+    decomposition (registered entry)."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.corpus import (
+        JACCARD_THRESHOLD,
+        _doc_shingles,
+        connected_components,
+        exact_jaccard_pairs,
+    )
+
+    new_fn = REGISTRY["dedup_clusters"].fn
+
+    def old_fn(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents")
+        edges = exact_jaccard_pairs(
+            _doc_shingles(spark, sf_dir), JACCARD_THRESHOLD
+        ).select("doc_a", "doc_b")
+        comp = connected_components(docs.select("doc_id"), edges, attach=True)
+        sizes = comp.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+        return (
+            comp.join(sizes, "lbl")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.col("lbl").alias("cluster_id"),
+                "cluster_size",
+            )
+            .orderBy("doc_id")
+        )
+
+    return old_fn, new_fn
+
+
+def _perplexity_forms():
+    """Old = the round-9 form: truncated exploded-bigram frame, `uni`
+    re-aggregating the corpus bigram stream, vocab size from a second
+    full parquet scan + tokenize."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.checkpointing import truncate_lineage
+    from parquet_ingestor_spark.functions import int_e
+
+    new_fn = REGISTRY["text_lm_perplexity"].fn
+
+    def old_fn(spark, sf_dir):
+        bg = truncate_lineage(
+            table(spark, sf_dir, "documents")
+            .filter(F.expr("size(split(text, ' ')) >= 2"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(array(split(text, ' ')), toks -> "
+                        "transform(sequence(0, size(toks) - 2), "
+                        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)))[0]"
+                    )
+                ).alias("s"),
+            )
+            .select("doc_id", "s.w1", "s.w2")
+        )
+        big = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+        uni = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        vs = (
+            table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .agg(F.count_distinct("w").alias("vs"))
+        )
+        nll = -F.log2(
+            (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))
+        )
+        return (
+            bg.join(big, ["w1", "w2"])
+            .join(uni, "w1")
+            .crossJoin(F.broadcast(vs))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                int_e(F.avg(nll), 4).alias("avg_nll_e4"),
+            )
+            .orderBy("doc_id")
+        )
+
+    return old_fn, new_fn
+
+
+def _cmcounts_forms():
+    """Old = the round-9 form: the per-key count aggregate NOT
+    truncated, so the events scan + keyed aggregate runs once per
+    consumer side (grid build + probe)."""
+    from parquet_ingestor_spark import checkpointing
+    from parquet_ingestor_spark.operators import sketches
+
+    new_fn = REGISTRY["events_cm_counts"].fn
+    real_truncate = checkpointing.truncate_lineage
+
+    def old_fn(spark, sf_dir):
+        # the entry imports truncate_lineage lazily from checkpointing,
+        # so patch it at the source module for the old form
+        checkpointing.truncate_lineage = lambda df, *a, **k: df
+        try:
+            return new_fn(spark, sf_dir)
+        finally:
+            checkpointing.truncate_lineage = real_truncate
+
+    def new_fn_guarded(spark, sf_dir):
+        checkpointing.truncate_lineage = real_truncate
+        return new_fn(spark, sf_dir)
+
+    return old_fn, new_fn_guarded
+
+
 FORMS = {
     "simhash": _simhash_forms,
     "unigram": _unigram_forms,
     "clusters": _clusters_forms,
+    "clusters2": _clusters_sliver_forms,
+    "perplexity": _perplexity_forms,
+    "cmcounts": _cmcounts_forms,
 }
 
 
