@@ -60,77 +60,78 @@ _LOADED = False
 #: after all modules self-register, REGISTRY is reordered so these
 #: names come first (everything else keeps import order at the tail).
 #:
-#: Round-9 budget (per the round-8 verdict, item #1). 50 slots:
-#:   - the 2 round-8 rows-only->oracle BPE promotions FIRST
-#:     (bpe_train_merges / text_bpe_encode): their verification
-#:     class changed (new unrolled-CTE oracles), so their rows-only
-#:     r5/r4 driver rows must upgrade to hash rows. Both PASS the
-#:     local driver-faithful gate (round-8 verdict + builder runs).
-#:   - the 4 round-3-deferred entries (q27/q28/q29 scalar-function
-#:     family + q22_intersect), shape-unchanged, locally green.
-#:   - then strict least-recently-checked order: the 26 remaining
-#:     round-4-cohort entries, then 18 of the round-5 cohort.
-#:     The two permanently rows-only entries
-#:     (corpus_dsir_weights_fast, unigram_lm_train) are skipped in
-#:     the round-5 fill: a window slot buys them no hash check, and
-#:     their differential verification lives in tests
-#:     (test_xxhash_minhash_corpus_recall; the exact-rational Python
-#:     differential). Remaining round-5 entries rotate in round 10.
+#: Round-10 budget (round-9 verdict #8 + the standing rule that
+#: entries whose EXECUTION PATH changed this round re-enter the
+#: window even if recently checked). 50 slots:
+#:   - the 5 entries this optimization round restructured FIRST
+#:     (text_lm_perplexity token-frame checkpoint + folded unigram
+#:     model; events_cm_counts count-table checkpoint; the CC
+#:     attach=False sliver decomposition behind dedup_clusters /
+#:     dedup_keep_best / dedup_clusters_incremental): their declared
+#:     outputs are unchanged (locally oracle-gated at sf0.01 + sf0.1
+#:     and partition-perturbation stable), but the driver should
+#:     re-hash the new plans.
+#:   - the 10 remaining round-5-cohort entries (events_cm_counts,
+#:     also r5, is already above), completing the rotation the
+#:     round-9 window deferred.
+#:   - then 35 of the 43-entry round-6 cohort in registration order
+#:     (all least-recently-checked alike); the 8 tail entries
+#:     (q90/q91/q92/q93/q94/q95/q96/q48_conditional_aggs) rotate in
+#:     round 11.
 _WINDOW_FIRST: tuple[str, ...] = (
-    # -- the 2 BPE oracle promotions (round-8 verdict #1) --
-    "bpe_train_merges",
-    "text_bpe_encode",
-    # -- the 4 round-3-deferred entries --
-    "q27_string_funcs",
-    "q28_date_funcs",
-    "q29_array_funcs",
-    "q22_intersect",
-    # -- the round-4 cohort remainder, least-recently-checked --
-    "asof_forward_click_purchase",
+    # -- entries whose execution path changed in round 10 --
+    "text_lm_perplexity",
+    "events_cm_counts",
     "dedup_clusters",
-    "sem_dedup",
-    "corpus_line_dedup",
-    "text_dup_spans",
-    "corpus_stratified_sample",
-    "corpus_quantile_filter",
-    "text_heavy_hitters",
-    "text_cdc_chunks",
-    "corpus_quality_classifier",
-    "corpus_dsir_weights",
-    "dedup_exact_normalized",
-    "text_novelty_score",
-    "text_tfidf_terms",
-    "corpus_shuffle_shard",
-    "text_unicode_clean",
-    "q51_exists_subquery",
-    "q53_windowed_count_distinct",
-    "q58_customer_distribution",
-    "q60_waiting_suppliers",
-    "q66_priority_by_returnflag",
-    "q67_cheapest_supplier",
-    "q69_priority_lag",
-    "q70_forecast_revenue",
-    "q71_returned_items",
-    "q73_supplier_relationship",
-    # -- the round-5 cohort head (oracle-backed entries only) --
-    "asof_purchase_click",
-    "asof_nearest_view_purchase",
-    "asof_tolerance_purchase_click",
-    "interval_join_binned",
-    "asof_conversion_lag",
-    "dedup_fuzzy_names",
-    "text_blocklist_filter",
     "dedup_keep_best",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_hits_parts",
-    "graph_kcore_parts",
-    "graph_link_scores",
     "dedup_clusters_incremental",
-    "corpus_hash_sample_k",
-    "text_heavy_hitters_incremental",
-    "corpus_train_val_split",
-    "table_profile_orders",
+    # -- the round-5 cohort remainder, least-recently-checked --
+    "dq_orders_constraints",
+    "scd2_customer_segments",
+    "snapshot_diff_orders",
+    "scd2_point_in_time_orders",
+    "orders_merge_apply",
+    "skew_report_event_types",
+    "text_winnow_fingerprints",
+    "q54_event_funnel",
+    "q74_cohort_retention",
+    "q75_resample_ffill",
+    # -- the round-6 cohort head (registration order) --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ppjoin_pairs",
+    "sim_ivf_topk",
+    "sim_bruteforce_topk_vectorized",
+    "sim_srp_lsh_neardup",
+    "pq_adc_topk",
+    "sim_ivfpq_topk",
+    "emb_normalize",
+    "emb_quantize",
+    "emb_label_pca1",
+    "emb_dim_stats",
+    "emb_whiten",
+    "emb_cov_matrix",
+    "emb_pca1_power",
+    "events_hll_users",
+    "events_user_overlap_sketch",
+    "corpus_bloom_seen",
+    "q10_revenue_per_nation",
+    "q14_broadcast_join",
+    "q15_pricing_summary",
+    "q40_window_breadth",
+    "q47_null_semantics",
+    "q52_range_frame",
+    "q76_anomalous_hours",
+    "q77_copurchase_pairs",
+    "q78_shipping_lag_stats",
+    "q79_interevent_gaps",
+    "q82_weekday_hour_heatmap",
+    "q85_revenue_hhi_by_nation",
+    "q86_association_rules",
+    "q87_pareto_revenue",
+    "events_sessionize",
+    "q88_moving_average",
+    "q89_shipping_lag_mad",
 )
 
 

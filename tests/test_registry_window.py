@@ -25,30 +25,33 @@ def test_registry_leads_with_window_order():
     assert tuple(names[: len(_WINDOW_FIRST)]) == _WINDOW_FIRST
 
 
-def test_round9_priorities_inside_the_50_window():
+def test_round10_priorities_inside_the_50_window():
     window = set(list(REGISTRY)[:50])
-    # round-8 verdict #1: the two BPE oracle promotions FIRST (their
-    # rows-only r5/r4 driver rows must upgrade to hash rows under the
-    # new unrolled-CTE oracles), then the four round-3-deferred
-    # entries
-    assert tuple(list(REGISTRY)[:2]) == (
-        "bpe_train_merges",
-        "text_bpe_encode",
-    )
+    # round-10 rule: entries whose execution path the optimization
+    # round restructured lead the window so the driver re-hashes the
+    # new plans
     assert {
-        "q27_string_funcs",
-        "q28_date_funcs",
-        "q29_array_funcs",
-        "q22_intersect",
-    } <= set(list(REGISTRY)[:6])
-    # the least-recently-checked fill: every remaining round-4-cohort
-    # entry holds a slot (spot anchors from that cohort)
-    assert {
-        "asof_forward_click_purchase",
+        "text_lm_perplexity",
+        "events_cm_counts",
         "dedup_clusters",
-        "corpus_dsir_weights",
-        "q71_returned_items",
-        "text_unicode_clean",
+        "dedup_keep_best",
+        "dedup_clusters_incremental",
+    } <= set(list(REGISTRY)[:5])
+    # then the round-5 cohort remainder (spot anchors), completing
+    # the rotation round 9 deferred
+    assert {
+        "dq_orders_constraints",
+        "snapshot_diff_orders",
+        "q54_event_funnel",
+        "q75_resample_ffill",
+    } <= window
+    # then the round-6 cohort head (spot anchors)
+    assert {
+        "dedup_minhash_lsh",
+        "sim_ivfpq_topk",
+        "corpus_bloom_seen",
+        "q86_association_rules",
+        "q89_shipping_lag_mad",
     } <= window
 
 
@@ -60,8 +63,10 @@ def test_window_covers_all_stale_rows_except_documented_deferral():
     round-4-cohort entries hold slots. The only documented skips are
     the two permanently rows-only entries (corpus_dsir_weights_fast,
     unigram_lm_train — a window slot buys them no hash check; their
-    differential verification lives in tests, see the ROUND-9 note in
-    queries/__init__.py). No silently forgotten entries."""
+    differential verification lives in tests, see the ROUND-10 note in
+    queries/__init__.py). No silently forgotten entries: after the
+    round-10 rotation, every oracle entry whose latest driver row
+    predates round 6 holds a slot."""
     import json
     from pathlib import Path
 
@@ -69,7 +74,7 @@ def test_window_covers_all_stale_rows_except_documented_deferral():
     window = set(names[:50])
     repo = Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
-    for r in range(1, 9):
+    for r in range(1, 10):
         f = repo / f"CORRECTNESS_r0{r}.json"
         if f.exists():
             for k in json.loads(f.read_text()):
@@ -78,7 +83,9 @@ def test_window_covers_all_stale_rows_except_documented_deferral():
         stale = [
             n
             for n in names
-            if latest.get(n, 0) <= 4 and n not in window
+            if latest.get(n, 0) <= 5
+            and n not in window
+            and REGISTRY[n].oracle is not None  # documented rows-only skips
         ]
         assert not stale, stale
     # the window is exactly the driver's budget — no padding slack
