@@ -124,7 +124,21 @@ def line_dedup(
             ).alias("cleaned_text"),
         )
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+    # per-doc total qualifying lines is a PER-ROW scalar (count of
+    # ≥min_line_words segments in the doc's own word array), not an
+    # aggregate: the old explode + doc-keyed groupBy re-segmented the
+    # corpus AND shuffled one row per doc for a number each row
+    # already knows (guide §2.3/§2.4 — don't shuffle what a row can
+    # compute). Matches segment_lines' segmentation exactly, minus
+    # the line-string materialization the count never needed.
+    n_total = F.expr(
+        f"size(filter(transform(array(split({text_col}, ' ')), toks -> "
+        f"transform(sequence(0, CAST(ceil(size(toks) / {line_words}.0) "
+        f"AS INT) - 1), "
+        f"i -> size(slice(toks, i * {line_words} + 1, {line_words}))))[0], "
+        f"nw -> nw >= {min_line_words}))"
+    )
+    totals = docs.select("doc_id", n_total.alias("n_total"))
     return (
         kept_per_doc.join(totals, "doc_id")
         .filter(F.col("n_lines_kept") >= min_doc_lines)

@@ -1385,10 +1385,19 @@ def q88_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     )
-    hourly = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
-    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    # the hourly count table feeds THREE branches (the dense join, the
+    # hour bounds, the type spine) — before, each branch re-scanned
+    # and re-bucketed the events corpus (3 parquet scans in the plan).
+    # Truncate the hour×type-sized table once; bounds and the distinct
+    # type set derive from it exactly (every event hour/type appears
+    # in its own group row: min/max over group keys == min/max over
+    # rows, and the key set IS the distinct set) — guide §2.4.
+    hourly = truncate_lineage(
+        ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+    )
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (
-        ev.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .crossJoin(F.broadcast(bounds))
         .select(

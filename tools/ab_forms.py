@@ -339,6 +339,113 @@ def _cmcounts_forms():
     return old_fn, new_fn_guarded
 
 
+def _q88_forms():
+    """Old = three separate events passes (hourly counts, hour bounds,
+    distinct types); new = everything derived from the truncated
+    hourly table (registered entry)."""
+    from pyspark.sql import Window
+
+    from parquet_ingestor_spark.catalog import table
+
+    new_fn = REGISTRY["q88_moving_average"].fn
+
+    def old_fn(spark, sf_dir):
+        ev = table(spark, sf_dir, "events").select(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        hourly = ev.groupBy("event_type", "h").agg(F.count("*").alias("cnt"))
+        bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        spine = (
+            ev.select("event_type")
+            .distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                "event_type",
+                F.explode(
+                    F.expr("sequence(h0, h1, interval 1 hour)")
+                ).alias("h"),
+            )
+        )
+        dense = spine.join(hourly, ["event_type", "h"], "left").select(
+            "event_type", "h", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy("h")
+            .rowsBetween(-23, Window.currentRow)
+        )
+        return (
+            dense.select(
+                "event_type",
+                F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+                F.col("cnt").cast("bigint").alias("n_events"),
+                F.avg("cnt").over(w).alias("ma24"),
+            )
+            .orderBy("event_type", "hour")
+        )
+
+    return old_fn, new_fn
+
+
+def _linededup_forms():
+    """Old = per-doc totals via a second segmentation explode + doc-
+    keyed groupBy; new = totals as a per-row scalar (registered)."""
+    from parquet_ingestor_spark.catalog import table
+    from parquet_ingestor_spark.operators.lines import (
+        LINE_WORDS,
+        MIN_DOC_LINES,
+        MIN_LINE_WORDS,
+        segment_lines,
+    )
+
+    new_fn = REGISTRY["corpus_line_dedup"].fn
+
+    def old_fn(spark, sf_dir):
+        docs = table(spark, sf_dir, "documents")
+        lines = segment_lines(docs, "text", LINE_WORDS).filter(
+            F.col("nw") >= MIN_LINE_WORDS
+        )
+        keepers = lines.groupBy("line").agg(
+            F.min(F.struct("doc_id", "line_no")).alias("f")
+        )
+        kept_per_doc = (
+            keepers.select(
+                F.col("f.doc_id").alias("doc_id"),
+                F.col("f.line_no").alias("line_no"),
+                "line",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_lines_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_no", "line"))
+                        ),
+                        lambda s: s.line,
+                    ),
+                    " ",
+                ).alias("cleaned_text"),
+            )
+        )
+        totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_total"))
+        return (
+            kept_per_doc.join(totals, "doc_id")
+            .filter(F.col("n_lines_kept") >= MIN_DOC_LINES)
+            .select(
+                "doc_id",
+                "n_lines_kept",
+                (F.col("n_total") - F.col("n_lines_kept")).alias(
+                    "n_lines_removed"
+                ),
+                "cleaned_text",
+            )
+            .orderBy("doc_id")
+        )
+
+    return old_fn, new_fn
+
+
 FORMS = {
     "simhash": _simhash_forms,
     "unigram": _unigram_forms,
@@ -346,6 +453,8 @@ FORMS = {
     "clusters2": _clusters_sliver_forms,
     "perplexity": _perplexity_forms,
     "cmcounts": _cmcounts_forms,
+    "q88": _q88_forms,
+    "linededup": _linededup_forms,
 }
 
 
