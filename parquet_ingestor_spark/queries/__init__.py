@@ -63,21 +63,23 @@ _LOADED = False
 #: Round-10 budget (round-9 verdict #8 + the standing rule that
 #: entries whose EXECUTION PATH changed this round re-enter the
 #: window even if recently checked). 50 slots:
-#:   - the 5 entries this optimization round restructured FIRST
-#:     (text_lm_perplexity token-frame checkpoint + folded unigram
-#:     model; events_cm_counts count-table checkpoint; the CC
-#:     attach=False sliver decomposition behind dedup_clusters /
-#:     dedup_keep_best / dedup_clusters_incremental): their declared
+#:   - the 6 entries this optimization round restructured FIRST
+#:     (text_lm_perplexity token-frame checkpoint; events_cm_counts
+#:     count-table checkpoint; the CC attach=False sliver
+#:     decomposition behind dedup_clusters / dedup_keep_best /
+#:     dedup_clusters_incremental; corpus_line_dedup per-row
+#:     totals — q88_moving_average, also restructured, is already in
+#:     the round-6 fill below): their declared
 #:     outputs are unchanged (locally oracle-gated at sf0.01 + sf0.1
 #:     and partition-perturbation stable), but the driver should
 #:     re-hash the new plans.
 #:   - the 10 remaining round-5-cohort entries (events_cm_counts,
 #:     also r5, is already above), completing the rotation the
 #:     round-9 window deferred.
-#:   - then 35 of the 43-entry round-6 cohort in registration order
-#:     (all least-recently-checked alike); the 8 tail entries
-#:     (q90/q91/q92/q93/q94/q95/q96/q48_conditional_aggs) rotate in
-#:     round 11.
+#:   - then 34 of the 43-entry round-6 cohort in registration order
+#:     (all least-recently-checked alike); the 9 tail entries
+#:     (q89_shipping_lag_mad, q90/q91/q92/q93/q94/q95/q96,
+#:     q48_conditional_aggs) rotate in round 11.
 _WINDOW_FIRST: tuple[str, ...] = (
     # -- entries whose execution path changed in round 10 --
     "text_lm_perplexity",
@@ -85,6 +87,7 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_keep_best",
     "dedup_clusters_incremental",
+    "corpus_line_dedup",
     # -- the round-5 cohort remainder, least-recently-checked --
     "dq_orders_constraints",
     "scd2_customer_segments",
@@ -131,7 +134,6 @@ _WINDOW_FIRST: tuple[str, ...] = (
     "q87_pareto_revenue",
     "events_sessionize",
     "q88_moving_average",
-    "q89_shipping_lag_mad",
 )
 
 

@@ -36,7 +36,8 @@ def test_round10_priorities_inside_the_50_window():
         "dedup_clusters",
         "dedup_keep_best",
         "dedup_clusters_incremental",
-    } <= set(list(REGISTRY)[:5])
+        "corpus_line_dedup",
+    } <= set(list(REGISTRY)[:6])
     # then the round-5 cohort remainder (spot anchors), completing
     # the rotation round 9 deferred
     assert {
@@ -51,7 +52,7 @@ def test_round10_priorities_inside_the_50_window():
         "sim_ivfpq_topk",
         "corpus_bloom_seen",
         "q86_association_rules",
-        "q89_shipping_lag_mad",
+        "q88_moving_average",
     } <= window
 
 
