@@ -11,6 +11,68 @@ from parquet_ingestor_spark.session import get_spark  # noqa: E402
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
+#: The slow lane (round-9 verdict #3): every test that measured >= 10 s
+#: in the round-10 full-suite run (`--durations=0`, 718 passed,
+#: 36m22s). pytest.ini deselects these by default so the driver's
+#: `pytest tests/ -x -q` finishes inside its budget; run them with
+#: `-m slow` (or everything with `-m ""`). Durations are stamped in
+#: the comment so the next re-tiering has a baseline. A central list
+#: (not per-test decorators) keeps the tiering reviewable in one
+#: place and lets parametrized cases be tagged individually.
+_SLOW_IDS = {
+    "test_differential.py::test_query_matches_oracle[media_phash_neardup]",  # 363 s
+    "test_corpus.py::test_star_cc_equivalent_to_hashmin",  # 67 s
+    "test_corpus.py::test_reliable_checkpoint_paths",  # 67 s
+    "test_property.py::test_asof_join_tiebreak_deterministic",  # 64 s
+    "test_streaming.py::test_stream_scd2_matches_batch_and_replays",  # 45 s
+    "test_property.py::test_hist_quantiles_match_definition_and_shard_invariance",  # 43 s
+    "test_corpus.py::test_kmeans_fit_objective_monotone_and_deterministic",  # 41 s
+    "test_operators_quality.py::test_sem_dedup_vectorized_equals_expression",  # 38 s
+    "test_corpus.py::test_bpe_oracles_total_on_degenerate_corpus",  # 35 s
+    "test_operators_quality.py::test_scd2_apply_lifecycle",  # 34 s
+    "test_property.py::test_asof_nearest_matches_bruteforce",  # 34 s
+    "test_property.py::test_unicode_clean_idempotent",  # 33 s
+    "test_differential.py::test_query_matches_oracle[text_bpe_encode]",  # 32 s
+    "test_property.py::test_asof_forward_matches_bruteforce",  # 31 s
+    "test_lines_incremental.py::test_incremental_equals_batch_with_cross_batch_merge",  # 31 s
+    "test_property.py::test_asof_join_matches_bruteforce",  # 31 s
+    "test_lines_incremental.py::test_stream_dedup_clusters_foreachbatch",  # 31 s
+    "test_property.py::test_salted_agg_equals_plain_agg",  # 30 s
+    "test_property.py::test_repetition_signal_bounds",  # 27 s
+    "test_examples.py::test_queries_demo_example_runs",  # 25 s
+    "test_streaming.py::test_stream_bloom_screen_flags_and_replays",  # 25 s
+    "test_bucketing.py::test_bucketed_join_has_no_exchange",  # 24 s
+    "test_examples.py::test_ann_serving_example_runs",  # 24 s
+    "test_property.py::test_pack_bins_conserves_tokens",  # 23 s
+    "test_operators_quality.py::test_degenerate_corpus_mass_dups",  # 20 s
+    "test_operators_quality.py::test_sem_dedup_trained_removes_planted_dups",  # 17 s
+    "test_corpus.py::test_connected_components_long_chain_converges",  # 17 s
+    "test_differential.py::test_query_matches_oracle[emb_label_pca1]",  # 16 s
+    "test_corpus.py::test_connected_components_sliver_fallback_path",  # 15 s
+    "test_lines_incremental.py::test_apply_dedup_batch_absorbs_redelivered_docs",  # 15 s
+    "test_corpus.py::test_connected_components_nonconvergence_falls_back",  # 13 s
+    "test_differential.py::test_query_matches_oracle[emb_pca_project]",  # 13 s
+    "test_corpus.py::test_connected_components_sliver_equals_attached",  # 13 s
+    "test_examples.py::test_corpus_curation_example_runs",  # 13 s
+    "test_differential.py::test_query_matches_oracle[sim_recall_eval]",  # 12 s
+    "test_differential.py::test_query_matches_oracle[emb_pca1_power]",  # 12 s
+    "test_property.py::test_symspell_equals_quadratic_on_random_strings",  # 11 s
+    "test_differential.py::test_query_matches_oracle[q07_roundtrip_conservation]",  # 11 s
+    "test_corpus.py::test_pq_encode_matches_numpy",  # 11 s
+    "test_operators_quality.py::test_power_iterate_survives_degenerate_covariance",  # 11 s
+    "test_corpus.py::test_connected_components_transitive_chain",  # 10 s
+    "test_operators_quality.py::test_scd2_apply_null_transitions",  # 10 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid is like "tests/test_x.py::test_y[param]" — match on
+        # the file::test form so the list works from any rootdir
+        nid = item.nodeid.split("/")[-1]
+        if nid in _SLOW_IDS:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -25,9 +25,9 @@ SHOW = {
     "asof_purchase_click": "Merge-as-of: one shuffle + window, no join operator",
     "dedup_minhash_lsh": "MinHash-LSH md5 twin: lazy-truncated shingle frame, ONE wide 64-min signature aggregate (no 64-way explode), band-key frame materialized once across both candidate self-join sides",
     "benchmark_contamination": "Contamination audit: hint-free join (stats/AQE pick broadcast while the benchmark side is small)",
-    "corpus_line_dedup": "C4 line dedup: one scan, line-keyed keep-first window, per-doc bounded reassembly",
+    "corpus_line_dedup": "C4 line dedup: line-keyed keep-first aggregate (map-side combinable), per-doc bounded reassembly, totals as a per-row scalar (no second segmentation explode)",
     "sem_dedup": "SemDeDup: broadcast centroid assignment, cluster-keyed pair join",
-    "text_lm_perplexity": "Bigram LM scoring: truncated bigram frame (one tokenize+explode for 3 branches), unigrams folded from the bigram table, hint-free model joins",
+    "text_lm_perplexity": "Bigram LM scoring: ONE truncated token-array frame feeds bigrams/model/vocab, truncated bigram-count model (unigrams fold from it, never re-aggregating the corpus), hint-free model joins",
     "text_bm25_topk": "BM25: scan-local term counts, one scalar stats row, TakeOrdered",
     "corpus_filter_pipeline": "Curation filter: single narrow scan, all-codegen signals",
     "text_heavy_hitters": "Heavy hitters: Misra-Gries candidate sketch (no full-vocab shuffle), exact candidate recount with map-side partials",
@@ -50,7 +50,7 @@ SHOW = {
     "scd2_point_in_time_orders": "Point-in-time enrichment: merge-as-of against SCD2 version starts, no range probe",
     "corpus_bloom_seen": "Bloom screen: map-side-combinable bit_or bitmap build, hint-free word-keyed probe join",
     "graph_kcore_parts": "k-core peel: one cached u-partitioned edge table (the pagerank shape), per-round node-sized alive semi-joins, degree table materialized once (threshold k = one driver integer from sum(deg))",
-    "events_cm_counts": "Count-Min: one keyed agg, depth-way posexplode of key-cardinality rows, grid broadcast probe",
+    "events_cm_counts": "Count-Min: ONE truncated keyed agg (events scanned once across grid build + probe), depth-way posexplode of key-cardinality rows, grid broadcast probe",
     "orders_merge_apply": "MERGE apply: single keyed full-outer join, cents-exact replacement images",
     "sim_ivfpq_topk": "IVF-PQ twin: broadcast centroid assignment + map-only code projection, probed lists joined via broadcast (q_id, list_id) — the inverted-file prune as a join predicate",
 }
