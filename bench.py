@@ -368,7 +368,9 @@ def main() -> None:
     gcs: dict[str, list[int]] = {}
     dirty: dict[str, list[int]] = {}
     steals: dict[str, list[int]] = {}
+    spins: dict[str, list[float]] = {}
     rep_steal: dict[str, int] = {}
+    rep_spin: dict[str, float] = {}
 
     def _vm_dirty_pages() -> int:
         # nr_dirty + nr_writeback from /proc/vmstat: the round-9 log's
@@ -404,6 +406,24 @@ def main() -> None:
                 return int(f.readline().split()[8])
         except (OSError, IndexError, ValueError):
             return None
+
+    def _cpu_spin_ms() -> float:
+        # fixed 500k-iteration pure-Python loop, timed immediately
+        # before each run and OUTSIDE the perf_counter window: a
+        # direct sample of how fast this guest's CPU actually executes
+        # right now. Round 10 observed runs 4-11x their clean record
+        # with near-ZERO steal delta (graph_triangles 17.9 s at 7
+        # jiffies; dedup_exact 5.6 s at 17) — hypervisor frequency/
+        # memory-bandwidth contention is invisible to /proc/stat
+        # steal, so the steal stamps alone cannot clear a slow run.
+        # The spin is an absolute yardstick: ~10-20 ms on a healthy
+        # box of this class, 3-10x that when the host is contended,
+        # regardless of whether the contention is billed as steal.
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(500_000):
+            s += i
+        return round((time.perf_counter() - t0) * 1000.0, 1)
 
     def _gc_total_ms() -> int:
         # cumulative stop-the-world time across all JVM collectors;
@@ -453,6 +473,7 @@ def main() -> None:
         gcs[name] = []
         dirty[name] = []
         steals[name] = []
+        spins[name] = []
         for _ in range(3):
             # stamp 1-minute load immediately before EACH timed run
             # (round-8 verdict #2): start/end-of-suite stamps couldn't
@@ -461,6 +482,7 @@ def main() -> None:
             # mechanical for any reviewer of bench_detail.json.
             loads[name].append(round(os.getloadavg()[0], 2))
             dirty[name].append(_vm_dirty_pages())
+            spins[name].append(_cpu_spin_ms())
             s0 = _cpu_steal_jiffies()
             g0 = _gc_total_ms()
             t0 = time.perf_counter()
@@ -494,7 +516,9 @@ def main() -> None:
         # feeds the headline flag below, so a reviewer of BENCH_r{N}
         # alone can tell "this entry's number was steal-contaminated"
         # from "this entry's plan regressed"
-        rep_steal[name] = steals[name][runs[name].index(timings[name])]
+        rep_idx = runs[name].index(timings[name])
+        rep_steal[name] = steals[name][rep_idx]
+        rep_spin[name] = spins[name][rep_idx]
         spark.catalog.clearCache()
         # A full 60+-entry run accumulates JVM pressure (codegen
         # classes, shuffle buffers, finalizable blocks) that the r4/r5
@@ -538,6 +562,16 @@ def main() -> None:
         # load1m — the attribution axis this round's closing session
         # needed when every entry drifted at single-digit load
         "cpu_steal_runs": steals,
+        # per-timed-run CPU spin-probe milliseconds (fixed 500k-iter
+        # Python loop timed just before the run, outside the timed
+        # window), index-aligned with "runs": an absolute sample of
+        # guest CPU speed at that moment. Catches the contention class
+        # steal CANNOT see — round 10 recorded runs at 4-11x their
+        # clean cost with single-digit steal jiffies (host frequency /
+        # memory-bandwidth pressure is not billed as steal). A slow
+        # run whose spin stamp is ~3x the suite median is box, not
+        # plan.
+        "cpu_spin_ms_runs": spins,
         "load_avg": {
             "start_1m": round(load0[0], 2),
             "end_1m": round(os.getloadavg()[0], 2),
@@ -574,6 +608,24 @@ def main() -> None:
         ((rep_steal[n], n) for n in timings if rep_steal.get(n, 0) > 100),
         reverse=True,
     )
+    # spin-probe aggregates (same channel rationale as steal_cpu_s):
+    # spin_ms_med = median spin across ALL timed runs, an absolute
+    # box-speed reading (~10-20 ms healthy for this box class);
+    # spin_flagged = headline entries whose REPORTED run's spin stamp
+    # exceeded 2x the suite median (that entry's number was taken
+    # while the guest CPU itself was degraded — the attribution axis
+    # steal misses entirely when the host throttles frequency or
+    # memory bandwidth instead of descheduling vCPUs).
+    all_spins = sorted(x for xs in spins.values() for x in xs)
+    spin_med = all_spins[len(all_spins) // 2] if all_spins else 0.0
+    spin_flagged = sorted(
+        (
+            (rep_spin[n], n)
+            for n in timings
+            if rep_spin.get(n, 0.0) > 2.0 * spin_med
+        ),
+        reverse=True,
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -584,16 +636,27 @@ def main() -> None:
         "gc_ms": sum(sum(g) for g in gcs.values()),
         "steal_flagged": len(flagged),
         "steal_flagged_top": [n for _, n in flagged[:3]],
+        "spin_ms_med": spin_med,
+        "spin_flagged": len(spin_flagged),
+        "spin_flagged_top": [n for _, n in spin_flagged[:2]],
     }
     # compact separators + 2-decimal per-query values: the 61-entry
     # line measures ~1.7k chars, safely inside the driver's 2000-char
     # tail capture (full-precision timings are in bench_detail.json)
     line = json.dumps(out, separators=(",", ":"))
-    # never ship an unparseable headline again: shrink the kept-query
-    # count until the line fits (a fixed top-40 cut could still
-    # overflow with long entry names — round-7 advisory); worst case
-    # the line degrades to total + truncation marker only, which the
-    # driver can always parse.
+    # never ship an unparseable headline again. Shrink order: first
+    # drop the flag-NAME lists (counts stay; names remain in
+    # bench_detail.json) — the per-query dict must survive intact,
+    # because the driver's round-over-round PERF comparison treats a
+    # query missing from the parsed line as dropped. Only then shrink
+    # the kept-query count (a fixed top-40 cut could still overflow
+    # with long entry names — round-7 advisory); worst case the line
+    # degrades to total + truncation marker only, which the driver
+    # can always parse.
+    for drop in ("spin_flagged_top", "steal_flagged_top"):
+        if len(line) > 1900:
+            out.pop(drop, None)
+            line = json.dumps(out, separators=(",", ":"))
     keep = 40
     while len(line) > 1900 and keep >= 0:
         out["queries"] = {
