@@ -62,6 +62,41 @@ _SLOW_IDS = {
     "test_operators_quality.py::test_power_iterate_survives_degenerate_covariance",  # 11 s
     "test_corpus.py::test_connected_components_transitive_chain",  # 10 s
     "test_operators_quality.py::test_scd2_apply_null_transitions",  # 10 s
+    # Second tiering band (round-10 close): the driver's pytest budget
+    # is ~15 min and these sandboxes drift up to ~1.8x under host
+    # contention, so an 11-12 min clean default lane can still time
+    # out on a degraded box (the 18m27s verification run that sourced
+    # these numbers did exactly that arithmetic). Everything that
+    # measured >= 7 s on that degraded-box run (~5-8 s clean) moves to
+    # the slow lane too, targeting a ~8 min clean default lane with
+    # 1.8x headroom. Durations below are from the degraded run.
+    "test_examples.py::test_warehouse_maintenance_example_runs",  # 28 s
+    "test_streaming.py::test_stream_dsir_converges_to_batch_pool_and_replays",  # 24 s
+    "test_operators_quality.py::test_sketch_path_routing_and_equivalence",  # 22 s
+    "test_streaming.py::test_stream_pricing_summary_matches_batch_and_replays",  # 20 s
+    "test_streaming_joins.py::test_stream_stream_attribution_matches_batch",  # 16 s
+    "test_bucketing.py::test_bucket_pruning_on_key_filter",  # 16 s module setup (shares the bucketed warehouse with the already-slow join test, so the whole module leaves the default lane)
+    "test_streaming.py::test_stream_cm_counts_matches_batch_and_replays",  # 15 s
+    "test_operators_quality.py::test_label_pca_matches_numpy",  # 14 s
+    "test_plan_lint.py::test_iterative_oracle_backed_schemas[dedup_clusters_incremental]",  # 13 s
+    "test_driver_canon.py::test_rounding_battery_engines_agree",  # 13 s
+    "test_operators_quality.py::test_vectorized_topk_matches_exact",  # 12 s
+    "test_pipeline.py::test_batch_ingest_partition_pruning",  # 12 s
+    "test_operators_quality.py::test_recall_eval_invariants",  # 11 s
+    "test_stateful.py::test_stateful_tracker_matches_batch_twin",  # 11 s
+    "test_plan_lint.py::test_no_cartesian_no_row_udf[q07_roundtrip_conservation]",  # 11 s
+    "test_crash_replay.py::test_replayed_batch_overwrites_not_appends",  # 10 s
+    "test_plan_lint.py::test_no_cartesian_no_row_udf[sim_recall_eval]",  # 10 s
+    "test_graph.py::test_determinism_across_partitionings",  # 10 s
+    "test_operators_quality.py::test_ivf_recall_vs_bruteforce",  # 9 s
+    "test_operators_quality.py::test_dedup_recall_eval_guarantees",  # 9 s
+    "test_streaming.py::test_det_overlap_entry_tracks_exact",  # 8 s
+    "test_operators_quality.py::test_pca_project_matches_numpy",  # 8 s
+    "test_mixture.py::test_stream_heavy_hitters_foreachbatch",  # 8 s
+    "test_corpus.py::test_unigram_lm_train_stable_across_partitionings",  # 8 s
+    "test_differential.py::test_query_matches_oracle[emb_kmeans_fit]",  # 8 s
+    "test_differential.py::test_query_matches_oracle[dedup_clusters_incremental]",  # 7 s
+    "test_corpus.py::test_contamination_finds_planted_overlap",  # 7 s
 }
 
 
